@@ -1,0 +1,65 @@
+"""Catalog: named access to the at-rest Parquet tables.
+
+Mirrors the reference's "table" notion — a directory of Parquet files
+(`KafkaProtoParquetWriter.java:81-82,362-380`) — as Spark-readable paths.
+Reads are plain ``spark.read.parquet`` so Catalyst gets predicate
+pushdown + column pruning on every downstream query for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+#: dimension tables small enough to broadcast at any realistic scale
+#: (region=5 rows fixed, nation=25 rows fixed; supplier scales but slowly)
+BROADCASTABLE = {"region", "nation", "supplier"}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def normalize_nanos(df: DataFrame) -> DataFrame:
+    """Convert nanosecond-long timestamp columns (read under
+    spark.sql.legacy.parquet.nanosAsLong) to proper microsecond
+    timestamps. Truncating div matches DuckDB's ns→µs read behavior."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return normalize_nanos(spark.read.parquet(table_path(sf_dir, name)))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (for the SQL API)."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

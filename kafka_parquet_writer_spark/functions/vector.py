@@ -1,0 +1,65 @@
+"""Vector math over ArrayType(Float) embedding columns.
+
+All expressions compute in DOUBLE with a sequential left fold so the
+result is bit-identical to a sequential C double loop (what the DuckDB
+oracle computes) — rounding in query outputs then makes the comparison
+fully robust.
+
+These are the JVM-side (codegen) primitives. For large-scale brute-force
+similarity the matrix path in operators/similarity.py (pandas UDF +
+numpy) trades per-row expressions for BLAS batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _dbl(x: Column) -> Column:
+    return x.cast("double")
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double (sequential fold, init 0.0)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _dbl(x) * _dbl(y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def sq_norm_expr(a: Column) -> Column:
+    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + _dbl(x) * _dbl(x))
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(sq_norm_expr(a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """cos(a, b); NaN-safe only insofar as inputs are non-zero vectors."""
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def lit_vector(values: list[float]) -> Column:
+    """A literal double array column (for broadcast-free plane constants)."""
+    return F.array(*[F.lit(float(v)) for v in values])
+
+
+# --- SQL fragment generators (DuckDB oracle side) --------------------------
+
+def sql_dot(a_expr: str, b_expr: str) -> str:
+    """DuckDB: double-precision dot product (same fold order as dot_expr)."""
+    return (
+        f"list_dot_product(CAST({a_expr} AS DOUBLE[]), CAST({b_expr} AS DOUBLE[]))"
+    )
+
+
+def sql_norm(a_expr: str) -> str:
+    return f"sqrt({sql_dot(a_expr, a_expr)})"
+
+
+def sql_lit_vector(values: list[float]) -> str:
+    body = ", ".join(repr(float(v)) for v in values)
+    return f"CAST([{body}] AS DOUBLE[])"

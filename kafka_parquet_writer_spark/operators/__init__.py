@@ -1,0 +1,14 @@
+"""Operator modules. Importing this package registers every declared
+query (SURVEY.md §2B) into kafka_parquet_writer_spark.registry."""
+
+from kafka_parquet_writer_spark.operators import (  # noqa: F401
+    relational,
+    scalar,
+    dedup,
+    similarity,
+    text,
+    multimodal,
+    udfs,
+    etl_batch,
+    streaming_queries,
+)

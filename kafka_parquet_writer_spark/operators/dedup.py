@@ -1,0 +1,448 @@
+"""Deduplication operators (north-star LLM-pipeline surface).
+
+The reference's only dedup story is "none" — it is an at-least-once
+writer that may *produce* duplicates on restart
+(`KafkaProtoParquetWriter.java:43-44`). These operators are the batch
+dedup toolkit a 100 TB training-data pipeline needs:
+
+- exact key dedup (deterministic min-per-key),
+- MinHash + LSH banding (near-dup candidate generation at scale:
+  cost ∝ corpus + bucket collisions, never all-pairs),
+- SimHash (bitwise fingerprint, hamming-ball matching),
+- exact n-gram Jaccard (inverted-index join — the verifier / small-scale
+  baseline),
+- embedding-cosine near-dup.
+
+Verifiability: the MinHash/SimHash permutations use the *portable*
+integer-arithmetic hash family from functions/texthash.py, so the
+DuckDB oracle runs the identical algorithm and the driver's value-hash
+matches exactly. The production-scale variant (xxhash64, no dictionary)
+is exposed as library functions with the same shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from kafka_parquet_writer_spark.catalog import load_table
+from kafka_parquet_writer_spark.functions import texthash as TH
+from kafka_parquet_writer_spark.functions.portable import pround
+from kafka_parquet_writer_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT e.user_id, e.event_type, e.event_id, (floor((e.value) * 1e2 + 0.5) / 1e2) AS value_r
+    FROM events e
+    JOIN (SELECT user_id, event_type, min(event_id) AS first_id
+          FROM events GROUP BY user_id, event_type) k
+      ON e.event_id = k.first_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on (user_id, event_type), keeping the row with the
+    smallest event_id — the deterministic formulation of
+    ``dropDuplicates`` (whose tie choice is partition-order-dependent).
+
+    Scale: one shuffle on the dedup key; window row_number=1 streams
+    per group, no buffering of the whole group.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", pround(F.col("value"), 2).alias("value_r"))
+    )
+
+
+def dedup_exact_df(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Library form: dropDuplicates on a key subset (nondeterministic
+    tie pick — fine when any representative will do)."""
+    return df.dropDuplicates(keys)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+MINHASH_K = 16
+MINHASH_BANDS = 4
+MINHASH_ROWS = 4
+MINHASH_COEFFS = TH.minhash_coeffs(MINHASH_K, seed=42)
+JACCARD_THRESHOLD = 0.6
+SHINGLE_N = 2
+
+
+def _shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc, shingle) distinct word-bigram pairs from documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(TH.word_shingles_expr("text", SHINGLE_N)).alias("shingle"),
+    )
+
+
+def _dict_ids(sh: DataFrame) -> DataFrame:
+    """shingle → dense id. Global vocab sort: OK because |vocab| ≪ corpus;
+    the 100 TB path swaps this for xxhash64(shingle) (no dictionary)."""
+    return (
+        sh.select("shingle")
+        .distinct()
+        .withColumn("tid", F.row_number().over(W.orderBy("shingle")).cast("long"))
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, coeffs: list[tuple[int, int]], use_xxhash: bool = False
+) -> DataFrame:
+    """doc → k MinHash values. ``use_xxhash`` is the dictionary-free
+    production path (not oracle-portable)."""
+    if use_xxhash:
+        st = sh.select("doc", F.abs(F.xxhash64("shingle")).alias("tid"))
+    else:
+        st = sh.join(_dict_ids(sh), "shingle").select("doc", "tid")
+    aggs = [
+        F.min(TH.affine_hash(F.col("tid"), a, b)).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return st.groupBy("doc").agg(*aggs)
+
+
+def _lsh_candidates(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """Distinct (d1 < d2) pairs sharing at least one full band."""
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.concat_ws(",", *[F.col(f"h{j * rows + r}") for r in range(rows)]).alias(
+                "sig"
+            ),
+        )
+        for j in range(bands)
+    ]
+    banded = sigs.select("doc", F.explode(F.array(*band_structs)).alias("bs")).select(
+        "doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .distinct()
+    )
+
+
+def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over candidate pairs only (LSH prunes the quadratic
+    blow-up; this join is ∝ |candidates| × avg shingles)."""
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    t1, t2 = sh.alias("t1"), sh.alias("t2")
+    inter = (
+        cand.join(t1, F.col("d1") == F.col("t1.doc"))
+        .join(
+            t2,
+            (F.col("d2") == F.col("t2.doc"))
+            & (F.col("t1.shingle") == F.col("t2.shingle")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    s1 = sizes.withColumnRenamed("doc", "d1").withColumnRenamed("n", "n1")
+    s2 = sizes.withColumnRenamed("doc", "d2").withColumnRenamed("n", "n2")
+    jac = F.col("i").cast("double") / (F.col("n1") + F.col("n2") - F.col("i"))
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .filter(jac >= threshold)
+        .select("d1", "d2", pround(jac, 6).alias("jac"))
+    )
+
+
+def _minhash_oracle() -> str:
+    P = TH.MERSENNE_P
+    hs = ",\n      ".join(
+        f"min({TH.sql_affine('tid', a, b)}) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc, {j} AS band, concat_ws(',', {cols}) AS sig FROM sigs".format(
+            j=j,
+            cols=", ".join(f"h{j * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)),
+        )
+        for j in range(MINHASH_BANDS)
+    )
+    return f"""
+    WITH sh AS ({TH.sql_shingle_cte('documents', 'doc_id', 'text', SHINGLE_N)}),
+    dict AS (
+      SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS tid
+      FROM (SELECT DISTINCT shingle FROM sh)
+    ),
+    st AS (SELECT doc, tid FROM sh JOIN dict USING (shingle)),
+    sigs AS (SELECT doc, {hs} FROM st GROUP BY doc),
+    bands AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS d1, b.doc AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc
+    ),
+    sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+    inter AS (
+      SELECT d1, d2, count(*) AS i
+      FROM cand
+      JOIN sh t1 ON t1.doc = cand.d1
+      JOIN sh t2 ON t2.doc = cand.d2 AND t2.shingle = t1.shingle
+      GROUP BY d1, d2
+    )
+    SELECT d1, d2,
+           (floor((CAST(i AS DOUBLE) / (s1.n + s2.n - i)) * 1e6 + 0.5) / 1e6) AS jac
+    FROM inter
+    JOIN sizes s1 ON s1.doc = inter.d1
+    JOIN sizes s2 ON s2.doc = inter.d2
+    WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= {JACCARD_THRESHOLD}
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands × 4 rows) near-dup detection on word
+    bigram shingles, exact-Jaccard-verified at ≥ 0.6.
+
+    Scale: the only all-pairs-ish step is the within-bucket self-join —
+    bucket sizes are bounded by signature collisions, so cost is
+    ∝ Σ bucket². No cross product ever materializes. The dictionary
+    step is vocabulary-sized; swap use_xxhash=True to drop it entirely.
+    """
+    sh = _shingle_pairs(spark, sf_dir)
+    sigs = minhash_signatures(sh, MINHASH_COEFFS)
+    cand = _lsh_candidates(sigs, MINHASH_BANDS, MINHASH_ROWS)
+    return _verify_jaccard(cand, sh, JACCARD_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_COEFFS = TH.simhash_coeffs(SIMHASH_BITS, seed=7)
+SIMHASH_MAX_HAMMING = 4
+SIMHASH_BAND_BYTES = 4  # 4 bands × 8 bits
+
+
+def simhash_signature(st: DataFrame) -> DataFrame:
+    """doc → 32-bit SimHash (as BIGINT) from (doc, tid) pairs.
+
+    bit_j = sign of Σ_tokens (±1 from parity of affine_j(tid)).
+    """
+    sums = st.groupBy("doc").agg(
+        *[
+            F.sum(
+                (TH.affine_hash(F.col("tid"), c, d) % 2) * 2 - 1
+            ).alias(f"s{j}")
+            for j, (c, d) in enumerate(SIMHASH_COEFFS)
+        ]
+    )
+    sig = None
+    for j in range(SIMHASH_BITS):
+        bit = (F.col(f"s{j}") >= 0).cast("long") * F.lit(1 << j)
+        sig = bit if sig is None else sig + bit
+    return sums.select("doc", sig.alias("sig"))
+
+
+def _simhash_oracle() -> str:
+    P = TH.MERSENNE_P
+    sums = ",\n      ".join(
+        f"sum(({TH.sql_affine('tid', c, d)} % 2) * 2 - 1) AS s{j}"
+        for j, (c, d) in enumerate(SIMHASH_COEFFS)
+    )
+    sig_terms = " + ".join(
+        f"CAST(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END AS BIGINT)"
+        for j in range(SIMHASH_BITS)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc, sig, {b} AS band, (sig >> {8 * b}) & 255 AS byte FROM sigs"
+        for b in range(SIMHASH_BAND_BYTES)
+    )
+    return f"""
+    WITH sh AS ({TH.sql_shingle_cte('documents', 'doc_id', 'text', SHINGLE_N)}),
+    dict AS (
+      SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS tid
+      FROM (SELECT DISTINCT shingle FROM sh)
+    ),
+    st AS (SELECT doc, tid FROM sh JOIN dict USING (shingle)),
+    sums AS (SELECT doc, {sums} FROM st GROUP BY doc),
+    sigs AS (SELECT doc, {sig_terms} AS sig FROM sums),
+    bands AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS d1, a.sig AS sig1, b.doc AS d2, b.sig AS sig2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.byte = b.byte AND a.doc < b.doc
+    )
+    SELECT d1, d2, CAST(bit_count(xor(sig1, sig2)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig1, sig2)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) near-dup pairs with hamming ≤ 4, candidates via
+    4 byte-bands (pigeonhole: any pair within hamming 4 of 32 bits could
+    still differ in every byte — bands are a recall/cost tradeoff, and
+    the oracle runs the identical banding).
+
+    Scale: signature table is one row per doc (tiny); band self-joins
+    are equi-joins on (band, byte) — shuffle-friendly, skew handled by
+    AQE.
+    """
+    sh = _shingle_pairs(spark, sf_dir)
+    st = sh.join(_dict_ids(sh), "shingle").select("doc", "tid")
+    sigs = simhash_signature(st)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("sig"), 8 * b).bitwiseAND(F.lit(255)).alias("byte"),
+        )
+        for b in range(SIMHASH_BAND_BYTES)
+    ]
+    banded = sigs.select(
+        "doc", "sig", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc", "sig", F.col("bs.band").alias("band"), F.col("bs.byte").alias("byte"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("d1"),
+            F.col("a.sig").alias("sig1"),
+            F.col("b.doc").alias("d2"),
+            F.col("b.sig").alias("sig2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2")))
+    return cand.filter(hamming <= SIMHASH_MAX_HAMMING).select(
+        "d1", "d2", hamming.cast("int").alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (inverted-index join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({TH.sql_shingle_cte('documents', 'doc_id', 'text', SHINGLE_N)}),
+    sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+    inter AS (
+      SELECT t1.doc AS d1, t2.doc AS d2, count(*) AS i
+      FROM sh t1 JOIN sh t2 ON t1.shingle = t2.shingle AND t1.doc < t2.doc
+      GROUP BY t1.doc, t2.doc
+    )
+    SELECT d1, d2, (floor((CAST(i AS DOUBLE) / (s1.n + s2.n - i)) * 1e6 + 0.5) / 1e6) AS jac
+    FROM inter
+    JOIN sizes s1 ON s1.doc = inter.d1
+    JOIN sizes s2 ON s2.doc = inter.d2
+    WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard ≥ 0.6 via inverted-index self-join.
+
+    Scale caveat (why MinHash exists): the shingle self-join is
+    ∝ Σ_shingle df(shingle)² — fine when shingles are discriminative,
+    quadratic on stop-shingles. Production guard: drop shingles with
+    document frequency above a cap before joining, or use
+    dedup_minhash_lsh. This exact form is the verifier baseline.
+    """
+    sh = _shingle_pairs(spark, sf_dir)
+    t1, t2 = sh.alias("t1"), sh.alias("t2")
+    inter = (
+        t1.join(
+            t2,
+            (F.col("t1.shingle") == F.col("t2.shingle"))
+            & (F.col("t1.doc") < F.col("t2.doc")),
+        )
+        .groupBy(F.col("t1.doc").alias("d1"), F.col("t2.doc").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return _verify_jaccard_from_inter(inter, sh)
+
+
+def _verify_jaccard_from_inter(inter: DataFrame, sh: DataFrame) -> DataFrame:
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    s1 = sizes.withColumnRenamed("doc", "d1").withColumnRenamed("n", "n1")
+    s2 = sizes.withColumnRenamed("doc", "d2").withColumnRenamed("n", "n2")
+    jac = F.col("i").cast("double") / (F.col("n1") + F.col("n2") - F.col("i"))
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("d1", "d2", pround(jac, 6).alias("jac"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+COSINE_DUP_THRESHOLD = 0.4  # synthetic vectors are near-orthogonal; 0.4 ≈ top pairs
+
+
+@query(
+    "dedup_embedding",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           (floor((list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 1e6 + 0.5) / 1e6) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {COSINE_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold).
+
+    This is the exact all-pairs form — correct but quadratic; it is the
+    verification baseline. The scale path is similarity.py's
+    LSH-bucketed variant (random hyperplane signatures), which turns
+    candidate generation into an equi-join.
+    """
+    from kafka_parquet_writer_spark.functions.vector import cosine_expr
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.col("embedding")
+    )
+    a = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
+    b = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+    cos = cosine_expr(F.col("e1"), F.col("e2"))
+    return (
+        a.join(b, F.col("v1") < F.col("v2"))
+        .filter(cos >= COSINE_DUP_THRESHOLD)
+        .select("v1", "v2", pround(cos, 6).alias("cos"))
+    )

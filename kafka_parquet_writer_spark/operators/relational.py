@@ -1,0 +1,707 @@
+"""Relational operator inventory (SURVEY.md §2B rows 1-16).
+
+None of these exist in the reference — `/root/reference/src/main` is two
+files (`KafkaProtoParquetWriter.java`, `ParquetFile.java`) implementing a
+Kafka→Parquet pipe with zero relational operators (SURVEY.md §2A,
+"explicit absences"). Each query below is the Spark-idiomatic
+formulation, declared via DataFrame ops so Catalyst plans pushdown /
+pruning / join strategy; AQE (enabled in session.py) handles skew and
+partition coalescing at scale.
+
+Numeric policy: money columns are 2-decimal doubles; aggregates convert
+them to exact int64 cents first (functions/portable.py) so sums are
+exact integers — engine-independent regardless of summation order — and
+final rounding uses the portable floor-form. At extreme scale cent-unit
+products can outgrow int64 (bound noted per query); production swaps in
+DECIMAL(38, n), same shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from kafka_parquet_writer_spark.catalog import load_table
+from kafka_parquet_writer_spark.functions.portable import (
+    cents,
+    pround,
+    sql_cents,
+    sql_pround,
+)
+from kafka_parquet_writer_spark.registry import query
+
+
+def _c(name: str) -> Column:
+    return cents(F.col(name))
+
+
+# ---------------------------------------------------------------------------
+# scan + projection
+# ---------------------------------------------------------------------------
+@query(
+    "scan_project",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+    FROM lineitem
+    """,
+)
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned scan: ReadSchema must contain only the 4 columns.
+
+    Scale: parquet column pruning means IO ∝ selected columns, not table
+    width — verified in tests via the physical plan's ReadSchema.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+
+
+# ---------------------------------------------------------------------------
+# filter with compound predicate
+# ---------------------------------------------------------------------------
+@query(
+    "filter_pred",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_discount
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 30
+      AND l_returnflag IN ('A', 'R')
+      AND (l_discount < 0.05 OR l_tax >= 0.03)
+      AND l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate IS NOT NULL
+    """,
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicate (AND/OR/IN/BETWEEN/null-check/timestamp cmp).
+
+    Scale: the whole conjunction is pushable — Catalyst splits it into
+    parquet-level PushedFilters; row-group stats skip non-matching
+    row groups before decode.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 30)
+        & F.col("l_returnflag").isin("A", "R")
+        & ((F.col("l_discount") < 0.05) | (F.col("l_tax") >= 0.03))
+        & (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & F.col("l_shipdate").isNotNull()
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_discount")
+
+
+# ---------------------------------------------------------------------------
+# hash aggregation — TPC-H Q1 shape; the flagship query (entry())
+# ---------------------------------------------------------------------------
+@query(
+    "agg_hash",
+    oracle=f"""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus,
+             {sql_cents('l_quantity')}      AS qc,
+             {sql_cents('l_extendedprice')} AS epc,
+             {sql_cents('l_discount')}      AS dpc,
+             {sql_cents('l_tax')}           AS tpc
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    )
+    SELECT l_returnflag, l_linestatus,
+           {sql_pround('sum(qc) / 100.0', 2)}                        AS sum_qty,
+           {sql_pround('sum(epc) / 100.0', 2)}                       AS sum_base_price,
+           {sql_pround('sum(epc * (100 - dpc)) / 1e4', 2)}           AS sum_disc_price,
+           {sql_pround('sum(epc * (100 - dpc) * (100 + tpc)) / 1e6', 2)} AS sum_charge,
+           {sql_pround('sum(qc) / (100.0 * count(*))', 6)}           AS avg_qty,
+           {sql_pround('sum(epc) / (100.0 * count(*))', 6)}          AS avg_price,
+           {sql_pround('sum(dpc) / (100.0 * count(*))', 6)}          AS avg_disc,
+           count(*)                                                  AS count_order
+    FROM c
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: multi-measure hash aggregation over a pushed-down filter.
+
+    All measures aggregate exact integer cent/percent units (sums are
+    exact — no float summation order anywhere), then scale back to
+    dollars. Bound: charge units peak ~1e11/row — int64 holds ~9e7 such
+    rows per group; beyond that, DECIMAL(38).
+
+    Scale: Spark's HashAggregate is two-phase (partial map-side combine
+    → shuffle on the 2 group keys → final merge), so shuffle volume is
+    O(#groups × partitions), not O(rows).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qc, epc, dpc, tpc = _c("l_quantity"), _c("l_extendedprice"), _c("l_discount"), _c("l_tax")
+    cnt = F.count(F.lit(1))
+    disc_u = epc * (100 - dpc)
+    charge_u = disc_u * (100 + tpc)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            pround(F.sum(qc) / 100.0, 2).alias("sum_qty"),
+            pround(F.sum(epc) / 100.0, 2).alias("sum_base_price"),
+            pround(F.sum(disc_u) / 1e4, 2).alias("sum_disc_price"),
+            pround(F.sum(charge_u) / 1e6, 2).alias("sum_charge"),
+            pround(F.sum(qc) / (100.0 * cnt), 6).alias("avg_qty"),
+            pround(F.sum(epc) / (100.0 * cnt), 6).alias("avg_price"),
+            pround(F.sum(dpc) / (100.0 * cnt), 6).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# distinct + count-distinct
+# ---------------------------------------------------------------------------
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      CAST(count(DISTINCT o_custkey) AS BIGINT)       AS n_cust,
+      CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
+      count(*)                                        AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT) — Spark plans expand + two-level aggregation.
+
+    Scale: multiple distinct aggregates trigger an Expand (row
+    multiplication ×#distinct-cols); acceptable at 2 distincts. For
+    high-cardinality distincts at 100 TB prefer approx_count_distinct
+    (see agg_approx_distinct).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query("agg_approx_distinct")  # approx ≠ exact oracle → rows-only check
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the 100 TB-scale path for
+    count-distinct: constant memory per group, no Expand, mergeable
+    sketches across partitions. rsd=0.01 ⇒ ~1% error bound."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouping sets / rollup
+# ---------------------------------------------------------------------------
+@query(
+    "grouping_sets",
+    oracle=f"""
+    WITH c AS (
+      SELECT n_name, o_orderpriority, {sql_cents('o_totalprice')} AS tpc
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    )
+    SELECT
+      n_name,
+      o_orderpriority,
+      CAST(GROUPING(n_name) AS INTEGER) * 2
+        + CAST(GROUPING(o_orderpriority) AS INTEGER)  AS gid,
+      {sql_pround('sum(tpc) / 100.0', 2)}             AS revenue,
+      count(*)                                        AS n_orders
+    FROM c
+    GROUP BY ROLLUP (n_name, o_orderpriority)
+    """,
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over a joined star; grouping id distinguishes subtotal rows.
+
+    Scale: rollup = Expand(×3 here) + single hash agg; nation is
+    broadcast so the only shuffle is the orders⋈customer equi-join.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return (
+        joined.rollup("n_name", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            pround(F.sum(_c("o_totalprice")) / 100.0, 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select("n_name", "o_orderpriority", "gid", "revenue", "n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+@query(
+    "join_inner_hash",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           {sql_pround(
+               f"sum({sql_cents('l_extendedprice')} * "
+               f"(100 - {sql_cents('l_discount')})) / 1e4", 2)} AS revenue
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_quantity > 45
+    GROUP BY o_orderpriority
+    """,
+)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-×-large equi inner join (TPC-H Q4 shape).
+
+    Scale: both sides shuffle on orderkey; the l_quantity filter is
+    pushed below the join so the shuffled lineitem side is pre-reduced.
+    AQE converts to broadcast at runtime if the filtered side is small.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    rev_u = _c("l_extendedprice") * (100 - _c("l_discount"))
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            pround(F.sum(rev_u) / 1e4, 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_multiway",
+    oracle=f"""
+    SELECT n_name,
+           {sql_pround(
+               f"sum({sql_cents('l_extendedprice')} * "
+               f"(100 - {sql_cents('l_discount')})) / 1e4", 2)} AS revenue,
+           count(*) AS n_lines
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+    GROUP BY n_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join.
+
+    Scale: supplier/nation/region are broadcast (no shuffle); the two
+    big fact joins (orders⋈customer, lineitem⋈orders) shuffle on their
+    keys. Catalyst places the broadcasts below the shuffles.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    rev_u = _c("l_extendedprice") * (100 - _c("l_discount"))
+    return joined.groupBy("n_name").agg(
+        pround(F.sum(rev_u) / 1e4, 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "join_outer",
+    oracle=f"""
+    SELECT c_custkey,
+           count(o_orderkey) AS n_orders,
+           {sql_pround(f"coalesce(sum({sql_cents('o_totalprice')}), 0) / 100.0", 2)}
+             AS total_spent
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders.
+
+    Scale: outer joins can't broadcast the preserved side when it's the
+    big one; here both sides shuffle on custkey. count(col) correctly
+    skips the null-extended rows.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            pround(
+                F.coalesce(F.sum(cents(F.col("o_totalprice"))), F.lit(0)) / 100.0, 2
+            ).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle=f"""
+    WITH big_spenders AS (
+      SELECT o_custkey AS custkey,
+             {sql_pround(f"sum({sql_cents('o_totalprice')}) / 100.0", 2)} AS spent
+      FROM orders GROUP BY o_custkey HAVING sum(o_totalprice) > 300000
+    ),
+    high_balance AS (
+      SELECT c_custkey AS custkey, {sql_pround('c_acctbal', 2)} AS acctbal
+      FROM customer WHERE c_acctbal > 5000
+    )
+    SELECT coalesce(b.custkey, h.custkey) AS custkey,
+           b.spent                        AS spent,
+           h.acctbal                      AS acctbal
+    FROM big_spenders b
+    FULL OUTER JOIN high_balance h ON b.custkey = h.custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two derived sets with null-extension both ways.
+
+    The HAVING filter uses the raw double sum (selectivity only); the
+    *output* value is the exact cents sum, so the row set and values are
+    both deterministic (threshold 300000 is far from any sum boundary).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum("o_totalprice").alias("raw_spent"),
+            pround(F.sum(cents(F.col("o_totalprice"))) / 100.0, 2).alias("spent"),
+        )
+        .filter(F.col("raw_spent") > 300000)
+        .select("custkey", "spent")
+    )
+    high = c.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey"),
+        pround(F.col("c_acctbal"), 2).alias("acctbal"),
+    )
+    b, h = big.alias("b"), high.alias("h")
+    return b.join(h, F.col("b.custkey") == F.col("h.custkey"), "full_outer").select(
+        F.coalesce(F.col("b.custkey"), F.col("h.custkey")).alias("custkey"),
+        F.col("b.spent").alias("spent"),
+        F.col("h.acctbal").alias("acctbal"),
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS): no duplication of the left side.
+
+    Scale: semi joins only ship the join key of the right side;
+    Spark can use a broadcast of just the distinct keys.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_anti",
+    oracle=f"""
+    SELECT c_custkey, c_name, {sql_pround('c_acctbal', 2)} AS acctbal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS): customers with no orders at all."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", pround(F.col("c_acctbal"), 2).alias("acctbal")
+    )
+
+
+@query(
+    "join_theta",
+    oracle="""
+    SELECT p.p_partkey,
+           CAST(count(*) AS BIGINT) AS n_cheaper_same_size
+    FROM part p
+    JOIN part q
+      ON q.p_size = p.p_size AND q.p_retailprice < p.p_retailprice
+    GROUP BY p.p_partkey
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi key (p_size) + non-equi residual (price <).
+
+    Scale: the equi component keeps this a hash/sort-merge join with a
+    residual filter — NOT a nested-loop cross product. A pure non-equi
+    join would need range-bucketing (see join_asof for that pattern).
+    """
+    p = load_table(spark, sf_dir, "part").alias("p")
+    q = load_table(spark, sf_dir, "part").alias("q")
+    return (
+        p.join(
+            q,
+            (F.col("q.p_size") == F.col("p.p_size"))
+            & (F.col("q.p_retailprice") < F.col("p.p_retailprice")),
+        )
+        .groupBy(F.col("p.p_partkey").alias("p_partkey"))
+        .agg(F.count(F.lit(1)).alias("n_cheaper_same_size"))
+    )
+
+
+@query(
+    "join_asof",
+    oracle=f"""
+    SELECT p.event_id                       AS purchase_id,
+           p.user_id                        AS user_id,
+           {sql_pround('p.value', 2)}       AS purchase_value,
+           c.event_id                       AS last_click_id,
+           epoch_us(p.ts) - epoch_us(c.ts)  AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): each purchase matched to the
+    user's most recent click at-or-before it.
+
+    Spark-first formulation: union the two streams tagged, sort within
+    user by (ts, tag), carry the last click forward with
+    ``last(..., ignorenulls=True)`` over an unbounded-preceding frame —
+    one shuffle on user_id, no nested loop, scales linearly.
+    Tag order (click before purchase at equal ts) matches DuckDB ASOF's
+    ``<=`` semantics. Reference has no joins at all (SURVEY.md §2A).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    is_click = F.col("event_type") == "click"
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts"), is_click.cast("int").desc(), F.col("event_id")
+    ).rowsBetween(W.unboundedPreceding, 0)
+    enriched = ev.withColumn(
+        "last_click_id",
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True).over(w),
+    ).withColumn(
+        "last_click_ts",
+        F.last(F.when(is_click, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return (
+        enriched.filter(
+            (F.col("event_type") == "purchase") & F.col("last_click_id").isNotNull()
+        ).select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            pround(F.col("value"), 2).alias("purchase_value"),
+            F.col("last_click_id"),
+            (F.unix_micros("ts") - F.unix_micros("last_click_ts")).alias("gap_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# window functions
+# ---------------------------------------------------------------------------
+@query(
+    "window_rank",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey,
+             o_orderkey,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn,
+             CAST(rank() OVER (PARTITION BY o_custkey
+                     ORDER BY floor(o_totalprice / 50000) DESC) AS INTEGER) AS rnk,
+             CAST(dense_rank() OVER (PARTITION BY o_custkey
+                     ORDER BY floor(o_totalprice / 50000) DESC) AS INTEGER) AS drnk
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank per customer (top-3 orders).
+
+    row_number's ordering includes the unique o_orderkey tie-break so the
+    selected set is deterministic; rank/dense_rank rank a coarsened value
+    so ties genuinely occur. Scale: one shuffle on o_custkey; per-group
+    sort only (no global sort).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w_rn = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    bucket = F.floor(F.col("o_totalprice") / 50000)
+    w_rk = W.partitionBy("o_custkey").orderBy(bucket.desc())
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w_rn).alias("rn"),
+            F.rank().over(w_rk).cast("int").alias("rnk"),
+            F.dense_rank().over(w_rk).cast("int").alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_frame",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_id, user_id, ts, {sql_cents('value')} AS vc FROM events
+    )
+    SELECT event_id,
+           user_id,
+           {sql_pround('sum(vc) OVER w_run / 100.0', 4)} AS running_sum,
+           {sql_pround('(sum(vc) OVER w_mov) / (100.0 * (count(*) OVER w_mov))', 6)}
+             AS moving_avg_3
+    FROM c
+    WINDOW
+      w_run AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      w_mov AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic frames: running sum + 3-row moving average per user.
+
+    Frame sums run over exact cents so frame-evaluation strategy
+    (sliding vs recompute) can't perturb results.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    vc = cents(F.col("value"))
+    base = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = base.rowsBetween(W.unboundedPreceding, 0)
+    mov = base.rowsBetween(-2, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        pround(F.sum(vc).over(run) / 100.0, 4).alias("running_sum"),
+        pround(
+            F.sum(vc).over(mov) / (100.0 * F.count(F.lit(1)).over(mov)), 6
+        ).alias("moving_avg_3"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle=f"""
+    SELECT event_id,
+           user_id,
+           {sql_pround('value', 2)}                 AS value_r,
+           {sql_pround('lag(value)  OVER w', 2)}    AS prev_value,
+           {sql_pround('lead(value) OVER w', 2)}    AS next_value,
+           epoch_us(ts) - epoch_us(lag(ts) OVER w)  AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead navigation + inter-event gap in microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        pround(F.col("value"), 2).alias("value_r"),
+        pround(F.lag("value").over(w), 2).alias("prev_value"),
+        pround(F.lead("value").over(w), 2).alias("next_value"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sort + limit (top-k)
+# ---------------------------------------------------------------------------
+@query(
+    "sort_limit_topk",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, {sql_pround('l_extendedprice', 2)} AS price
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: Spark plans TakeOrderedAndProject — per-partition heaps of
+    size k then a k-merge on the driver; never a global sort. The
+    (orderkey, linenumber) tie-break makes the set deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            pround(F.col("l_extendedprice"), 2).alias("price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations
+# ---------------------------------------------------------------------------
+@query(
+    "set_ops",
+    oracle="""
+    WITH big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 250000),
+         recent AS (SELECT DISTINCT o_custkey FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+    SELECT 'union' AS op, count(*) AS n FROM (SELECT * FROM big UNION SELECT * FROM recent)
+    UNION ALL
+    SELECT 'intersect' AS op, count(*) AS n
+    FROM (SELECT * FROM big INTERSECT SELECT * FROM recent)
+    UNION ALL
+    SELECT 'except' AS op, count(*) AS n
+    FROM (SELECT * FROM big EXCEPT SELECT * FROM recent)
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over two derived key sets.
+
+    Scale: all three are shuffles on the full row as key; for 100 TB
+    prefer formulating as joins on explicit keys (semi/anti) which can
+    broadcast — done here only for the op-parity demo.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 250000).select("o_custkey").distinct()
+    recent = (
+        o.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+
+    def count1(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(label).alias("op"), "n")
+
+    return (
+        count1(big.union(recent).distinct(), "union")
+        .unionByName(count1(big.intersect(recent), "intersect"))
+        .unionByName(count1(big.exceptAll(recent).distinct(), "except"))
+    )

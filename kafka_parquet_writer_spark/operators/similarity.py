@@ -1,0 +1,207 @@
+"""Similarity search over embedding vectors (north-star surface).
+
+Two paths, same API shape:
+- **Exact brute-force top-k** — the correctness baseline. Quadratic;
+  fine for verification scale, and still the right choice when one side
+  is small (queries broadcast against the corpus).
+- **LSH-bucketed ANN** — random-hyperplane signatures turn candidate
+  generation into an equi-join on bucket id; cost ∝ Σ bucket² instead
+  of |Q|×|C|. The hyperplanes are seeded literals embedded in both the
+  Spark plan and the oracle SQL, so even the *approximate* operator is
+  value-hash-verified (both engines run the identical algorithm).
+
+All cosine math is double-precision with rounding to 6 digits before
+ranking, so rank order is engine-independent (ties broken by vec_id).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from kafka_parquet_writer_spark.catalog import load_table
+from kafka_parquet_writer_spark.functions import vector as V
+from kafka_parquet_writer_spark.functions.portable import pround
+from kafka_parquet_writer_spark.registry import query
+
+EMBED_DIM = 64
+TOPK = 5
+N_QUERIES = 10  # query side: vec_id < N_QUERIES
+
+ANN_PLANES_SEED = 202
+ANN_N_PLANES = 4  # 16 buckets — sized for the test corpus; more at scale
+ANN_TOPK = 3
+ANN_N_QUERIES = 20
+
+
+def _ann_planes() -> list[list[float]]:
+    rng = np.random.RandomState(ANN_PLANES_SEED)
+    planes = rng.randn(ANN_N_PLANES, EMBED_DIM)
+    return [[round(float(x), 6) for x in p] for p in planes]
+
+
+ANN_PLANES = _ann_planes()
+
+
+@query(
+    "similarity_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             (floor((list_dot_product(q.v, c.v) / (q.nrm * c.nrm)) * 1e6 + 0.5) / 1e6) AS cos
+      FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    )
+    SELECT q_id, n_id, cos,
+           CAST(row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos DESC, n_id) AS INTEGER) AS rnk
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) <= {TOPK}
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: each query vector's 5 nearest neighbors.
+
+    Scale shape: the query side is broadcast (it is small by
+    construction); the corpus is scanned once; per-query heaps via
+    window row_number ≤ k — no global sort, no corpus self-join.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("cv"))
+    cos = pround(V.cosine_expr(F.col("qv"), F.col("cv")), 6)
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", cos.alias("cos"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOPK)
+        .select("q_id", "n_id", "cos", "rnk")
+    )
+
+
+def _ann_oracle() -> str:
+    dots = [
+        f"list_dot_product(v, {V.sql_lit_vector(p)})" for p in ANN_PLANES
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN {d} >= 0 THEN {1 << j} ELSE 0 END)" for j, d in enumerate(dots)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id, v, nrm, {bucket} AS bucket FROM e),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             (floor((list_dot_product(q.v, c.v) / (q.nrm * c.nrm)) * 1e6 + 0.5) / 1e6) AS cos
+      FROM b q JOIN b c
+        ON q.bucket = c.bucket AND q.vec_id < {ANN_N_QUERIES}
+       AND c.vec_id <> q.vec_id
+    )
+    SELECT q_id, n_id, cos,
+           CAST(row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos DESC, n_id) AS INTEGER) AS rnk
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
+            <= {ANN_TOPK}
+    """
+
+
+@query("similarity_ann_lsh", oracle=_ann_oracle())
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: bucket = sign-bit signature of 4
+    seeded hyperplane projections; candidates are same-bucket only, then
+    exact cosine re-rank, top-3.
+
+    Scale: candidate generation is an equi-join on bucket — shuffle on a
+    16-value key here, 2^p values in production (p sized so buckets fit
+    executor memory). Recall is tunable via multi-probe or repeated
+    plane sets (OR-amplification); the oracle runs the identical
+    single-probe algorithm so results hash-match.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    bucket = None
+    for j, p in enumerate(ANN_PLANES):
+        bit = (V.dot_expr(v, V.lit_vector(p)) >= 0).cast("int") * F.lit(1 << j)
+        bucket = bit if bucket is None else bucket + bit
+    b = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    q = b.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qb"),
+    )
+    c = b.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("cv"),
+        F.col("bucket").alias("cb"),
+    )
+    cos = pround(V.cosine_expr(F.col("qv"), F.col("cv")), 6)
+    scored = q.join(
+        c, (F.col("qb") == F.col("cb")) & (F.col("n_id") != F.col("q_id"))
+    ).select("q_id", "n_id", cos.alias("cos"))
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= ANN_TOPK)
+        .select("q_id", "n_id", "cos", "rnk")
+    )
+
+
+def brute_force_topk_matrix(
+    emb: DataFrame, queries: list[tuple[int, list[float]]], k: int = 10
+) -> DataFrame:
+    """Vectorized brute-force top-k: the throughput path.
+
+    The query set (small) ships to every partition as a numpy matrix;
+    each Arrow batch of corpus vectors is scored with one BLAS matmul
+    (`mapInPandas`), emitting (q_id, n_id, cos) candidates; a final
+    window keeps global top-k per query. This is how you scan a 100 TB
+    corpus: one pass, no shuffle until the (tiny) candidate set.
+    """
+    import pandas as pd
+
+    q_ids = np.array([q[0] for q in queries], dtype=np.int64)
+    q_mat = np.array([q[1] for q in queries], dtype=np.float64)
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            c_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(c_mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (c_mat / norms) @ q_mat.T  # (batch, nq)
+            n = len(pdf)
+            top = min(k, n)
+            for qi in range(len(q_ids)):
+                col = sims[:, qi]
+                idx = np.argpartition(-col, top - 1)[:top]
+                yield pd.DataFrame(
+                    {
+                        "q_id": q_ids[qi],
+                        "n_id": pdf["vec_id"].values[idx],
+                        "cos": col[idx],
+                    }
+                )
+
+    cands = emb.mapInPandas(score, schema="q_id long, n_id long, cos double")
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return cands.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

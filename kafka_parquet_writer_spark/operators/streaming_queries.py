@@ -1,0 +1,162 @@
+"""Streaming operators, executed for real through Structured Streaming
+(SURVEY.md §2C) and — where the semantics are SQL-expressible — verified
+against the DuckDB oracle like any batch query.
+
+Each query here: reads the events table as a *stream* (file source,
+availableNow trigger), runs the streaming operator (windowed agg /
+stateful dedup / session windows), sinks to an in-memory table, and
+returns that table's DataFrame. So the driver's correctness gate checks
+actual streaming execution, not a batch re-formulation.
+"""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_parquet_writer_spark.catalog import normalize_nanos, table_path
+from kafka_parquet_writer_spark.functions.portable import cents, pround
+from kafka_parquet_writer_spark.registry import query
+
+_counter = itertools.count()
+_stage_cache: dict[str, str] = {}
+
+
+def _staged_dir(path: str) -> str:
+    """Streaming file sources require a directory; the fixture is a
+    single parquet file — stage a symlink inside a temp dir."""
+    import os
+
+    if path not in _stage_cache:
+        d = tempfile.mkdtemp(prefix="kpws_src_")
+        os.symlink(path, os.path.join(d, os.path.basename(path)))
+        _stage_cache[path] = d
+    return _stage_cache[path]
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    return normalize_nanos(
+        spark.readStream.schema(schema).parquet(_staged_dir(path))
+    )
+
+
+def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
+    """Execute a streaming DataFrame to completion into a memory sink."""
+    name = f"kpws_stream_{next(_counter)}"
+    ckpt = tempfile.mkdtemp(prefix="kpws_ckpt_")
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@query(
+    "stream_window_tumbling",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S')
+             AS win_start,
+           event_type,
+           count(*) AS n,
+           (floor((sum(CAST(floor(value * 1e2 + 0.5) AS BIGINT)) / 100.0)
+                  * 1e4 + 0.5) / 1e4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling event-time window aggregation, executed as a
+    streaming query (watermark + window + agg) into a memory sink.
+
+    The reference has NO event-time windows (only wall-clock rotation,
+    `KafkaProtoParquetWriter.java:299-302`); this is the Spark-native
+    capability the ETL layer composes with.
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("value"))).alias("sum_cents"),
+        )
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n",
+        pround(F.col("sum_cents") / 100.0, 4).alias("sum_value"),
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on (user_id, event_type): first
+    occurrence wins; output is the distinct key set (deterministic
+    regardless of which physical row won)."""
+    ev = _events_stream(spark, sf_dir)
+    dedup = ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return _run_to_memory(dedup, "append")
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+           count(*) AS n
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user via streaming
+    session_window; oracle reconstructs identical sessions with the
+    lag+cumsum formulation (new session iff gap ≥ 30 min — matching
+    session_window's [start, last+gap) merge rule)."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        "user_id",
+        F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "sess_start"
+        ),
+        "n",
+    )
