@@ -1,0 +1,84 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Execution is forced with the noop sink (full plan runs, nothing
+materializes on the driver) — the honest way to time a distributed
+plan. Each query timed once after a session warm-up query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline set: one per operator family, weighted toward the ones that
+#: stress shuffle/join/window machinery at scale
+HEADLINE = [
+    "scan_project",
+    "filter_pred",
+    "agg_hash",
+    "agg_distinct",
+    "grouping_sets",
+    "join_inner_hash",
+    "join_multiway",
+    "join_asof",
+    "window_rank",
+    "window_frame",
+    "sort_limit_topk",
+    "scalar_json",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk",
+    "similarity_ann_lsh",
+    "text_tokens",
+    "text_quality",
+    "udaf_grouped",
+    "etl_rotation_binning",
+]
+
+
+def main() -> None:
+    from kafka_parquet_writer_spark import get_spark
+    from kafka_parquet_writer_spark.registry import QUERIES, load_all_operators
+
+    load_all_operators()
+    spark = get_spark("bench")
+
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # warm up JVM/codegen/file-listing paths
+    run(QUERIES["agg_hash"](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        run(QUERIES[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+        print(f"{name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -106,7 +106,10 @@ def minhash_signatures(
     """doc → k MinHash values. ``use_xxhash`` is the dictionary-free
     production path (not oracle-portable)."""
     if use_xxhash:
-        st = sh.select("doc", F.abs(F.xxhash64("shingle")).alias("tid"))
+        # reduce into [0, P) so a·tid stays far below 2^63 (ANSI overflow)
+        st = sh.select(
+            "doc", F.pmod(F.xxhash64("shingle"), F.lit(TH.MERSENNE_P)).alias("tid")
+        )
     else:
         st = sh.join(_dict_ids(sh), "shingle").select("doc", "tid")
     aggs = [

@@ -1,0 +1,190 @@
+"""Binary-value decoders: the Spark equivalents of the reference's one
+per-record transform, ``parser.parseFrom(record.value())``
+(`KafkaProtoParquetWriter.java:269-277`).
+
+Three tiers, best available wins:
+
+1. ``proto_decoder`` — `from_protobuf` (pyspark.sql.protobuf): JVM-side,
+   codegen-friendly. Needs the spark-protobuf jar + a compiled
+   descriptor set; this container has neither, so it raises a clear
+   error at call time and exists for real deployments.
+2. ``wire_format_decoder`` — a minimal pure-Python protobuf wire-format
+   reader (varints + length-delimited fields — the public wire spec)
+   run through Arrow-batched ``mapInPandas``. Dependency-free and fully
+   tested here; handles the reference test schema shape
+   (`src/test/resources/test-message.proto:5-10`: string/int64/int32s).
+3. ``json_decoder`` — `from_json` for JSON-encoded values (JVM-side).
+
+Malformed-record policy: the reference CRASHES the worker on a parse
+error with an acknowledged TODO for a dead-letter queue (:272-277).
+Here malformed records decode to null fields and can be routed with a
+``decoded IS NULL`` filter — the DLQ the reference never built.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+# --- tier 1: spark-protobuf (gated) ---------------------------------------
+
+
+def proto_decoder(
+    descriptor_file: str, message_name: str, value_col: str = "value"
+):
+    """from_protobuf-based decoder factory. Raises at call time if the
+    spark-protobuf jar isn't on the classpath (it is not in this image).
+    """
+
+    def decode(df: DataFrame) -> DataFrame:
+        from pyspark.sql.protobuf.functions import from_protobuf
+
+        decoded = from_protobuf(
+            F.col(value_col), message_name, descFilePath=descriptor_file
+        )
+        return df.withColumn("decoded", decoded).select("decoded.*")
+
+    return decode
+
+
+# --- tier 2: pure-Python wire-format reader --------------------------------
+
+#: wire types of the protobuf encoding (public spec)
+_VARINT, _I64, _LEN, _I32 = 0, 1, 2, 5
+
+
+def parse_wire_format(data: bytes) -> dict[int, list]:
+    """Parse top-level protobuf fields → {field_number: [raw values]}.
+
+    varint fields decode to int; length-delimited to bytes; fixed32/64
+    to int (little-endian). Raises ValueError on truncation — callers
+    map that to null rows (DLQ policy).
+    """
+    out: dict[int, list] = {}
+    i, n = 0, len(data)
+
+    def varint() -> int:
+        nonlocal i
+        shift = result = 0
+        while True:
+            if i >= n:
+                raise ValueError("truncated varint")
+            b = data[i]
+            i += 1
+            result |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return result
+            shift += 7
+            if shift > 63:
+                raise ValueError("varint too long")
+
+    while i < n:
+        tag = varint()
+        fnum, wtype = tag >> 3, tag & 7
+        if wtype == _VARINT:
+            val = varint()
+        elif wtype == _LEN:
+            ln = varint()
+            if i + ln > n:
+                raise ValueError("truncated bytes field")
+            val = data[i : i + ln]
+            i += ln
+        elif wtype == _I64:
+            if i + 8 > n:
+                raise ValueError("truncated fixed64")
+            val = int.from_bytes(data[i : i + 8], "little")
+            i += 8
+        elif wtype == _I32:
+            if i + 4 > n:
+                raise ValueError("truncated fixed32")
+            val = int.from_bytes(data[i : i + 4], "little")
+            i += 4
+        else:
+            raise ValueError(f"unsupported wire type {wtype}")
+        out.setdefault(fnum, []).append(val)
+    return out
+
+
+def encode_wire_format(fields: dict[int, object]) -> bytes:
+    """Inverse of parse_wire_format for ints/strings/bytes — used by
+    tests to produce reference-shaped messages without protoc."""
+    out = bytearray()
+
+    def put_varint(v: int) -> None:
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return
+
+    for fnum, val in fields.items():
+        if isinstance(val, int):
+            put_varint((fnum << 3) | _VARINT)
+            put_varint(val)
+        else:
+            raw = val.encode() if isinstance(val, str) else bytes(val)
+            put_varint((fnum << 3) | _LEN)
+            put_varint(len(raw))
+            out.extend(raw)
+    return bytes(out)
+
+
+def wire_format_decoder(
+    field_map: dict[str, tuple[int, str]], value_col: str = "value"
+):
+    """mapInPandas decoder factory for flat proto messages.
+
+    ``field_map``: output column → (proto field number, type) with type
+    in {"string", "long", "int"} — covers the reference test schema.
+    Malformed values yield all-null rows (vs reference crash, :272-277).
+    """
+    import pandas as pd
+
+    names = list(field_map)
+    schema = ", ".join(
+        f"{name} {ftype}" for name, (_, ftype) in field_map.items()
+    )
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            cols: dict[str, list] = {name: [] for name in names}
+            for raw in pdf[value_col]:
+                try:
+                    parsed = parse_wire_format(bytes(raw))
+                except ValueError:
+                    for name in names:
+                        cols[name].append(None)
+                    continue
+                for name, (fnum, ftype) in field_map.items():
+                    vals = parsed.get(fnum)
+                    if not vals:
+                        cols[name].append(None)
+                    elif ftype == "string":
+                        cols[name].append(vals[-1].decode("utf-8", "replace"))
+                    else:
+                        cols[name].append(int(vals[-1]))
+            yield pd.DataFrame(cols)
+
+    def apply(df: DataFrame) -> DataFrame:
+        return df.mapInPandas(decode, schema=schema)
+
+    return apply
+
+
+# --- tier 3: JSON ----------------------------------------------------------
+
+
+def json_decoder(schema: StructType | str, value_col: str = "value"):
+    """JSON-value decoder (JVM-side from_json; malformed → null struct)."""
+
+    def decode(df: DataFrame) -> DataFrame:
+        val: Column = F.col(value_col).cast("string")
+        return df.withColumn("decoded", F.from_json(val, schema)).select("decoded.*")
+
+    return decode

@@ -1,0 +1,253 @@
+"""Kafka(or file) → Parquet streaming ETL: the reference's entire main
+surface (SURVEY.md §2A #1-#14), re-expressed on Structured Streaming.
+
+Mapping (reference cites are /root/reference/src/main/java/ir/sahab/
+kafka/reader/KafkaProtoParquetWriter.java unless noted):
+
+| Reference behavior | Cite | Here |
+|---|---|---|
+| Kafka source, byte values, manual offsets | :156-166 | `readStream.format("kafka")` (offsets via checkpoint) |
+| proto parse per record | :269-277 | pluggable `decoder` (from_protobuf / wire-format mapInPandas) |
+| rotate by size (1 GiB default) | :282-310 | `maxRecordsPerFile` (records ≈ bytes/avg-row; documented approximation) |
+| rotate by open time (900 s) | :257-302 | `trigger(processingTime=...)` — a micro-batch closes its files |
+| date-dir layout `yyyy/dd` of finalize time | :362-380 | `partitionBy(year,month,...)` Hive-style from event or processing time |
+| tmp-file + atomic rename | :236-241,313-346 | file-sink `_spark_metadata` commit protocol (invisible until committed) |
+| at-least-once ack-after-flush | :43-44,348-353 | checkpoint + sink log ⇒ **exactly-once** (strictly stronger) |
+| threadCount shard writers | :93-94,172-182 | `repartition(num_shards)` → one file per task per batch |
+| backpressure (bounded queue 100k) | :471,616-625 | `maxOffsetsPerTrigger` |
+| infinite I/O retry | :404-446 | task retries + batch re-execution (bounded, surfaced) |
+| Dropwizard metrics | :110-154 | `IngestMetrics` (StreamingQueryListener) |
+| builder validation | :453-751 | `IngestConfig.validate()` |
+
+Deliberate divergences (what-not-how): Hive-style `year=/month=/day=`
+directories instead of raw `2024/01` (partition-prunable by any Spark
+reader); exactly-once instead of at-least-once; no 1 ms poll loop, no
+interrupt/closeLock dance — Spark's scheduler owns those concerns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+#: reference: MIN_MAX_FILE_SIZE = 100 KiB (KafkaProtoParquetWriter.java:456)
+MIN_MAX_RECORDS_PER_FILE = 100
+
+#: directory pattern token → (partition column name, date_format pattern)
+_PATTERN_TOKENS = {
+    "yyyy": ("year", "yyyy"),
+    "MM": ("month", "MM"),
+    "dd": ("day", "dd"),
+    "HH": ("hour", "HH"),
+}
+
+
+@dataclass
+class IngestConfig:
+    """Mirrors the reference Builder surface (:453-751) Spark-side."""
+
+    target_dir: str
+    checkpoint_dir: str
+    instance_name: str = "writer"
+
+    # --- source (reference #1) ---
+    source_format: str = "file"  # "kafka" | "file"
+    source_path: str | None = None  # file source
+    source_schema: StructType | None = None
+    kafka_bootstrap_servers: str | None = None
+    topic_name: str | None = None
+    starting_offsets: str = "earliest"
+    #: reference backpressure analogue (maxQueuedRecordsInConsumer, :471)
+    max_offsets_per_trigger: int | None = 100_000
+
+    # --- decode (reference #2) ---
+    decoder: Callable[[DataFrame], DataFrame] | None = None
+
+    # --- rotation (reference #4/#5) ---
+    #: ≈ maxFileOpenDurationSeconds (:464; default 900)
+    trigger_seconds: int | None = 900
+    #: ≈ maxFileSize (:465) expressed in records (Spark rotates by count)
+    max_records_per_file: int | None = None
+
+    # --- layout (reference #6) ---
+    #: e.g. "yyyy/MM/dd"; None disables date partitioning (:488,699-712)
+    directory_datetime_pattern: str | None = "yyyy/MM/dd"
+    #: event-time column; None = processing time (reference uses finalize
+    #: wall clock, :367 — processing time is the faithful default)
+    partition_time_column: str | None = None
+
+    # --- parquet (reference #3; ParquetFile.java:36-54) ---
+    compression: str = "snappy"
+    enable_dictionary: bool = True
+    parquet_block_size: int | None = None
+
+    # --- parallelism (reference #9: threadCount, :460 default 1) ---
+    num_shards: int | None = None
+
+    extra_sink_options: dict[str, str] = field(default_factory=dict)
+
+    def validate(self) -> None:
+        """Builder-style validation (reference :731-750)."""
+        if not self.target_dir:
+            raise ValueError("target_dir is required")
+        if not self.checkpoint_dir:
+            raise ValueError("checkpoint_dir is required")
+        if self.source_format == "kafka":
+            if not self.kafka_bootstrap_servers or not self.topic_name:
+                raise ValueError("kafka source requires bootstrap servers + topic")
+        elif self.source_format == "file":
+            if not self.source_path or self.source_schema is None:
+                raise ValueError("file source requires source_path + source_schema")
+        else:
+            raise ValueError(f"unknown source_format {self.source_format!r}")
+        if (
+            self.max_records_per_file is not None
+            and self.max_records_per_file < MIN_MAX_RECORDS_PER_FILE
+        ):
+            raise ValueError(
+                f"max_records_per_file must be ≥ {MIN_MAX_RECORDS_PER_FILE}"
+            )
+        if self.num_shards is not None and self.num_shards <= 0:
+            raise ValueError("num_shards must be positive")
+        if self.trigger_seconds is not None and self.trigger_seconds <= 0:
+            raise ValueError("trigger_seconds must be positive")
+
+
+def _read_source(spark: SparkSession, cfg: IngestConfig) -> DataFrame:
+    if cfg.source_format == "kafka":
+        reader = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", cfg.kafka_bootstrap_servers)
+            .option("subscribe", cfg.topic_name)
+            .option("startingOffsets", cfg.starting_offsets)
+            # reference forces byte-array value deserialization (:160);
+            # the Kafka source's value column is already binary
+            .option("failOnDataLoss", "false")
+        )
+        if cfg.max_offsets_per_trigger:
+            reader = reader.option("maxOffsetsPerTrigger", str(cfg.max_offsets_per_trigger))
+        return reader.load()
+    return spark.readStream.schema(cfg.source_schema).parquet(cfg.source_path)
+
+
+def partition_columns(pattern: str, time_col) -> list[tuple[str, object]]:
+    """Decompose a 'yyyy/MM/dd'-style directory pattern into Hive
+    partition columns (reference writes the raw formatted string as
+    nested dirs, :362-380; Hive style is the prunable equivalent)."""
+    cols = []
+    for seg in pattern.split("/"):
+        if seg not in _PATTERN_TOKENS:
+            raise ValueError(
+                f"unsupported pattern segment {seg!r}; use {list(_PATTERN_TOKENS)}"
+            )
+        name, fmt = _PATTERN_TOKENS[seg]
+        cols.append((name, F.date_format(time_col, fmt)))
+    return cols
+
+
+def build_pipeline(spark: SparkSession, cfg: IngestConfig) -> DataFrame:
+    """source → decode → shard → partition columns (inert until start)."""
+    cfg.validate()
+    df = _read_source(spark, cfg)
+    if cfg.decoder is not None:
+        df = cfg.decoder(df)
+    if cfg.num_shards:
+        df = df.repartition(cfg.num_shards)
+    if cfg.directory_datetime_pattern:
+        time_col = (
+            F.col(cfg.partition_time_column)
+            if cfg.partition_time_column
+            else F.current_timestamp()
+        )
+        for name, expr in partition_columns(cfg.directory_datetime_pattern, time_col):
+            df = df.withColumn(name, expr)
+    return df
+
+
+def _sink_options(cfg: IngestConfig) -> dict[str, str]:
+    opts = {
+        "path": cfg.target_dir,
+        "checkpointLocation": cfg.checkpoint_dir,
+        "compression": cfg.compression,
+        # ParquetFile.java:48-50 — dictionary encoding toggle
+        "parquet.enable.dictionary": str(cfg.enable_dictionary).lower(),
+    }
+    if cfg.max_records_per_file:
+        opts["maxRecordsPerFile"] = str(cfg.max_records_per_file)
+    if cfg.parquet_block_size:
+        opts["parquet.block.size"] = str(cfg.parquet_block_size)
+    opts.update(cfg.extra_sink_options)
+    return opts
+
+
+def start_ingest(spark: SparkSession, cfg: IngestConfig) -> StreamingQuery:
+    """Continuous mode: processing-time trigger ≈ max-file-open-duration."""
+    df = build_pipeline(spark, cfg)
+    writer = df.writeStream.format("parquet").outputMode("append")
+    for k, v in _sink_options(cfg).items():
+        writer = writer.option(k, v)
+    if cfg.directory_datetime_pattern:
+        writer = writer.partitionBy(
+            *[name for name, _ in partition_columns(cfg.directory_datetime_pattern, F.lit(0))]
+        )
+    if cfg.trigger_seconds:
+        writer = writer.trigger(processingTime=f"{cfg.trigger_seconds} seconds")
+    return writer.queryName(f"ingest_{cfg.instance_name}").start()
+
+
+def ingest_once(spark: SparkSession, cfg: IngestConfig) -> None:
+    """Drain everything available and stop (availableNow) — the test/
+    backfill mode; same pipeline, bounded execution."""
+    df = build_pipeline(spark, cfg)
+    writer = df.writeStream.format("parquet").outputMode("append")
+    for k, v in _sink_options(cfg).items():
+        writer = writer.option(k, v)
+    if cfg.directory_datetime_pattern:
+        writer = writer.partitionBy(
+            *[name for name, _ in partition_columns(cfg.directory_datetime_pattern, F.lit(0))]
+        )
+    q = writer.trigger(availableNow=True).queryName(
+        f"ingest_once_{cfg.instance_name}"
+    ).start()
+    q.awaitTermination()
+
+
+class IngestMetrics:
+    """Reference #12 (Dropwizard meters :110-154) → StreamingQueryListener.
+
+    Tracks written-record counts per query; ``written_records`` mirrors
+    the reference's ``getWrittenRecords()`` getter (:199-211).
+    """
+
+    def __init__(self, spark: SparkSession) -> None:
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        metrics = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):  # noqa: N802
+                pass
+
+            def onQueryProgress(self, event):  # noqa: N802
+                p = event.progress
+                metrics.written_records += p.sink.numOutputRows or 0
+                metrics.batches += 1
+
+            def onQueryIdle(self, event):  # noqa: N802
+                pass
+
+            def onQueryTerminated(self, event):  # noqa: N802
+                pass
+
+        self.written_records = 0
+        self.batches = 0
+        self._listener = _L()
+        spark.streams.addListener(self._listener)
+
+    def remove(self, spark: SparkSession) -> None:
+        spark.streams.removeListener(self._listener)

@@ -1,0 +1,94 @@
+"""Property tests for the dedup/text operators (hypothesis where cheap,
+direct properties elsewhere)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from kafka_parquet_writer_spark.operators.dedup import (
+    MINHASH_COEFFS,
+    _shingle_pairs,
+    minhash_signatures,
+)
+from kafka_parquet_writer_spark.sources.decoders import (
+    encode_wire_format,
+    parse_wire_format,
+)
+
+
+@given(
+    st.dictionaries(
+        st.integers(min_value=1, max_value=200),
+        st.one_of(
+            st.integers(min_value=0, max_value=2**62),
+            st.text(max_size=50),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_wire_format_encode_parse_roundtrip(fields):
+    parsed = parse_wire_format(encode_wire_format(fields))
+    for fnum, val in fields.items():
+        got = parsed[fnum][0]
+        if isinstance(val, int):
+            assert got == val
+        else:
+            assert got.decode() == val
+
+
+def test_dedup_exact_idempotent(spark, sf_dir):
+    """Dedup applied to its own output is the identity."""
+    once = E.queries()["dedup_exact"](spark, sf_dir)
+    keys = once.select("user_id", "event_type")
+    assert keys.count() == keys.distinct().count()
+
+
+def test_minhash_xxhash_production_path(spark, sf_dir):
+    """The dictionary-free (xxhash64) signature path produces one
+    signature row per doc and identical signatures for docs with
+    identical shingle sets."""
+    sh = _shingle_pairs(spark, sf_dir)
+    sigs = minhash_signatures(sh, MINHASH_COEFFS, use_xxhash=True)
+    n_docs = sh.select("doc").distinct().count()
+    assert sigs.count() == n_docs
+    # identical shingle sets ⇒ identical signatures: group docs by
+    # sorted shingle fingerprint and check signature uniformity
+    sets = sh.groupBy("doc").agg(
+        F.md5(F.concat_ws("|", F.sort_array(F.collect_list("shingle")))).alias("sig_set")
+    )
+    joined = sigs.join(sets, "doc")
+    h_cols = [c for c in sigs.columns if c.startswith("h")]
+    per_set = joined.groupBy("sig_set").agg(
+        *[F.countDistinct(c).alias(c) for c in h_cols]
+    )
+    bad = per_set.filter(
+        " OR ".join(f"{c} > 1" for c in h_cols)
+    ).count()
+    assert bad == 0
+
+
+def test_jaccard_pairs_symmetric_threshold(spark, sf_dir):
+    """Every reported near-dup pair has d1 < d2 and jac within [0.6, 1]."""
+    rows = E.queries()["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.d1 < r.d2
+        assert 0.6 <= r.jac <= 1.0
+
+
+def test_rotation_binning_conservation(spark, sf_dir):
+    """Every record lands in exactly one (shard, size_bin) and bins are
+    contiguous from 0 per shard (totality, SURVEY.md §5.2)."""
+    out = E.queries()["etl_rotation_binning"](spark, sf_dir)
+    ev_n = out.count()
+    assert out.select("event_id").distinct().count() == ev_n
+    per_shard = out.groupBy("shard").agg(
+        F.min("size_bin").alias("lo"),
+        F.max("size_bin").alias("hi"),
+        F.countDistinct("size_bin").alias("nbins"),
+    )
+    for r in per_shard.collect():
+        assert r.lo == 0
+        assert r.nbins == r.hi + 1  # contiguous

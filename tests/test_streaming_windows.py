@@ -1,0 +1,101 @@
+"""Streaming window/state operators (SURVEY.md §2C) verified against
+batch equivalents computed by Spark itself."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from kafka_parquet_writer_spark.catalog import load_table
+from kafka_parquet_writer_spark.operators.streaming_queries import _events_stream
+from kafka_parquet_writer_spark.streaming.windows import (
+    dedup_within_watermark,
+    sessionize,
+    sliding_agg,
+    tumbling_agg,
+)
+
+_n = iter(range(10_000))
+
+
+def _run(stream_df, mode):
+    name = f"test_stream_{next(_n)}"
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="wck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def test_tumbling_matches_batch(spark, sf_dir):
+    stream = _events_stream(spark, sf_dir)
+    out = _run(
+        tumbling_agg(stream, "ts", "5 minutes", ["event_type"], [F.count("*").alias("n")]),
+        "complete",
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    assert out.count() == batch.count()
+    assert out.agg(F.sum("n")).first()[0] == batch.agg(F.sum("n")).first()[0]
+
+
+def test_sliding_window_multiplicity(spark, sf_dir):
+    """Each event falls in duration/slide windows: total count across
+    sliding windows = rows × (duration/slide)."""
+    stream = _events_stream(spark, sf_dir)
+    out = _run(
+        sliding_agg(stream, "ts", "10 minutes", "5 minutes", [], [F.count("*").alias("n")]),
+        "complete",
+    )
+    rows = load_table(spark, sf_dir, "events").count()
+    assert out.agg(F.sum("n")).first()[0] == rows * 2
+
+
+def test_sessionize_matches_lag_formulation(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    stream = _events_stream(spark, sf_dir)
+    out = _run(
+        sessionize(stream, "ts", "30 minutes", ["user_id"], [F.count("*").alias("n")]),
+        "complete",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    sessions = (
+        ev.withColumn(
+            "new_sess",
+            F.when(gap_us.isNull() | (gap_us >= 1800 * 1_000_000), 1).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(F.count("*").alias("n"))
+    )
+    assert out.count() == sessions.count()
+    assert sorted(r.n for r in out.collect()) == sorted(
+        r.n for r in sessions.collect()
+    )
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir):
+    stream = _events_stream(spark, sf_dir)
+    out = _run(
+        dedup_within_watermark(stream, ["user_id", "event_type"], "ts", "1 hour"),
+        "append",
+    )
+    distinct = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    # within one availableNow batch all duplicates are in horizon
+    assert out.select("user_id", "event_type").distinct().count() == distinct
+    assert out.count() == distinct
