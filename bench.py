@@ -55,8 +55,10 @@ def main() -> None:
     def run(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    # warm up JVM/codegen/file-listing paths
+    # warm up JVM/codegen/file-listing paths AND the Python worker pool
+    # (first pandas-UDF query otherwise pays worker fork cost)
     run(QUERIES["agg_hash"](spark, SF_DIR))
+    run(QUERIES["udf_scalar"](spark, SF_DIR))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -3,6 +3,7 @@ query (SURVEY.md §2B) into kafka_parquet_writer_spark.registry."""
 
 from kafka_parquet_writer_spark.operators import (  # noqa: F401
     relational,
+    analytics,
     scalar,
     dedup,
     similarity,

@@ -1,0 +1,209 @@
+"""Extended analytics surface: statistical aggregates, pivot,
+distribution window functions, scalar subqueries.
+
+Numeric policy (see functions/portable.py): every statistic is built
+from exact integer moment sums (Σx, Σx², Σxy over fixed-point ints),
+with the float formula applied in one deterministic op order — so
+stddev/corr hash-match across engines, which naive stddev_samp(double)
+never would (different accumulation algorithms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from kafka_parquet_writer_spark.catalog import load_table
+from kafka_parquet_writer_spark.functions.portable import pround, sql_cents, sql_pround
+from kafka_parquet_writer_spark.registry import query
+
+ORDER_STATUSES = ["F", "O", "P"]
+
+
+@query(
+    "agg_stats",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*)                       AS n,
+             sum(q)                         AS sx,
+             sum(q * q)                     AS sxx,
+             sum(ep)                        AS sy,
+             sum(ep * ep)                   AS syy,
+             sum(q * ep)                    AS sxy
+      FROM (
+        SELECT l_returnflag,
+               CAST(floor(l_quantity + 0.5) AS BIGINT)      AS q,
+               CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS ep
+        FROM lineitem
+      )
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           n,
+           {sql_pround(
+               'sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)'
+               ' - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))'
+               ' / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))', 6)} AS sd_qty,
+           {sql_pround(
+               '(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)'
+               ' - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))'
+               ' / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)'
+               '   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))'
+               ' * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)'
+               '   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))', 6)}  AS corr_qty_price
+    FROM m
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev + Pearson correlation from exact integer moments.
+
+    Semantically stddev_samp(l_quantity) / corr(qty, price) with values
+    rounded to whole units first (so the moment sums stay exact int64:
+    Σep² ≤ 1e10·rows — safe beyond 1e8 rows/group; DECIMAL(38) past
+    that). One shuffle, single-pass, mergeable — the same shape Spark's
+    own stddev/corr use, minus the float accumulation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.floor(F.col("l_quantity") + 0.5).cast("long")
+    ep = F.floor(F.col("l_extendedprice") + 0.5).cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sx"),
+        F.sum(q * q).alias("sxx"),
+        F.sum(ep).alias("sy"),
+        F.sum(ep * ep).alias("syy"),
+        F.sum(q * ep).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    sy, syy = F.col("sy").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    return m.select(
+        "l_returnflag",
+        "n",
+        pround(F.sqrt(var_x / (n * (n - 1).cast("double"))), 6).alias("sd_qty"),
+        pround((n * sxy - sx * sy) / F.sqrt(var_x * var_y), 6).alias(
+            "corr_qty_price"
+        ),
+    )
+
+
+def _pivot_oracle() -> str:
+    cases = ",\n           ".join(
+        sql_pround(
+            f"coalesce(sum(CASE WHEN o_orderstatus = '{s}' THEN tpc END), 0)"
+            " / 100.0",
+            2,
+        )
+        + f" AS rev_{s.lower()}"
+        for s in ORDER_STATUSES
+    )
+    return f"""
+    WITH c AS (
+      SELECT o_orderpriority, o_orderstatus, {sql_cents('o_totalprice')} AS tpc
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           {cases}
+    FROM c
+    GROUP BY o_orderpriority
+    """
+
+
+@query("pivot_wide", oracle=_pivot_oracle())
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: revenue by priority (rows) × order status (columns).
+
+    Explicit pivot values keep the schema static (required for both the
+    driver hash and any sane production job — dynamic pivot = an extra
+    distinct-scan AND a schema that drifts with the data).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    from kafka_parquet_writer_spark.functions.portable import cents
+
+    piv = (
+        o.select(
+            "o_orderpriority", "o_orderstatus", cents(F.col("o_totalprice")).alias("tpc")
+        )
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ORDER_STATUSES)
+        .agg(F.sum("tpc"))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[
+            pround(F.coalesce(F.col(s), F.lit(0)) / 100.0, 2).alias(f"rev_{s.lower()}")
+            for s in ORDER_STATUSES
+        ],
+    )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           CAST(ntile(4) OVER w AS INTEGER)                          AS quartile,
+           (floor((percent_rank() OVER w) * 1e6 + 0.5) / 1e6)        AS pct_rank,
+           (floor((cume_dist() OVER w) * 1e6 + 0.5) / 1e6)           AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist.
+
+    The ordering includes the unique orderkey tie-break, making every
+    rank integer-deterministic; percent_rank and cume_dist are then a
+    single int/int division — engine-independent.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        pround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        pround(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "subquery_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE CAST(floor(l_quantity * 1e2 + 0.5) AS BIGINT)
+          > (SELECT CAST(sum(CAST(floor(l_quantity * 1e2 + 0.5) AS BIGINT))
+                         AS DOUBLE) / count(*)
+             FROM lineitem) * 1.5
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter: rows 1.5× above the global mean quantity.
+
+    Spark formulation: the scalar aggregate is a 1-row frame broadcast
+    into the filter (crossJoin) — exactly how Catalyst executes an
+    uncorrelated scalar subquery (ScalarSubquery → broadcast exchange).
+    The threshold derives from an exact cents sum, so both engines
+    compare against the identical double.
+    """
+    from kafka_parquet_writer_spark.functions.portable import cents
+
+    li = load_table(spark, sf_dir, "lineitem")
+    qc = cents(F.col("l_quantity"))
+    thresh = li.agg(
+        (F.sum(qc).cast("double") / F.count(F.lit(1))).alias("avg_qc")
+    )
+    return (
+        li.crossJoin(F.broadcast(thresh))
+        .filter(qc > F.col("avg_qc") * 1.5)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )

@@ -147,26 +147,30 @@ def _lsh_candidates(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
 
 
 def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard over candidate pairs only (LSH prunes the quadratic
-    blow-up; this join is ∝ |candidates| × avg shingles)."""
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
-    t1, t2 = sh.alias("t1"), sh.alias("t2")
-    inter = (
-        cand.join(t1, F.col("d1") == F.col("t1.doc"))
-        .join(
-            t2,
-            (F.col("d2") == F.col("t2.doc"))
-            & (F.col("t1.shingle") == F.col("t2.shingle")),
-        )
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("i"))
+    """Exact Jaccard over candidate pairs only.
+
+    Shape chosen for scale: one groupBy collects each doc's shingle set
+    into an array (single shuffle of sh), then the small candidate list
+    joins against it twice — AQE broadcasts the candidate side — and the
+    intersection is a per-row JVM array op. The alternative (joining sh
+    against itself restricted to candidates) shuffles the full shingle
+    table twice. The oracle computes the identical set arithmetic
+    relationally; values match because |A∩B| and set sizes are integers.
+    """
+    docsets = sh.groupBy("doc").agg(
+        F.collect_set("shingle").alias("ss"), F.count(F.lit(1)).alias("n")
     )
-    s1 = sizes.withColumnRenamed("doc", "d1").withColumnRenamed("n", "n1")
-    s2 = sizes.withColumnRenamed("doc", "d2").withColumnRenamed("n", "n2")
-    jac = F.col("i").cast("double") / (F.col("n1") + F.col("n2") - F.col("i"))
+    d1 = docsets.select(
+        F.col("doc").alias("d1"), F.col("ss").alias("ss1"), F.col("n").alias("n1")
+    )
+    d2 = docsets.select(
+        F.col("doc").alias("d2"), F.col("ss").alias("ss2"), F.col("n").alias("n2")
+    )
+    inter = F.size(F.array_intersect("ss1", "ss2"))
+    jac = inter.cast("double") / (F.col("n1") + F.col("n2") - inter)
     return (
-        inter.join(s1, "d1")
-        .join(s2, "d2")
+        cand.join(d1, "d1")
+        .join(d2, "d2")
         .filter(jac >= threshold)
         .select("d1", "d2", pround(jac, 6).alias("jac"))
     )
@@ -228,7 +232,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ∝ Σ bucket². No cross product ever materializes. The dictionary
     step is vocabulary-sized; swap use_xxhash=True to drop it entirely.
     """
-    sh = _shingle_pairs(spark, sf_dir)
+    # sh feeds the signature build AND both sides of the verify join —
+    # cache it so the tokenize/explode runs once (at scale: a few GB of
+    # (doc, shingle) pairs per executor slice, well worth the memory)
+    sh = _shingle_pairs(spark, sf_dir).cache()
     sigs = minhash_signatures(sh, MINHASH_COEFFS)
     cand = _lsh_candidates(sigs, MINHASH_BANDS, MINHASH_ROWS)
     return _verify_jaccard(cand, sh, JACCARD_THRESHOLD)
@@ -312,7 +319,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     are equi-joins on (band, byte) — shuffle-friendly, skew handled by
     AQE.
     """
-    sh = _shingle_pairs(spark, sf_dir)
+    sh = _shingle_pairs(spark, sf_dir).cache()
     st = sh.join(_dict_ids(sh), "shingle").select("doc", "tid")
     sigs = simhash_signature(st)
     band_structs = [
@@ -378,7 +385,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     document frequency above a cap before joining, or use
     dedup_minhash_lsh. This exact form is the verifier baseline.
     """
-    sh = _shingle_pairs(spark, sf_dir)
+    sh = _shingle_pairs(spark, sf_dir).cache()
     t1, t2 = sh.alias("t1"), sh.alias("t2")
     inter = (
         t1.join(
