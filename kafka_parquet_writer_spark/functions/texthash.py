@@ -3,17 +3,16 @@ SimHash coefficients.
 
 Two hash families are exposed:
 
-- **Production path** (``hash_fn="xxhash64"``): Spark's built-in
-  ``xxhash64`` maps shingle strings straight to 64-bit ints — no
-  dictionary, no global ordering, fully scalable. This is what you run
-  at 100 TB.
-- **Portable path** (``hash_fn="dict"``): shingles get dense ids via a
-  global ``row_number() OVER (ORDER BY shingle)`` and are hashed with
-  seeded affine permutations ``(a·id + b) mod P``. Pure integer
-  arithmetic, expressible identically in Spark and ANSI SQL — this is
-  what the DuckDB oracle verifies bit-for-bit. The dictionary build is
-  a global sort of the *vocabulary* (≪ corpus size), so it is still
-  tractable at scale, but xxhash64 avoids it entirely.
+- **Production path** (``xxhash64``): Spark's built-in ``xxhash64``
+  maps shingle strings straight to 64-bit ints — cheapest per row.
+  Not oracle-portable (DuckDB has no xxhash64).
+- **Portable path** (``portable_hash64``): first 15 hex digits of md5
+  parsed as a 60-bit int. Stateless per-row expression — same scale
+  shape as xxhash64 (no dictionary, no global ordering, no join), just
+  a pricier hash — and DuckDB computes the identical value, so the
+  oracle matches bit-for-bit. Affine permutations
+  ``(a·id + b) mod P`` on top are pure integer arithmetic in both
+  engines.
 
 Coefficients come from a seeded numpy RNG and are embedded as literals
 in BOTH the Spark plan and the generated oracle SQL, so both engines
@@ -92,6 +91,24 @@ def affine_hash(id_col: Column, a: int, b: int) -> Column:
     return (id_col.cast("long") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)
 
 
+def portable_hash64(str_col: Column) -> Column:
+    """String → 60-bit integer, computable identically in Spark and
+    DuckDB: the first 15 hex digits of md5, parsed big-endian.
+
+    This replaces the dictionary (distinct + global row_number sort)
+    with a stateless per-row expression — the scale-correct token-id
+    assignment. 60 bits keeps ``conv``'s result inside signed int64.
+    Spark side: ``conv(substring(md5(s), 1, 15), 16, 10)``.
+    """
+    return F.conv(F.substring(F.md5(str_col), 1, 15), 16, 10).cast("long")
+
+
+def portable_tid(str_col: Column) -> Column:
+    """portable_hash64 reduced into [0, P) so affine products stay far
+    below 2^63 (a < P ⇒ a·tid < 2^62)."""
+    return portable_hash64(str_col) % F.lit(MERSENNE_P)
+
+
 # --- SQL fragment generators (DuckDB oracle side) --------------------------
 
 def sql_words(text_expr: str) -> str:
@@ -122,3 +139,18 @@ def sql_shingle_cte(table: str, id_col: str, text_col: str, n: int = 2) -> str:
 
 def sql_affine(id_expr: str, a: int, b: int) -> str:
     return f"((CAST({id_expr} AS BIGINT) * {a} + {b}) % {MERSENNE_P})"
+
+
+def sql_portable_hash64(str_expr: str) -> str:
+    """DuckDB expression equal to portable_hash64: positional hex parse
+    of the first 15 md5 digits (DuckDB has no base-conversion builtin)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5({str_expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (15 - 1 - i)}"
+        for i in range(15)
+    )
+    return f"({terms})"
+
+
+def sql_portable_tid(str_expr: str) -> str:
+    return f"({sql_portable_hash64(str_expr)} % {MERSENNE_P})"

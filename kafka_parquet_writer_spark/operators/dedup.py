@@ -90,28 +90,24 @@ def _shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dict_ids(sh: DataFrame) -> DataFrame:
-    """shingle → dense id. Global vocab sort: OK because |vocab| ≪ corpus;
-    the 100 TB path swaps this for xxhash64(shingle) (no dictionary)."""
-    return (
-        sh.select("shingle")
-        .distinct()
-        .withColumn("tid", F.row_number().over(W.orderBy("shingle")).cast("long"))
-    )
+def _token_ids(sh: DataFrame, use_xxhash: bool = False) -> DataFrame:
+    """(doc, tid): shingle → int id via a stateless per-row hash — no
+    dictionary, no global sort, no vocabulary join. ``use_xxhash``
+    picks the cheaper non-portable hash for production runs; the
+    default md5-prefix hash is bit-identical in DuckDB."""
+    if use_xxhash:
+        # reduce into [0, P) so a·tid stays far below 2^63 (ANSI overflow)
+        tid = F.pmod(F.xxhash64("shingle"), F.lit(TH.MERSENNE_P))
+    else:
+        tid = TH.portable_tid(F.col("shingle"))
+    return sh.select("doc", tid.alias("tid"))
 
 
 def minhash_signatures(
     sh: DataFrame, coeffs: list[tuple[int, int]], use_xxhash: bool = False
 ) -> DataFrame:
-    """doc → k MinHash values. ``use_xxhash`` is the dictionary-free
-    production path (not oracle-portable)."""
-    if use_xxhash:
-        # reduce into [0, P) so a·tid stays far below 2^63 (ANSI overflow)
-        st = sh.select(
-            "doc", F.pmod(F.xxhash64("shingle"), F.lit(TH.MERSENNE_P)).alias("tid")
-        )
-    else:
-        st = sh.join(_dict_ids(sh), "shingle").select("doc", "tid")
+    """doc → k MinHash values (one partial-aggregating shuffle on doc)."""
+    st = _token_ids(sh, use_xxhash)
     aggs = [
         F.min(TH.affine_hash(F.col("tid"), a, b)).alias(f"h{i}")
         for i, (a, b) in enumerate(coeffs)
@@ -191,11 +187,7 @@ def _minhash_oracle() -> str:
     )
     return f"""
     WITH sh AS ({TH.sql_shingle_cte('documents', 'doc_id', 'text', SHINGLE_N)}),
-    dict AS (
-      SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS tid
-      FROM (SELECT DISTINCT shingle FROM sh)
-    ),
-    st AS (SELECT doc, tid FROM sh JOIN dict USING (shingle)),
+    st AS (SELECT doc, {TH.sql_portable_tid('shingle')} AS tid FROM sh),
     sigs AS (SELECT doc, {hs} FROM st GROUP BY doc),
     bands AS (
       {band_selects}
@@ -229,8 +221,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the only all-pairs-ish step is the within-bucket self-join —
     bucket sizes are bounded by signature collisions, so cost is
-    ∝ Σ bucket². No cross product ever materializes. The dictionary
-    step is vocabulary-sized; swap use_xxhash=True to drop it entirely.
+    ∝ Σ bucket². No cross product ever materializes. Token ids come
+    from a stateless per-row hash (no dictionary, no global sort);
+    use_xxhash=True picks the cheaper non-portable hash in production.
     """
     # sh feeds the signature build AND both sides of the verify join —
     # cache it so the tokenize/explode runs once (at scale: a few GB of
@@ -287,11 +280,7 @@ def _simhash_oracle() -> str:
     )
     return f"""
     WITH sh AS ({TH.sql_shingle_cte('documents', 'doc_id', 'text', SHINGLE_N)}),
-    dict AS (
-      SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS tid
-      FROM (SELECT DISTINCT shingle FROM sh)
-    ),
-    st AS (SELECT doc, tid FROM sh JOIN dict USING (shingle)),
+    st AS (SELECT doc, {TH.sql_portable_tid('shingle')} AS tid FROM sh),
     sums AS (SELECT doc, {sums} FROM st GROUP BY doc),
     sigs AS (SELECT doc, {sig_terms} AS sig FROM sums),
     bands AS (
@@ -320,8 +309,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE.
     """
     sh = _shingle_pairs(spark, sf_dir).cache()
-    st = sh.join(_dict_ids(sh), "shingle").select("doc", "tid")
-    sigs = simhash_signature(st)
+    sigs = simhash_signature(_token_ids(sh))
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -377,39 +365,55 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-bigram Jaccard ≥ 0.6 via inverted-index self-join.
+    """EXACT word-bigram Jaccard ≥ 0.6 via AllPairs/PPJoin-style prefix
+    filtering (Bayardo et al., WWW'07) — lossless, so the oracle is the
+    plain all-pairs SQL and verifies exactness.
 
-    Scale caveat (why MinHash exists): the shingle self-join is
-    ∝ Σ_shingle df(shingle)² — fine when shingles are discriminative,
-    quadratic on stop-shingles. Production guard: drop shingles with
-    document frequency above a cap before joining, or use
-    dedup_minhash_lsh. This exact form is the verifier baseline.
+    Why not the naive inverted-index self-join: its cost is
+    ∝ Σ_shingle df(shingle)², quadratic on stop-shingles (measured 23 s
+    at sf0.1 vs <2 s for this form; at 100 TB it never finishes).
+
+    Prefix filter: for jac(A,B) ≥ t, |A∩B| ≥ t·max(|A|,|B|)
+    (since jac ≥ t ⇒ i ≥ t·(|A|+|B|−i) and |B| ≥ i ⇒ i ≥ t|A|, symm.).
+    Under one global shingle order (rarest-first by document frequency),
+    any qualifying pair must collide within the first
+    |X| − ⌈t·|X|⌉ + 1 shingles of each side — so only those rows are
+    indexed, shrinking the join input by ~t and, far more importantly,
+    biasing it to LOW-df shingles (the quadratic term collapses).
+    A length filter (t·max ≤ min) prunes size-incompatible pairs in the
+    same join. Candidates are then exact-verified with one
+    array_intersect pass (per-row JVM op, no extra shuffle of sh).
     """
     sh = _shingle_pairs(spark, sf_dir).cache()
-    t1, t2 = sh.alias("t1"), sh.alias("t2")
-    inter = (
-        t1.join(
-            t2,
-            (F.col("t1.shingle") == F.col("t2.shingle"))
-            & (F.col("t1.doc") < F.col("t2.doc")),
-        )
-        .groupBy(F.col("t1.doc").alias("d1"), F.col("t2.doc").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    return _verify_jaccard_from_inter(inter, sh)
-
-
-def _verify_jaccard_from_inter(inter: DataFrame, sh: DataFrame) -> DataFrame:
+    t = JACCARD_THRESHOLD
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
-    s1 = sizes.withColumnRenamed("doc", "d1").withColumnRenamed("n", "n1")
-    s2 = sizes.withColumnRenamed("doc", "d2").withColumnRenamed("n", "n2")
-    jac = F.col("i").cast("double") / (F.col("n1") + F.col("n2") - F.col("i"))
-    return (
-        inter.join(s1, "d1")
-        .join(s2, "d2")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("d1", "d2", pround(jac, 6).alias("jac"))
+    # rank each doc's shingles rarest-first under a total global order
+    w = W.partitionBy("doc").orderBy("df", "shingle")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .join(sizes, "doc")
+        .withColumn("r", F.row_number().over(w))
     )
+    prefix = ranked.filter(
+        F.col("r") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+    ).select("doc", "shingle", "n")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            # length filter: jac ≥ t impossible unless t·max(n1,n2) ≤ min
+            & (
+                F.lit(t) * F.greatest(F.col("a.n"), F.col("b.n"))
+                <= F.least(F.col("a.n"), F.col("b.n"))
+            ),
+        )
+        .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .distinct()
+    )
+    return _verify_jaccard(cand, sh, t)
 
 
 # ---------------------------------------------------------------------------
