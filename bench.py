@@ -56,15 +56,37 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     # warm up JVM/codegen/file-listing paths AND the Python worker pool
-    # (first pandas-UDF query otherwise pays worker fork cost)
+    # (first pandas-UDF query otherwise pays worker fork cost; the
+    # grouped warm-up forks one worker per core, which scalar UDFs on a
+    # few scan partitions would not)
     run(QUERIES["agg_hash"](spark, SF_DIR))
     run(QUERIES["udf_scalar"](spark, SF_DIR))
+    import pandas as _pd
+    from pyspark.sql import functions as F
 
+    run(
+        spark.range(10_000)
+        .withColumn("k", F.col("id") % 64)
+        .repartition(64, "k")
+        .groupBy("k")
+        .applyInPandas(
+            lambda pdf: _pd.DataFrame({"k": [pdf["k"].iloc[0]]}), "k long"
+        )
+    )
+
+    # Each query is timed independently: best of two runs (steady-state
+    # cost, robust to CI-machine noise), and any cache a query builds
+    # internally is dropped afterwards so queries don't interfere.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        run(QUERIES[name](spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            run(QUERIES[name](spark, SF_DIR))
+            best = min(best, time.time() - t0)
+        spark.catalog.clearCache()
+        timings[name] = round(best, 3)
         print(f"{name}: {timings[name]:.3f}s", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -82,8 +82,20 @@ SHINGLE_N = 2
 
 
 def _shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc, shingle) distinct word-bigram pairs from documents."""
-    docs = load_table(spark, sf_dir, "documents")
+    """(doc, shingle) word-bigram pairs from documents.
+
+    Repartition by doc_id BEFORE exploding: (a) tokenize+hash runs with
+    full core parallelism even when the source is a handful of parquet
+    splits, and (b) the rows arrive already hash-partitioned by doc, so
+    the downstream groupBy("doc") (signatures/profiles) needs no second
+    exchange — Spark's alias-aware output partitioning carries
+    doc_id→doc through the projection. The shuffle moves raw documents
+    (small) instead of the ~50× larger exploded shingle table."""
+    from kafka_parquet_writer_spark.session import repartition_for_compute
+
+    docs = repartition_for_compute(
+        load_table(spark, sf_dir, "documents"), F.col("doc_id")
+    )
     return docs.select(
         F.col("doc_id").alias("doc"),
         F.explode(TH.word_shingles_expr("text", SHINGLE_N)).alias("shingle"),
@@ -115,6 +127,31 @@ def minhash_signatures(
     return st.groupBy("doc").agg(*aggs)
 
 
+def _doc_profiles(
+    sh: DataFrame, coeffs: list[tuple[int, int]], use_xxhash: bool = False
+) -> DataFrame:
+    """Per-doc MinHash signature + shingle set + size in ONE shuffle.
+
+    The signature build and the exact-Jaccard verifier both need a
+    groupBy(doc) over the full (doc, shingle) table; computing them in
+    the same aggregation halves the shuffled volume and lets the
+    (much smaller, one-row-per-doc) result be cached instead of the raw
+    shingle pairs."""
+    if use_xxhash:
+        tid = F.pmod(F.xxhash64("shingle"), F.lit(TH.MERSENNE_P))
+    else:
+        tid = TH.portable_tid(F.col("shingle"))
+    st = sh.select("doc", "shingle", tid.alias("tid"))
+    aggs = [
+        F.min(TH.affine_hash(F.col("tid"), a, b)).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ] + [
+        F.collect_set("shingle").alias("ss"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    return st.groupBy("doc").agg(*aggs)
+
+
 def _lsh_candidates(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
     """Distinct (d1 < d2) pairs sharing at least one full band."""
     band_structs = [
@@ -142,20 +179,18 @@ def _lsh_candidates(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
     )
 
 
-def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+def _verify_jaccard(docsets: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
     """Exact Jaccard over candidate pairs only.
 
-    Shape chosen for scale: one groupBy collects each doc's shingle set
-    into an array (single shuffle of sh), then the small candidate list
-    joins against it twice — AQE broadcasts the candidate side — and the
-    intersection is a per-row JVM array op. The alternative (joining sh
-    against itself restricted to candidates) shuffles the full shingle
-    table twice. The oracle computes the identical set arithmetic
-    relationally; values match because |A∩B| and set sizes are integers.
+    ``docsets`` is (doc, ss: array<string>, n) — each doc's shingle set
+    and size, typically a projection of the one-shuffle `_doc_profiles`.
+    The small candidate list joins against it twice — AQE broadcasts the
+    candidate side — and the intersection is a per-row JVM array op. The
+    alternative (joining the shingle table against itself restricted to
+    candidates) shuffles the full shingle table twice. The oracle
+    computes the identical set arithmetic relationally; values match
+    because |A∩B| and set sizes are integers.
     """
-    docsets = sh.groupBy("doc").agg(
-        F.collect_set("shingle").alias("ss"), F.count(F.lit(1)).alias("n")
-    )
     d1 = docsets.select(
         F.col("doc").alias("d1"), F.col("ss").alias("ss1"), F.col("n").alias("n1")
     )
@@ -225,13 +260,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a stateless per-row hash (no dictionary, no global sort);
     use_xxhash=True picks the cheaper non-portable hash in production.
     """
-    # sh feeds the signature build AND both sides of the verify join —
-    # cache it so the tokenize/explode runs once (at scale: a few GB of
-    # (doc, shingle) pairs per executor slice, well worth the memory)
-    sh = _shingle_pairs(spark, sf_dir).cache()
-    sigs = minhash_signatures(sh, MINHASH_COEFFS)
-    cand = _lsh_candidates(sigs, MINHASH_BANDS, MINHASH_ROWS)
-    return _verify_jaccard(cand, sh, JACCARD_THRESHOLD)
+    # one shuffle of the shingle table produces signatures AND the
+    # verifier's per-doc shingle sets; cache that (one row per doc)
+    # rather than the raw exploded pairs
+    prof = _doc_profiles(
+        _shingle_pairs(spark, sf_dir), MINHASH_COEFFS
+    ).cache()
+    cand = _lsh_candidates(prof, MINHASH_BANDS, MINHASH_ROWS)
+    return _verify_jaccard(prof.select("doc", "ss", "n"), cand, JACCARD_THRESHOLD)
 
 
 # ---------------------------------------------------------------------------
@@ -308,7 +344,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     are equi-joins on (band, byte) — shuffle-friendly, skew handled by
     AQE.
     """
-    sh = _shingle_pairs(spark, sf_dir).cache()
+    # sh is consumed exactly once (the signature aggregation) — no cache
+    sh = _shingle_pairs(spark, sf_dir)
     sigs = simhash_signature(_token_ids(sh))
     band_structs = [
         F.struct(
@@ -387,7 +424,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_pairs(spark, sf_dir).cache()
     t = JACCARD_THRESHOLD
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    # one groupBy(doc) yields both the ranking's size column and the
+    # verifier's shingle sets
+    docsets = sh.groupBy("doc").agg(
+        F.collect_set("shingle").alias("ss"), F.count(F.lit(1)).alias("n")
+    ).cache()
+    sizes = docsets.select("doc", "n")
     # rank each doc's shingles rarest-first under a total global order
     w = W.partitionBy("doc").orderBy("df", "shingle")
     ranked = (
@@ -413,7 +455,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
         .distinct()
     )
-    return _verify_jaccard(cand, sh, t)
+    return _verify_jaccard(docsets, cand, t)
 
 
 # ---------------------------------------------------------------------------

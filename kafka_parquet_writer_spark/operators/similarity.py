@@ -25,6 +25,7 @@ from kafka_parquet_writer_spark.catalog import load_table
 from kafka_parquet_writer_spark.functions import vector as V
 from kafka_parquet_writer_spark.functions.portable import pround
 from kafka_parquet_writer_spark.registry import query
+from kafka_parquet_writer_spark.session import repartition_for_compute
 
 EMBED_DIM = 64
 TOPK = 5
@@ -78,7 +79,11 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
-    c = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("cv"))
+    # corpus side carries the per-row cosine work — spread it across
+    # cores even when the source is a single parquet split
+    c = repartition_for_compute(emb, F.col("vec_id")).select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("cv")
+    )
     cos = pround(V.cosine_expr(F.col("qv"), F.col("cv")), 6)
     scored = (
         F.broadcast(q)
@@ -137,7 +142,11 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     plane sets (OR-amplification); the oracle runs the identical
     single-probe algorithm so results hash-match.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # bucket assignment does 4 × 64-dim dot products per row — give the
+    # map side full core parallelism regardless of input split count
+    emb = repartition_for_compute(
+        load_table(spark, sf_dir, "embeddings"), F.col("vec_id")
+    )
     v = F.col("embedding")
     bucket = None
     for j, p in enumerate(ANN_PLANES):

@@ -92,7 +92,21 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    ev = load_table(spark, sf_dir, "events")
+    # applyInPandas ships every input column through Arrow — column
+    # pruning does not reach inside the UDF — so project to the two
+    # columns the stats need before grouping (drops the wide JSON
+    # `props` string from the shuffle AND the Arrow transfer).
+    # Explicit repartition on the key: the pandas stage is Python-
+    # compute-bound, so it wants core-count parallelism; AQE would
+    # coalesce the (byte-wise tiny) shuffle to ~1 partition and
+    # serialize the Python work. The groupBy reuses this partitioning —
+    # no second exchange.
+    from kafka_parquet_writer_spark.session import repartition_for_compute
+
+    ev = repartition_for_compute(
+        load_table(spark, sf_dir, "events").select("user_id", "value"),
+        F.col("user_id"),
+    )
     out = ev.groupBy("user_id").applyInPandas(
         stats,
         schema=(

@@ -62,3 +62,18 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def repartition_for_compute(df, *cols):
+    """Hash-repartition with an EXPLICIT partition count for stages whose
+    per-row compute (hashing, tokenize/explode, vector math, pandas
+    UDFs) dominates their byte size.
+
+    The explicit count matters: ``repartition(col)`` without one is
+    AQE-coalescible, and for byte-wise-tiny-but-CPU-heavy stages AQE
+    happily coalesces to one partition and serializes the work. Using
+    ``spark.sql.shuffle.partitions`` keeps the distribution identical to
+    what a downstream groupBy on the same key requires, so that exchange
+    is elided."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *cols)
