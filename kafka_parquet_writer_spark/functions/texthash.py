@@ -40,11 +40,6 @@ def minhash_coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
-def simhash_coeffs(bits: int, seed: int = 7) -> list[tuple[int, int]]:
-    """One affine pair per signature bit (bit = parity of (c·id + d) mod P)."""
-    return minhash_coeffs(bits, seed=seed)
-
-
 def words_expr(text_col: str | Column) -> Column:
     """Lower-cased whitespace tokens, empties removed. ArrayType(String)."""
     col = F.col(text_col) if isinstance(text_col, str) else text_col

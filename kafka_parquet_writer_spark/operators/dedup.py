@@ -275,7 +275,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 SIMHASH_BITS = 32
-SIMHASH_COEFFS = TH.simhash_coeffs(SIMHASH_BITS, seed=7)
 SIMHASH_MAX_HAMMING = 4
 SIMHASH_BAND_BYTES = 4  # 4 bands × 8 bits
 
@@ -283,14 +282,18 @@ SIMHASH_BAND_BYTES = 4  # 4 bands × 8 bits
 def simhash_signature(st: DataFrame) -> DataFrame:
     """doc → 32-bit SimHash (as BIGINT) from (doc, tid) pairs.
 
-    bit_j = sign of Σ_tokens (±1 from parity of affine_j(tid)).
+    bit_j = sign of Σ_tokens (±1 from bit j of the token hash). The
+    token id is a 60-bit md5-derived hash (functions/texthash.py), so
+    its low 32 bits are already independent coin flips — extracting
+    them (shift+mask per row) replaces the 32 multiply-mod affine
+    hashes of the classic formulation at identical signature quality.
     """
     sums = st.groupBy("doc").agg(
         *[
             F.sum(
-                (TH.affine_hash(F.col("tid"), c, d) % 2) * 2 - 1
+                F.shiftright(F.col("tid"), j).bitwiseAND(F.lit(1)) * 2 - 1
             ).alias(f"s{j}")
-            for j, (c, d) in enumerate(SIMHASH_COEFFS)
+            for j in range(SIMHASH_BITS)
         ]
     )
     sig = None
@@ -301,10 +304,9 @@ def simhash_signature(st: DataFrame) -> DataFrame:
 
 
 def _simhash_oracle() -> str:
-    P = TH.MERSENNE_P
     sums = ",\n      ".join(
-        f"sum(({TH.sql_affine('tid', c, d)} % 2) * 2 - 1) AS s{j}"
-        for j, (c, d) in enumerate(SIMHASH_COEFFS)
+        f"sum(((tid >> {j}) & 1) * 2 - 1) AS s{j}"
+        for j in range(SIMHASH_BITS)
     )
     sig_terms = " + ".join(
         f"CAST(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END AS BIGINT)"
