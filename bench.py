@@ -38,6 +38,9 @@ HEADLINE = [
     "dedup_simhash",
     "similarity_topk",
     "similarity_ann_lsh",
+    "similarity_ivf",
+    "agg_salted_skew",
+    "join_salted_skew",
     "text_tokens",
     "text_quality",
     "udaf_grouped",

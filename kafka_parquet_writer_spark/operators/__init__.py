@@ -12,4 +12,5 @@ from kafka_parquet_writer_spark.operators import (  # noqa: F401
     udfs,
     etl_batch,
     streaming_queries,
+    skew,
 )

@@ -175,6 +175,122 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_SEED = 303
+IVF_CELLS = 8
+IVF_PROBE = 2
+IVF_TOPK = 3
+IVF_N_QUERIES = 20
+
+
+def _ivf_centroids() -> list[list[float]]:
+    rng = np.random.RandomState(IVF_SEED)
+    cs = rng.randn(IVF_CELLS, EMBED_DIM)
+    return [[round(float(x), 6) for x in c] for c in cs]
+
+
+IVF_CENTROIDS = _ivf_centroids()
+
+
+def _ivf_cell_structs(v):
+    """Array of (l2-score, cell-idx) structs vs every centroid.
+    score_j = ‖c_j‖² − 2·v·c_j  (argmin over j ≡ nearest centroid;
+    the ‖v‖² term is constant per row and dropped)."""
+    cells = []
+    for j, c in enumerate(IVF_CENTROIDS):
+        c_norm2 = sum(x * x for x in c)
+        score = F.lit(float(c_norm2)) - 2.0 * V.dot_expr(v, V.lit_vector(c))
+        cells.append(F.struct(score.alias("s"), F.lit(j).alias("c")))
+    return F.array(*cells)
+
+
+def _ivf_oracle() -> str:
+    cell_structs = ", ".join(
+        f"struct_pack(s := CAST({sum(x*x for x in c)!r} AS DOUBLE)"
+        f" - 2.0 * list_dot_product(v, {V.sql_lit_vector(c)}), c := {j})"
+        for j, c in enumerate(IVF_CENTROIDS)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    cells AS (SELECT vec_id, v, nrm, list_sort([{cell_structs}]) AS cl FROM e),
+    corpus AS (SELECT vec_id, v, nrm, (cl[1]).c AS cell FROM cells),
+    probes AS (
+      SELECT vec_id, v, nrm, u.c AS cell
+      FROM (SELECT vec_id, v, nrm, unnest(cl[1:{IVF_PROBE}]) AS u
+            FROM cells WHERE vec_id < {IVF_N_QUERIES})
+    ),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             (floor((list_dot_product(q.v, c.v) / (q.nrm * c.nrm)) * 1e6 + 0.5) / 1e6) AS cos
+      FROM probes q JOIN corpus c
+        ON q.cell = c.cell AND c.vec_id <> q.vec_id
+    )
+    SELECT q_id, n_id, cos FROM scored
+    QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
+            <= {IVF_TOPK}
+    """
+
+
+@query("similarity_ivf", oracle=_ivf_oracle())
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: corpus vectors are assigned to their nearest of 8
+    seeded centroids (inverted file cells); each query probes its 2
+    nearest cells and exact-cosine re-ranks within them, top-3.
+
+    Scale shape: cell assignment is a pure per-row expression (argmin
+    via array_min over (score, idx) structs — no shuffle, no explosion
+    of the corpus); the join is an equi-join on cell id, cost
+    ∝ Σ probed-cell sizes, never |Q|×|C|. In production the centroids
+    come from a sampled k-means (MLlib KMeans on ~1% of rows) and
+    IVF_CELLS scales to √N; the assignment/probe/re-rank plan is
+    unchanged. The oracle runs the identical algorithm — centroids are
+    seeded literals in both plans.
+
+    A query's own vector can appear in a probed cell; it is excluded
+    (n_id ≠ q_id), matching the brute-force operator's convention.
+    """
+    emb = repartition_for_compute(
+        load_table(spark, sf_dir, "embeddings"), F.col("vec_id")
+    )
+    cells = emb.select(
+        "vec_id", "embedding", _ivf_cell_structs(F.col("embedding")).alias("cl")
+    )
+    corpus = cells.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("cv"),
+        F.array_min(F.col("cl"))["c"].alias("cell"),
+    )
+    probes = (
+        cells.filter(F.col("vec_id") < IVF_N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qv"),
+            F.explode(F.slice(F.array_sort(F.col("cl")), 1, IVF_PROBE)).alias("p"),
+        )
+        .select("q_id", "qv", F.col("p.c").alias("cell"))
+    )
+    cos = pround(V.cosine_expr(F.col("qv"), F.col("cv")), 6)
+    # each corpus vector lives in exactly one cell and a query's two
+    # probe rows carry distinct cells, so (q_id, n_id) pairs are unique
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", cos.alias("cos"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= IVF_TOPK)
+        .select("q_id", "n_id", "cos")
+    )
+
+
 def brute_force_topk_matrix(
     emb: DataFrame, queries: list[tuple[int, list[float]]], k: int = 10
 ) -> DataFrame:

@@ -101,6 +101,105 @@ def stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_window_sliding",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, value, ts,
+             time_bucket(INTERVAL '5 minutes', ts) AS b
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, value, b AS win_start FROM base
+      UNION ALL
+      SELECT event_type, value, b - INTERVAL '5 minutes' FROM base
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           count(*) AS n,
+           (floor((sum(CAST(floor(value * 1e2 + 0.5) AS BIGINT)) / 100.0)
+                  * 1e4 + 0.5) / 1e4) AS sum_value
+    FROM w
+    GROUP BY 1, 2
+    """,
+)
+def stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes (each event lands in
+    exactly two windows), streaming execution. The oracle replicates
+    each row into its two epoch-aligned window starts — bucket(ts, 5m)
+    and that minus 5m — which is precisely Spark's window assignment
+    for duration=2×slide."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("value"))).alias("sum_cents"),
+        )
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n",
+        pround(F.col("sum_cents") / 100.0, 4).alias("sum_value"),
+    )
+
+
+@query(
+    "stream_stateful_count",
+    oracle="""
+    SELECT user_id, count(*) AS n,
+           (floor((sum(CAST(floor(value * 1e2 + 0.5) AS BIGINT)) / 100.0)
+                  * 1e4 + 0.5) / 1e4) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running (count, sum-of-cents) kept in GroupState, emitting
+    the updated totals each batch. availableNow drains the fixture in
+    one batch, so the final emission equals the batch aggregate — giving
+    a real arbitrary-stateful-execution path a full value oracle.
+
+    The reference's only state is Kafka offsets pending file flush
+    (KafkaProtoParquetWriter.java:234,279); this is the general
+    user-defined-state surface Spark adds on top.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def running_totals(key, pdfs, state: GroupState):
+        import numpy as np
+
+        n, cents_sum = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # same floor(v*100 + 0.5) cents as the oracle (true floor,
+            # not int() truncation — they differ on negatives)
+            cents_sum += int(
+                np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype("int64").sum()
+            )
+        state.update((n, cents_sum))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "cents_sum": [cents_sum]}
+        )
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+    counted = ev.groupBy("user_id").applyInPandasWithState(
+        running_totals,
+        outputStructType="user_id long, n long, cents_sum long",
+        stateStructType="n long, cents_sum long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(counted, "update")
+    return out.select(
+        "user_id", "n", pround(F.col("cents_sum") / 100.0, 4).alias("sum_value")
+    )
+
+
+@query(
     "stream_dedup",
     oracle="""
     SELECT DISTINCT user_id, event_type FROM events
