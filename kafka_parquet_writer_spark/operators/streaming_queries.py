@@ -200,6 +200,64 @@ def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.user_id AS user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL '10 minutes'
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: click events joined to purchase
+    events by the same user within 10 minutes after the click — the
+    funnel query — executed as a genuine stream×stream join (both sides
+    watermarked; Spark buffers each side in state and bounds it with
+    the interval condition).
+
+    Scale: state size is bounded by (watermark + interval) × arrival
+    rate per side — not by stream length; the join itself shuffles both
+    sides on user_id.
+    """
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id
+            AND purchase_ts >= click_ts
+            AND purchase_ts <= click_ts + INTERVAL 10 MINUTES
+            """
+        ),
+    ).select("user_id", "click_id", "purchase_id")
+    return _run_to_memory(joined, "append")
+
+
+@query(
     "stream_dedup",
     oracle="""
     SELECT DISTINCT user_id, event_type FROM events
