@@ -5,4 +5,5 @@ from kafka_parquet_writer_spark.plans.inspect import (  # noqa: F401
     has_pushed_filters,
     read_schema_columns,
     uses_broadcast_join,
+    count_exchanges,
 )

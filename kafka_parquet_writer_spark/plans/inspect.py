@@ -45,3 +45,17 @@ def uses_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in (
         formatted_plan(df)
     )
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle Exchange nodes in the (pre-AQE) physical plan —
+    the engine's shuffle budget per operator. Broadcast exchanges are
+    not counted."""
+    plan = formatted_plan(df)
+    return sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().startswith("(")
+        and " Exchange" in line
+        and "BroadcastExchange" not in line
+    )

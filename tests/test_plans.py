@@ -4,6 +4,7 @@ dimensions broadcast, top-k never a global sort."""
 
 import __spark_entry__ as E
 from kafka_parquet_writer_spark.plans import (
+    count_exchanges,
     formatted_plan,
     has_pushed_filters,
     read_schema_columns,
@@ -44,3 +45,46 @@ def test_asof_join_is_window_not_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
+
+
+def test_minhash_profiles_single_shuffle(spark, sf_dir):
+    """Signature+docset build: ONE exchange (the compute repartition);
+    the groupBy(doc) must reuse that partitioning via alias-aware
+    output partitioning — a second exchange here doubles the shuffled
+    volume of the dominant dedup stage."""
+    from kafka_parquet_writer_spark.operators.dedup import (
+        MINHASH_COEFFS,
+        _doc_profiles,
+        _shingle_pairs,
+    )
+
+    prof = _doc_profiles(_shingle_pairs(spark, sf_dir), MINHASH_COEFFS)
+    assert count_exchanges(prof) == 1
+
+
+def test_dedup_plans_never_cartesian(spark, sf_dir):
+    for name in ("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard"):
+        plan = formatted_plan(E.queries()[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_ivf_probe_join_broadcasts_queries(spark, sf_dir):
+    plan = formatted_plan(E.queries()["similarity_ivf"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # probes (tiny) broadcast to corpus
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_join_uses_shuffle_join(spark, sf_dir):
+    """The merge hint must hold — a broadcast join would bypass the
+    salted shuffle path the operator exists to demonstrate."""
+    plan = formatted_plan(E.queries()["join_salted_skew"](spark, sf_dir))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_udaf_single_exchange_into_pandas(spark, sf_dir):
+    """groupBy must reuse the explicit compute repartition — one
+    exchange feeding FlatMapGroupsInPandas."""
+    df = E.queries()["udaf_grouped"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert count_exchanges(df) == 1
