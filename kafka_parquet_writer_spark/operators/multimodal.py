@@ -153,3 +153,113 @@ def decode_image_meta(blobs: DataFrame) -> DataFrame:
             )
 
     return blobs.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, modality string, blob binary, "
+    "meta struct<n_bytes: int, codec: string, width: int, height: int>"
+)
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary, n_bytes int"
+
+FEATURE_DIM = 16
+FEATURE_SCHEMA = "doc_id long, modality string, feature array<float>"
+
+
+def resize_images(blobs: DataFrame, width: int, height: int) -> DataFrame:
+    """Blob-in → blob-out transform (the resize/transcode shape):
+    mapInPandas so re-encoded bytes stream Arrow-batched through Python
+    and straight back to parquet — constant executor memory, no driver
+    hop. STUB: the 're-encoded' payload is a deterministic truncation/
+    padding to width×height bytes standing in for a real encoder.
+    """
+    import pandas as pd
+
+    target = width * height
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = [
+                (bytes(b) + b"\x00" * target)[:target] for b in pdf["blob"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "blob": out,
+                    "meta": [
+                        {
+                            "n_bytes": target,
+                            "codec": "raw",
+                            "width": width,
+                            "height": height,
+                        }
+                        for _ in out
+                    ],
+                }
+            )
+
+    return blobs.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+def sample_video_frames(
+    blobs: DataFrame, frame_bytes: int = 64, every_n: int = 2
+) -> DataFrame:
+    """One-to-many frame sampling (the video shape): each blob yields
+    every ``every_n``-th fixed-size frame as its own row. mapInPandas
+    emits the expanded frame rows batch-by-batch, so a long video never
+    materializes as one in-memory list of frames. STUB: a 'frame' is a
+    fixed-size byte slice standing in for real demux/decode."""
+    import pandas as pd
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(b)
+                n_frames = max(1, len(b) // frame_bytes)
+                for i in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(b[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame": frames,
+                    "n_bytes": [len(f) for f in frames],
+                }
+            )
+
+    return blobs.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+def extract_features(blobs: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Blob → embedding vector (the feature-extraction shape): numpy-
+    vectorized inside Arrow batches; output is ArrayType(Float) ready
+    for the similarity operators. STUB: features are a deterministic
+    byte-histogram projection standing in for a real vision/audio model
+    forward pass — swap the inner function for the model call; the
+    batching, schema, and downstream compatibility are production-real.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            feats = []
+            for b in pdf["blob"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                if len(arr) == 0:
+                    arr = np.zeros(1, dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype("float32")
+                feats.append((hist / max(1.0, float(hist.sum()))).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "feature": feats,
+                }
+            )
+
+    return blobs.mapInPandas(extract, schema=FEATURE_SCHEMA)
