@@ -207,3 +207,113 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(qc > F.col("avg_qc") * 1.5)
         .select("l_orderkey", "l_linenumber", "l_quantity")
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT)            AS tsec,
+             CAST(floor(value * 1e2 + 0.5) AS BIGINT)    AS c
+      FROM events
+    )
+    SELECT user_id, event_id,
+           (floor((CAST(sum(c) OVER (PARTITION BY user_id ORDER BY tsec
+                     RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) / 100.0) * 1e4 + 0.5) / 1e4) AS roll_value
+    FROM e
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame over event time: per-user rolling sum of the
+    trailing 10 minutes — a *value*-bounded frame (rows at the same
+    second are peers; frame width varies with event density), which the
+    ROWS frames of `window_frame` cannot express.
+
+    Values are summed as exact integer cents so peer-row inclusion
+    order is irrelevant; the frame bound is on floor-seconds computed
+    identically in both engines.
+    """
+    from kafka_parquet_writer_spark.functions.portable import cents
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "tsec", F.col("ts").cast("long")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("tsec")
+        .rangeBetween(-600, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        pround(F.sum(cents(F.col("value"))).over(w).cast("double") / 100.0, 4).alias(
+            "roll_value"
+        ),
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT event_type,
+           (floor((quantile_cont(value, 0.25)) * 1e6 + 0.5) / 1e6) AS p25,
+           (floor((quantile_cont(value, 0.50)) * 1e6 + 0.5) / 1e6) AS p50,
+           (floor((quantile_cont(value, 0.90)) * 1e6 + 0.5) / 1e6) AS p90
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (percentile_cont semantics) per
+    group. Spark's `percentile` and DuckDB's `quantile_cont` both use
+    linear interpolation at p·(n−1); rounding to 6 digits absorbs the
+    last-ulp formula difference. At 100 TB the same query shape swaps
+    `percentile` for `approx_percentile` (t-digest, mergeable partials)
+    — exact percentiles require a per-group sort buffer.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        pround(F.percentile("value", 0.25), 6).alias("p25"),
+        pround(F.percentile("value", 0.50), 6).alias("p50"),
+        pround(F.percentile("value", 0.90), 6).alias("p90"),
+    )
+
+
+@query(
+    "subquery_exists",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'F'
+                        AND o2.o_totalprice < 50000)
+    """,
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL entry point:
+    customers with a >300k order and no cheap completed order. Catalyst
+    rewrites the pair to a left-semi + left-anti join (same physical
+    shape as `join_semi`/`join_anti`) — this query pins the SQL-parser
+    path and the rewrite, complementing the DataFrame-API joins.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name
+        FROM v_customer c
+        WHERE EXISTS (SELECT 1 FROM v_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM v_orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F'
+                            AND o2.o_totalprice < 50000)
+        """
+    )
