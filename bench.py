@@ -29,13 +29,16 @@ HEADLINE = [
     "join_inner_hash",
     "join_multiway",
     "join_asof",
+    "tpch_q3",
     "window_rank",
     "window_frame",
+    "window_range_frame",
     "sort_limit_topk",
     "scalar_json",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
     "similarity_topk",
     "similarity_ann_lsh",
     "similarity_ivf",

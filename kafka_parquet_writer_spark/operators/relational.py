@@ -705,3 +705,62 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(count1(big.intersect(recent), "intersect"))
         .unionByName(count1(big.exceptAll(recent).distinct(), "except"))
     )
+
+
+@query(
+    "tpch_q3",
+    oracle="""
+    SELECT l.l_orderkey,
+           (floor((CAST(sum(CAST(floor(l.l_extendedprice
+                                       * (1 - l.l_discount) * 1e4 + 0.5)
+                               AS BIGINT)) AS DOUBLE) / 1e4) * 1e2 + 0.5)
+            / 1e2)             AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1995-03-15'
+      AND l.l_shipdate  > DATE '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): selective dimension filter →
+    fact join → revenue aggregation → top-10. The canonical
+    filter-join-agg-topk composition; revenue summed in exact 1e-4
+    fixed point so ordering ties are engine-independent.
+
+    Plan shape at scale: customer filter broadcasts into orders, that
+    result (still small relative to lineitem) joins the fact table on
+    l_orderkey; the top-10 is TakeOrderedAndProject — no global sort.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-03-15"
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1995-03-15"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev4 = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e4 + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.join(o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(pround(F.sum(rev4).cast("double") / 1e4, 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )

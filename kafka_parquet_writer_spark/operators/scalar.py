@@ -218,3 +218,43 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.cast("int").alias("k_int"),
         (k.cast("int") % 10 == 0).alias("k_div10"),
     )
+
+
+@query(
+    "scalar_map",
+    oracle="""
+    SELECT event_id,
+           map_extract(map(['type','uid'],
+                           [event_type, CAST(user_id AS VARCHAR)]),
+                       'type')[1]                                   AS m_type,
+           map_extract(map(['type','uid'],
+                           [event_type, CAST(user_id AS VARCHAR)]),
+                       'uid')[1]                                    AS m_uid,
+           CAST(cardinality(map(['type','uid'],
+                                [event_type, CAST(user_id AS VARCHAR)]))
+                AS INTEGER)                                         AS n_keys,
+           array_to_string(map_keys(map(['type','uid'],
+                                        [event_type,
+                                         CAST(user_id AS VARCHAR)])), ',')
+                                                                    AS keys_csv
+    FROM events
+    """,
+)
+def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType function family: construct a map column from key/value
+    expressions, then element_at / map_keys / size — all JVM-side
+    expressions. Outputs are extracted scalars (never a raw map column:
+    map iteration order is engine-defined, so hashing raw maps is not
+    portable — the practical rule for any cross-engine pipeline)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("m_type"),
+        F.element_at(m, "uid").alias("m_uid"),
+        F.size(m).alias("n_keys"),
+        F.concat_ws(",", F.map_keys(m)).alias("keys_csv"),
+    )
