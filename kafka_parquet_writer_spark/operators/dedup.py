@@ -498,37 +498,66 @@ COSINE_DUP_THRESHOLD = 0.4  # synthetic vectors are near-orthogonal; 0.4 ≈ top
 @query(
     "dedup_embedding",
     oracle=f"""
-    WITH e AS (
+    WITH n AS (
       SELECT vec_id,
              CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS nrm
       FROM embeddings
-    )
+    ),
+    e AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n)
     SELECT a.vec_id AS v1, b.vec_id AS v2,
-           (floor((list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 1e6 + 0.5) / 1e6) AS cos
+           (floor(list_dot_product(a.u, b.u) * 1e6 + 0.5) / 1e6) AS cos
     FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {COSINE_DUP_THRESHOLD}
+    WHERE list_dot_product(a.u, b.u) >= {COSINE_DUP_THRESHOLD}
     """,
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ threshold).
 
     This is the exact all-pairs form — correct but quadratic; it is the
-    verification baseline. The scale path is similarity.py's
-    LSH-bucketed variant (random hyperplane signatures), which turns
-    candidate generation into an equi-join.
-    """
-    from kafka_parquet_writer_spark.functions.vector import cosine_expr
+    verification baseline. The scale path is similarity.py's LSH- or
+    IVF-bucketed variants, which turn candidate generation into an
+    equi-join.
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id"), F.col("embedding")
+    Even the baseline is shaped for cost: each vector is normalized to
+    unit length ONCE (linear pass) so the per-pair work is a single dot
+    product, not dot + two norms (3× fewer flops in the O(n²) term);
+    and the streamed side of the nested-loop join is explicitly
+    repartitioned so the quadratic work uses every core instead of the
+    source's (often single) parquet split. The oracle computes the
+    identical elementwise-normalized dot, so values match bitwise.
+    """
+    from kafka_parquet_writer_spark.functions.vector import norm_expr
+    from kafka_parquet_writer_spark.session import repartition_for_compute
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "embedding",
+            # norm in its own projection so it is computed once per
+            # vector, not once per element inside the transform lambda
+            norm_expr(F.col("embedding")).alias("nrm"),
+        )
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double") / F.col("nrm")
+            ).alias("u"),
+        )
     )
-    a = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
-    b = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
-    cos = cosine_expr(F.col("e1"), F.col("e2"))
+    a = repartition_for_compute(emb, F.col("vec_id")).select(
+        F.col("vec_id").alias("v1"), F.col("u").alias("u1")
+    )
+    b = emb.select(F.col("vec_id").alias("v2"), F.col("u").alias("u2"))
+    cos = F.aggregate(
+        F.zip_with("u1", "u2", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     return (
-        a.join(b, F.col("v1") < F.col("v2"))
+        a.join(F.broadcast(b), F.col("v1") < F.col("v2"))
         .filter(cos >= COSINE_DUP_THRESHOLD)
         .select("v1", "v2", pround(cos, 6).alias("cos"))
     )
