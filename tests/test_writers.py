@@ -1,0 +1,56 @@
+"""Size-targeted parquet writer: measured bytes/row drives
+maxRecordsPerFile; file sizes land near the target (looser than the
+reference's (0.9, 1.01) band — sampling estimate vs post-write check)."""
+
+import glob
+import os
+import tempfile
+
+from tests.conftest import SF_SMOKE
+from kafka_parquet_writer_spark.catalog import load_table
+from kafka_parquet_writer_spark.sources.writers import (
+    measure_row_bytes,
+    write_parquet_sized,
+)
+
+
+def _files(d):
+    return [
+        p
+        for p in glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+        if not os.path.basename(p).startswith(("_", "."))
+    ]
+
+
+def test_measure_row_bytes_positive(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    rb = measure_row_bytes(ev, sample_rows=2000)
+    assert 1.0 <= rb <= 10_000.0
+
+
+def test_sized_write_hits_target_band(spark):
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    # single partition so maxRecordsPerFile is the only splitter
+    ev = ev.coalesce(1)
+    d = os.path.join(tempfile.mkdtemp(prefix="kpws_sized_"), "out")
+    rb = measure_row_bytes(ev)
+    target = max(1, int(rb * ev.count() / 4))  # aim for ~4 files
+    write_parquet_sized(ev, d, target_file_bytes=target, row_bytes=rb)
+    files = _files(d)
+    assert len(files) >= 2  # the target forced rotation
+    sizes = [os.path.getsize(f) for f in files]
+    # all but the tail file within a generous band of the target
+    for s in sorted(sizes, reverse=True)[:-1]:
+        assert 0.4 * target <= s <= 2.5 * target, sizes
+
+
+def test_sized_write_round_trip(spark):
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "value")
+    d = os.path.join(tempfile.mkdtemp(prefix="kpws_sized_rt_"), "out")
+    write_parquet_sized(ev, d, target_file_bytes=1 << 20)
+    back = spark.read.parquet(d)
+    assert sorted(r["event_id"] for r in back.collect()) == sorted(
+        r["event_id"] for r in ev.collect()
+    )
