@@ -16,6 +16,7 @@ here is chosen to also be correct at 1000-executor / 100 TB scale:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -52,6 +53,18 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")
+        # managed tables (bucketing demos/tests) land in /tmp, not cwd;
+        # per-process dir so orphaned locations from a previous run
+        # (in-memory catalog, files outlive the session) can't collide
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(
+                    tempfile.gettempdir(), f"kpws_warehouse_{os.getpid()}"
+                ),
+            ),
+        )
         # the events fixture carries TIMESTAMP(NANOS) which Spark's reader
         # rejects; read as long and convert in catalog._normalize (ns→µs
         # truncation — matches DuckDB's TIMESTAMP_NS→TIMESTAMP behavior)

@@ -1,0 +1,89 @@
+"""Bucketed co-located joins: pre-bucketing both sides of a recurring
+join key eliminates the join shuffle entirely — the 100 TB pattern for
+fact⋈fact joins that run every day on the same key.
+
+The reference writes plain directories (no table metadata, no
+bucketing); this is one of the capabilities the Spark-native engine
+adds. Asserts the physical property, not just the result: the bucketed
+join plans ZERO shuffle exchanges, the unbucketed control plans two.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from kafka_parquet_writer_spark.catalog import load_table
+from kafka_parquet_writer_spark.plans import count_exchanges
+
+N_BUCKETS = 4
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (
+        orders.write.bucketBy(N_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("b_orders")
+    )
+    (
+        lineitem.write.bucketBy(N_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable("b_lineitem")
+    )
+    return "b_orders", "b_lineitem"
+
+
+def _join(spark, left_name_or_df, right_name_or_df):
+    l = (
+        spark.table(left_name_or_df)
+        if isinstance(left_name_or_df, str)
+        else left_name_or_df
+    )
+    r = (
+        spark.table(right_name_or_df)
+        if isinstance(right_name_or_df, str)
+        else right_name_or_df
+    )
+    return l.join(r, l["o_orderkey"] == r["l_orderkey"]).select(
+        "o_orderkey", "l_quantity", "o_totalprice"
+    )
+
+
+def test_bucketed_join_is_shuffle_free(spark, bucketed_tables):
+    b_orders, b_lineitem = bucketed_tables
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed = _join(spark, b_orders, b_lineitem)
+        assert count_exchanges(bucketed) == 0  # co-located: no shuffle
+
+        plain = _join(
+            spark,
+            load_table(spark, SF_SMOKE, "orders"),
+            load_table(spark, SF_SMOKE, "lineitem"),
+        )
+        assert count_exchanges(plain) == 2  # control: both sides shuffle
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+
+
+def test_bucketed_join_matches_plain_results(spark, bucketed_tables):
+    b_orders, b_lineitem = bucketed_tables
+    bucketed = _join(spark, b_orders, b_lineitem)
+    plain = _join(
+        spark,
+        load_table(spark, SF_SMOKE, "orders"),
+        load_table(spark, SF_SMOKE, "lineitem"),
+    )
+    assert sorted(map(tuple, bucketed.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
