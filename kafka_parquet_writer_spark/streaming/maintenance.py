@@ -79,3 +79,46 @@ def compact_parquet_dir(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(dst_dir)
     return n_files
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    existing_dir: str | None,
+    updates,
+    keys: list[str],
+    dst_dir: str,
+    order_col: str | None = None,
+    compression: str = "snappy",
+) -> None:
+    """Merge-by-key refresh (the CDC/refeed pattern): rows from
+    ``updates`` replace same-key rows in ``existing_dir``; the result is
+    written to ``dst_dir`` (a NEW directory — same invisible-until-
+    swapped discipline as compaction).
+
+    Winner per key: the updates side; within a side, the greatest
+    ``order_col`` if given (e.g. an event timestamp), else an arbitrary
+    single row (documented nondeterminism, same as dropDuplicates).
+    Shape: one shuffle on the key, window row_number streams per group —
+    no collect, no broadcast of either side, so both sides scale.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    upd = updates.withColumn("_src", F.lit(1))
+    if existing_dir is not None:
+        old = spark.read.parquet(existing_dir).withColumn("_src", F.lit(0))
+        merged = upd.unionByName(old)
+    else:
+        merged = upd
+    order = [F.col("_src").desc()]
+    if order_col is not None:
+        order.append(F.col(order_col).desc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    result = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+    result.write.mode("overwrite").option("compression", compression).parquet(
+        dst_dir
+    )

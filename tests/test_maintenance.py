@@ -65,3 +65,38 @@ def test_compact_preserves_hive_partitions(spark):
     a = sorted((r["id"], r["day"]) for r in spark.read.parquet(src).collect())
     b = sorted((r["id"], r["day"]) for r in spark.read.parquet(dst).collect())
     assert a == b
+
+
+def test_upsert_replaces_by_key(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_parquet_writer_spark.streaming.maintenance import upsert_parquet
+
+    base = tempfile.mkdtemp(prefix="kpws_ups_")
+    old_dir = os.path.join(base, "old")
+    new_dir = os.path.join(base, "new")
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, v string, n int"
+    )
+    old.write.parquet(old_dir)
+    updates = spark.createDataFrame(
+        [(2, "B", 99), (4, "d", 40)], "k int, v string, n int"
+    )
+    upsert_parquet(spark, old_dir, updates, keys=["k"], dst_dir=new_dir)
+    got = sorted(tuple(r) for r in spark.read.parquet(new_dir).collect())
+    assert got == [(1, "a", 10), (2, "B", 99), (3, "c", 30), (4, "d", 40)]
+
+
+def test_upsert_no_existing_dedups_updates(spark):
+    from kafka_parquet_writer_spark.streaming.maintenance import upsert_parquet
+
+    base = tempfile.mkdtemp(prefix="kpws_ups2_")
+    new_dir = os.path.join(base, "new")
+    updates = spark.createDataFrame(
+        [(1, "x", 5), (1, "y", 9), (2, "z", 7)], "k int, v string, ts int"
+    )
+    upsert_parquet(
+        spark, None, updates, keys=["k"], dst_dir=new_dir, order_col="ts"
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(new_dir).collect())
+    assert got == [(1, "y", 9), (2, "z", 7)]  # greatest ts wins
