@@ -1,0 +1,55 @@
+"""Streaming keyed-upsert sink: micro-batches merge by key into a
+version-swapped parquet table; the published snapshot is always
+complete and reflects latest-per-key."""
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from kafka_parquet_writer_spark.streaming.foreach_sink import (
+    current_version_dir,
+    read_current,
+    start_upsert_stream,
+)
+
+
+def _write_batch(spark, src_dir, rows, name):
+    spark.createDataFrame(rows, "k int, v string, ts int").coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+
+
+def test_streaming_upsert_latest_per_key(spark):
+    base = tempfile.mkdtemp(prefix="kpws_fes_")
+    src = os.path.join(base, "src")
+    table = os.path.join(base, "table")
+    ckpt = os.path.join(base, "ckpt")
+
+    _write_batch(spark, src, [(1, "a", 1), (2, "b", 1), (1, "a2", 2)], "b0")
+
+    stream = spark.readStream.schema("k int, v string, ts int").parquet(src)
+    q = start_upsert_stream(
+        stream, table, keys=["k"], checkpoint_dir=ckpt,
+        order_col="ts", available_now=True,
+    )
+    q.awaitTermination()
+
+    got = sorted(tuple(r) for r in read_current(spark, table).collect())
+    assert got == [(1, "a2", 2), (2, "b", 1)]
+
+    # second wave: update k=2, add k=3 — new stream over the same ckpt
+    _write_batch(spark, src, [(2, "B", 5), (3, "c", 1)], "b1")
+    stream2 = spark.readStream.schema("k int, v string, ts int").parquet(src)
+    q2 = start_upsert_stream(
+        stream2, table, keys=["k"], checkpoint_dir=ckpt,
+        order_col="ts", available_now=True,
+    )
+    q2.awaitTermination()
+
+    got = sorted(tuple(r) for r in read_current(spark, table).collect())
+    assert got == [(1, "a2", 2), (2, "B", 5), (3, "c", 1)]
+
+    # the published pointer is a real directory with a parquet snapshot
+    cur = current_version_dir(table)
+    assert cur is not None and os.path.isdir(cur)
