@@ -561,3 +561,96 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= COSINE_DUP_THRESHOLD)
         .select("v1", "v2", pround(cos, 6).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """(d1, d2) undirected edges → (doc, comp) with comp = min doc id
+    reachable — the cluster representative.
+
+    Pregel-style large-star/small-star-ish label propagation: each
+    round every node takes the min label in its neighborhood; stop when
+    a round changes nothing. Rounds needed = graph diameter ≤ log-ish
+    for near-dup clusters (they are dense cliques in practice, so 2-3
+    rounds). The loop condition is a scalar count — the only
+    driver-side value — and each round is one shuffle-join; at larger
+    diameters swap in GraphFrames' connectedComponents, same contract.
+    The iterate is localCheckpointed each round to truncate the lineage
+    (otherwise plan depth grows linearly and planning time quadratically).
+    """
+    sym = (
+        edges.selectExpr("d1 AS a", "d2 AS b")
+        .unionByName(edges.selectExpr("d2 AS a", "d1 AS b"))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        sym.select(F.col("a").alias("doc"))
+        .distinct()
+        .withColumn("comp", F.col("doc"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["doc"])
+            .groupBy(F.col("a").alias("doc"))
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc", "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                ).alias("comp"),
+                (F.col("nmin") < F.col("comp")).alias("_changed"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def _clusters_oracle() -> str:
+    """Recursive-CTE connected components over the SAME verified
+    MinHash pair set the Spark side uses (pairs CTE = _minhash_oracle's
+    final SELECT, minus the rounded jac column)."""
+    pairs_sql = _minhash_oracle()
+    return f"""
+    WITH RECURSIVE
+    pairs AS ({pairs_sql}),
+    sym AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION
+      SELECT d2, d1 FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS v FROM sym),
+    reach(v, r) AS (
+      SELECT v, v FROM nodes
+      UNION
+      SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.v
+    )
+    SELECT v AS doc, min(r) AS comp FROM reach GROUP BY v
+    """
+
+
+@query("dedup_clusters", oracle=_clusters_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    MinHash pair graph, labeling every clustered doc with its component
+    representative (min doc id). This is the step that turns pairwise
+    dedup output into an actionable keep/drop decision — keep
+    doc == comp, drop the rest.
+
+    The oracle computes identical components via a recursive CTE
+    (transitive closure + min label), so even the iterative graph
+    algorithm is value-checked, not rows-only.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    return connected_components(pairs)

@@ -92,3 +92,16 @@ def test_rotation_binning_conservation(spark, sf_dir):
     for r in per_shard.collect():
         assert r.lo == 0
         assert r.nbins == r.hi + 1  # contiguous
+
+
+def test_connected_components_synthetic(spark):
+    from kafka_parquet_writer_spark.operators.dedup import connected_components
+
+    # two chains and a singleton-free isolated pair: {1,2,3,4}, {10,11}, {20,21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "d1 long, d2 long"
+    )
+    got = {
+        r["doc"]: r["comp"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
