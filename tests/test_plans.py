@@ -58,6 +58,9 @@ def test_minhash_profiles_single_shuffle(spark, sf_dir):
         _shingle_pairs,
     )
 
+    # cached subplans from other tests legitimately change the plan
+    # (InMemoryTableScan boundaries); assert the clean-cache shape
+    spark.catalog.clearCache()
     prof = _doc_profiles(_shingle_pairs(spark, sf_dir), MINHASH_COEFFS)
     assert count_exchanges(prof) == 1
 
