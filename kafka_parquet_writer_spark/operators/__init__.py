@@ -13,4 +13,5 @@ from kafka_parquet_writer_spark.operators import (  # noqa: F401
     etl_batch,
     streaming_queries,
     skew,
+    pipeline,
 )
