@@ -48,6 +48,7 @@ HEADLINE = [
     "text_quality",
     "udaf_grouped",
     "etl_rotation_binning",
+    "pipeline_clean_corpus",
 ]
 
 
