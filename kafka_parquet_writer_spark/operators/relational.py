@@ -764,3 +764,101 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
     )
+
+
+@query(
+    "tpch_q6",
+    oracle="""
+    SELECT (floor((CAST(sum(CAST(floor(l_extendedprice * l_discount * 1e4 + 0.5)
+                              AS BIGINT)) AS DOUBLE) / 1e4) * 1e2 + 0.5) / 1e2)
+             AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01'
+      AND l_shipdate <  DATE '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): pure filter + global
+    aggregate — the query whose entire cost is the scan, so its plan
+    must show every predicate in PushedFilters and a two-column
+    ReadSchema... which Catalyst does automatically from this
+    declarative form. Revenue in exact 1e-4 fixed point.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev4 = F.floor(
+        F.col("l_extendedprice") * F.col("l_discount") * 1e4 + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            pround(F.sum(rev4).cast("double") / 1e4, 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q18",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(floor(l_quantity * 1e2 + 0.5) AS BIGINT)) > 30000
+    )
+    SELECT c.c_name, o.o_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           (floor((CAST(sum(CAST(floor(l.l_quantity * 1e2 + 0.5) AS BIGINT))
+                   AS DOUBLE) / 100.0) * 1e2 + 0.5) / 1e2) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): HAVING-filtered aggregate as
+    a semi-join filter on the fact table, then re-aggregation and
+    top-20. The `big` keys are a tiny set, so the IN becomes a
+    broadcast semi-join — the fact table is scanned twice but shuffled
+    only on the pre-filtered keys (exact-cents HAVING threshold keeps
+    both engines' row sets identical).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qc = cents(F.col("l_quantity"))
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qc).alias("sq"))
+        .filter(F.col("sq") > 30000)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(big), "l_orderkey")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "o_custkey", "o_orderkey", "o_orderdate")
+        .agg(pround(F.sum(qc).cast("double") / 100.0, 2).alias("total_qty"))
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(20)
+    )
