@@ -317,3 +317,34 @@ def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND o2.o_totalprice < 50000)
         """
     )
+
+
+@query(
+    "subquery_correlated_agg",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand,
+           (floor((p.p_retailprice) * 1e2 + 0.5) / 1e2) AS price_r
+    FROM part p
+    WHERE p.p_retailprice = (SELECT min(p2.p_retailprice)
+                             FROM part p2
+                             WHERE p2.p_brand = p.p_brand)
+    """,
+)
+def subquery_correlated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar-aggregate subquery (TPC-H Q2's shape):
+    rows matching their group's aggregate. Catalyst decorrelates this
+    into an aggregate + join — the rewrite this query pins via the SQL
+    parser path; equality on raw doubles is safe because both engines
+    compare the same stored values (no arithmetic).
+    """
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, p.p_brand,
+               floor(p.p_retailprice * 1e2 + 0.5) / 1e2 AS price_r
+        FROM v_part p
+        WHERE p.p_retailprice = (SELECT min(p2.p_retailprice)
+                                 FROM v_part p2
+                                 WHERE p2.p_brand = p.p_brand)
+        """
+    )

@@ -862,3 +862,46 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_qty").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+@query(
+    "tpch_q14",
+    oracle="""
+    SELECT (floor((100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5)
+                      AS BIGINT) ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5)
+                             AS BIGINT)) AS DOUBLE)) * 1e6 + 0.5) / 1e6)
+             AS promo_share_pct,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= DATE '1995-09-01'
+      AND l.l_shipdate <  DATE '1995-10-01'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): conditional aggregation — the
+    CASE-inside-SUM shape that computes a ratio of two aggregates in
+    ONE pass (never two scans + a join). Part is broadcast; revenue in
+    exact 1e-4 fixed point so the ratio's operands are integers.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-09-01")
+        & (F.col("l_shipdate") < "1995-10-01")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev4 = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e4 + F.lit(0.5)
+    ).cast("long")
+    promo = F.when(F.col("p_type") == "PROMO", rev4).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            pround(
+                100.0 * F.sum(promo).cast("double") / F.sum(rev4).cast("double"),
+                6,
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
