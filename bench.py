@@ -96,6 +96,73 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"{name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    # streaming-ingest throughput: the reference's ONE quantitative
+    # design point is 300k records/s per writer instance (BASELINE.md);
+    # time the full pipeline (file stream source → decode-free path →
+    # exactly-once parquet sink with date layout) over the events table
+    # and report it as a timing entry + rows/s on stderr.
+    import tempfile
+
+    from kafka_parquet_writer_spark.catalog import normalize_nanos, table_path
+    from kafka_parquet_writer_spark.operators.streaming_queries import _staged_dir
+    from kafka_parquet_writer_spark.streaming.ingest import (
+        IngestConfig,
+        ingest_once,
+    )
+
+    ev_path = table_path(SF_DIR, "events")
+    base = tempfile.mkdtemp(prefix="kpws_bench_ingest_")
+    # stage the fixture K× under distinct names: K input splits →
+    # parallel ingest tasks, and enough rows that the fixed micro-batch
+    # startup cost stops dominating the measured rate
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    K = 10
+    for i in range(K):
+        os.symlink(ev_path, os.path.join(src, f"events_{i}.parquet"))
+    n_rows = spark.read.parquet(ev_path).count() * K
+    cfg = IngestConfig(
+        target_dir=os.path.join(base, "out"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        source_format="file",
+        source_path=src,
+        source_schema=spark.read.parquet(ev_path).schema,
+        decoder=normalize_nanos,  # fixture ts is TIMESTAMP(NANOS)
+        directory_datetime_pattern="yyyy/MM/dd",
+        partition_time_column="ts",
+        trigger_seconds=None,
+    )
+    t0 = time.time()
+    ingest_once(spark, cfg)
+    dt = time.time() - t0
+    timings["ingest_events_stream"] = round(dt, 3)
+    print(
+        f"ingest_events_stream (date-partitioned): {dt:.3f}s "
+        f"({n_rows / dt:,.0f} rows/s; reference design point 300,000 rows/s)",
+        file=sys.stderr,
+    )
+
+    # reference-comparable configuration: unpartitioned rolling files
+    # (the reference writes one flat file per worker thread)
+    cfg_flat = IngestConfig(
+        target_dir=os.path.join(base, "out_flat"),
+        checkpoint_dir=os.path.join(base, "ckpt_flat"),
+        source_format="file",
+        source_path=src,
+        source_schema=spark.read.parquet(ev_path).schema,
+        decoder=normalize_nanos,
+        directory_datetime_pattern=None,
+        trigger_seconds=None,
+    )
+    t0 = time.time()
+    ingest_once(spark, cfg_flat)
+    dt = time.time() - t0
+    timings["ingest_events_stream_flat"] = round(dt, 3)
+    print(
+        f"ingest_events_stream_flat: {dt:.3f}s ({n_rows / dt:,.0f} rows/s)",
+        file=sys.stderr,
+    )
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
