@@ -87,12 +87,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        try:
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                run(QUERIES[name](spark, SF_DIR))
+                best = min(best, time.time() - t0)
+        except Exception as e:  # noqa: BLE001 — one broken query must not kill the bench
+            print(f"{name}: FAILED ({e})", file=sys.stderr)
+            continue
+        finally:
             spark.catalog.clearCache()
-            t0 = time.time()
-            run(QUERIES[name](spark, SF_DIR))
-            best = min(best, time.time() - t0)
-        spark.catalog.clearCache()
         timings[name] = round(best, 3)
         print(f"{name}: {timings[name]:.3f}s", file=sys.stderr)
 
@@ -132,15 +137,18 @@ def main() -> None:
         partition_time_column="ts",
         trigger_seconds=None,
     )
-    t0 = time.time()
-    ingest_once(spark, cfg)
-    dt = time.time() - t0
-    timings["ingest_events_stream"] = round(dt, 3)
-    print(
-        f"ingest_events_stream (date-partitioned): {dt:.3f}s "
-        f"({n_rows / dt:,.0f} rows/s; reference design point 300,000 rows/s)",
-        file=sys.stderr,
-    )
+    try:
+        t0 = time.time()
+        ingest_once(spark, cfg)
+        dt = time.time() - t0
+        timings["ingest_events_stream"] = round(dt, 3)
+        print(
+            f"ingest_events_stream (date-partitioned): {dt:.3f}s "
+            f"({n_rows / dt:,.0f} rows/s; reference design point 300,000 rows/s)",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"ingest_events_stream: FAILED ({e})", file=sys.stderr)
 
     # reference-comparable configuration: unpartitioned rolling files
     # (the reference writes one flat file per worker thread)
@@ -154,14 +162,17 @@ def main() -> None:
         directory_datetime_pattern=None,
         trigger_seconds=None,
     )
-    t0 = time.time()
-    ingest_once(spark, cfg_flat)
-    dt = time.time() - t0
-    timings["ingest_events_stream_flat"] = round(dt, 3)
-    print(
-        f"ingest_events_stream_flat: {dt:.3f}s ({n_rows / dt:,.0f} rows/s)",
-        file=sys.stderr,
-    )
+    try:
+        t0 = time.time()
+        ingest_once(spark, cfg_flat)
+        dt = time.time() - t0
+        timings["ingest_events_stream_flat"] = round(dt, 3)
+        print(
+            f"ingest_events_stream_flat: {dt:.3f}s ({n_rows / dt:,.0f} rows/s)",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"ingest_events_stream_flat: FAILED ({e})", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
