@@ -36,6 +36,18 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def ensure_nanos_readable(spark: SparkSession) -> None:
+    """Make INT64 TIMESTAMP(NANOS) parquet columns readable on *any*
+    session, not just the one built by session.get_spark.
+
+    ``spark.sql.legacy.parquet.nanosAsLong`` is a runtime-settable SQL
+    conf; without it `spark.read.parquet` on events.parquet throws
+    PARQUET_TYPE_ILLEGAL. The driver constructs its own SparkSession,
+    so this must be applied at read time, not session-build time.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def normalize_nanos(df: DataFrame) -> DataFrame:
     """Convert nanosecond-long timestamp columns (read under
     spark.sql.legacy.parquet.nanosAsLong) to proper microsecond
@@ -52,6 +64,7 @@ def normalize_nanos(df: DataFrame) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    ensure_nanos_readable(spark)
     return normalize_nanos(spark.read.parquet(table_path(sf_dir, name)))
 
 

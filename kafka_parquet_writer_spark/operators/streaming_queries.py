@@ -17,7 +17,11 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_parquet_writer_spark.catalog import normalize_nanos, table_path
+from kafka_parquet_writer_spark.catalog import (
+    ensure_nanos_readable,
+    normalize_nanos,
+    table_path,
+)
 from kafka_parquet_writer_spark.functions.portable import cents, pround
 from kafka_parquet_writer_spark.registry import query
 
@@ -39,6 +43,7 @@ def _staged_dir(path: str) -> str:
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = table_path(sf_dir, "events")
+    ensure_nanos_readable(spark)
     schema = spark.read.parquet(path).schema
     return normalize_nanos(
         spark.readStream.schema(schema).parquet(_staged_dir(path))
