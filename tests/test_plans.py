@@ -71,6 +71,34 @@ def test_dedup_plans_never_cartesian(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
 
 
+def test_embedding_dedup_never_broadcasts_corpus(spark, sf_dir):
+    """The exact form is a grid-distributed equi-join, the ANN form a
+    cell-bucketed equi-join — neither may plan a full-corpus broadcast
+    nested-loop join or a cartesian product (the r1 shape that OOMs at
+    scale)."""
+    for name in ("dedup_embedding", "dedup_embedding_ann"):
+        plan = formatted_plan(E.queries()[name](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_embedding_dedup_ann_no_false_positives_high_recall(spark, sf_dir):
+    """ANN contract vs the exact grid join: the exact-cosine verify
+    step guarantees zero false positives; candidate recall on the
+    isotropic fixture is ≥0.9 (measured: 62/66 @ sf0.001, 59/59 @
+    sf0.01 — full recall at the driver's correctness scale)."""
+    exact = {
+        (r.v1, r.v2)
+        for r in E.queries()["dedup_embedding"](spark, sf_dir).collect()
+    }
+    ann = {
+        (r.v1, r.v2)
+        for r in E.queries()["dedup_embedding_ann"](spark, sf_dir).collect()
+    }
+    assert ann <= exact
+    assert len(ann) >= 0.9 * len(exact)
+
+
 def test_ivf_probe_join_broadcasts_queries(spark, sf_dir):
     plan = formatted_plan(E.queries()["similarity_ivf"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan  # probes (tiny) broadcast to corpus
