@@ -92,7 +92,20 @@ def salted_join(
     """Equi-join with the large side salted and the small side
     replicated ``buckets``×. Join keys become (on, _salt), spreading
     each hot key across ``buckets`` reducers. Result is identical to
-    the unsalted join for any 1-row-per-key small side."""
+    the unsalted join for any 1-row-per-key small side.
+
+    ``how`` is restricted to inner/left/left_semi/left_anti: the small
+    side is replicated, so right/full outer would emit each unmatched
+    small-side key ``buckets``× (duplicate null-extended rows). Salt
+    the OTHER side (swap the arguments) for a right-skewed outer join.
+    """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports how in {sorted(allowed)}; got {how!r} — "
+            "right/full would duplicate unmatched replicated small-side rows"
+        )
     l = with_salt(large, salt_from, buckets)
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))

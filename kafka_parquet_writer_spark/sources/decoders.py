@@ -126,7 +126,9 @@ def encode_wire_format(fields: dict[int, object]) -> bytes:
     for fnum, val in fields.items():
         if isinstance(val, int):
             put_varint((fnum << 3) | _VARINT)
-            put_varint(val)
+            # proto int32/int64 encode negatives as 64-bit
+            # two's-complement (always 10 bytes on the wire)
+            put_varint(val & 0xFFFFFFFFFFFFFFFF)
         else:
             raw = val.encode() if isinstance(val, str) else bytes(val)
             put_varint((fnum << 3) | _LEN)
@@ -168,7 +170,14 @@ def wire_format_decoder(
                     elif ftype == "string":
                         cols[name].append(vals[-1].decode("utf-8", "replace"))
                     else:
-                        cols[name].append(int(vals[-1]))
+                        v = int(vals[-1])
+                        # varints are unsigned on the wire; proto
+                        # int32/int64 negatives arrive as 64-bit
+                        # two's-complement (parser.parseFrom semantics;
+                        # without this they'd overflow Arrow int64)
+                        if v > 0x7FFFFFFFFFFFFFFF:
+                            v -= 1 << 64
+                        cols[name].append(v)
             yield pd.DataFrame(cols)
 
     def apply(df: DataFrame) -> DataFrame:

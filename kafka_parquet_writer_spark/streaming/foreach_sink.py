@@ -75,6 +75,14 @@ def start_upsert_stream(
         spark = batch_df.sparkSession
         cur = current_version_dir(table_dir)
         version = os.path.join(table_dir, f"v{batch_id}")
+        # Replay guard: a crash AFTER _swap_current but BEFORE the
+        # checkpoint commit re-delivers this batch with cur already
+        # pointing at v{batch_id}. Re-merging would read from and
+        # overwrite the same directory (Spark refuses, wedging the
+        # stream forever); the batch's effects are already published,
+        # so the idempotent replay is a no-op.
+        if cur is not None and cur == os.path.realpath(version):
+            return
         upsert_parquet(
             spark, cur, batch_df, keys=keys, dst_dir=version, order_col=order_col
         )

@@ -21,7 +21,7 @@ from kafka_parquet_writer_spark.sources.decoders import (
     st.dictionaries(
         st.integers(min_value=1, max_value=200),
         st.one_of(
-            st.integers(min_value=0, max_value=2**62),
+            st.integers(min_value=-(2**63), max_value=2**62),
             st.text(max_size=50),
         ),
         min_size=1,
@@ -34,7 +34,9 @@ def test_wire_format_encode_parse_roundtrip(fields):
     for fnum, val in fields.items():
         got = parsed[fnum][0]
         if isinstance(val, int):
-            assert got == val
+            # wire varints are unsigned: negatives round-trip as their
+            # 64-bit two's complement (the decoder layer re-signs them)
+            assert got == val & 0xFFFFFFFFFFFFFFFF
         else:
             assert got.decode() == val
 

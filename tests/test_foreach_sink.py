@@ -53,3 +53,36 @@ def test_streaming_upsert_latest_per_key(spark):
     # the published pointer is a real directory with a parquet snapshot
     cur = current_version_dir(table)
     assert cur is not None and os.path.isdir(cur)
+
+
+def test_replay_after_published_swap_is_noop(spark):
+    """Crash window regression: if the stream dies AFTER the symlink
+    swap but BEFORE the checkpoint commit, the batch replays with
+    `current` already pointing at v{batch_id}. The replay must no-op
+    (not read-and-overwrite the same directory, which wedges the
+    stream)."""
+    base = tempfile.mkdtemp(prefix="kpws_fes_replay_")
+    src = os.path.join(base, "src")
+    table = os.path.join(base, "table")
+    ckpt = os.path.join(base, "ckpt")
+
+    _write_batch(spark, src, [(1, "a", 1), (2, "b", 1)], "b0")
+    stream = spark.readStream.schema("k int, v string, ts int").parquet(src)
+    q = start_upsert_stream(
+        stream, table, keys=["k"], checkpoint_dir=ckpt,
+        order_col="ts", available_now=True,
+    )
+    q.awaitTermination()
+    before = sorted(tuple(r) for r in read_current(spark, table).collect())
+
+    # simulate the torn state: published pointer at batch 0, but the
+    # checkpoint never committed — replay batch 0 over a fresh ckpt
+    stream2 = spark.readStream.schema("k int, v string, ts int").parquet(src)
+    q2 = start_upsert_stream(
+        stream2, table, keys=["k"], checkpoint_dir=os.path.join(base, "ckpt2"),
+        order_col="ts", available_now=True,
+    )
+    q2.awaitTermination()  # must not raise "overwrite a path being read"
+
+    after = sorted(tuple(r) for r in read_current(spark, table).collect())
+    assert after == before

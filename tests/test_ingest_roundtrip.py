@@ -156,6 +156,25 @@ def test_wire_format_roundtrip_and_dlq(spark):
     assert len(bad) == 1 and bad[0].timestamp is None
 
 
+def test_wire_format_negative_ints(spark):
+    """Negative proto int32/int64 arrive as 10-byte two's-complement
+    varints; the decoder must re-sign them (parser.parseFrom semantics)
+    instead of emitting huge unsigned values that overflow Arrow int64."""
+    msgs = [{1: "neg", 2: -1700000000000, 3: -7, 4: 0},
+            {1: "pos", 2: 1700000000000, 3: 7, 4: 1}]
+    df = spark.createDataFrame(
+        [(encode_wire_format(m),) for m in msgs], "value binary"
+    )
+    decoder = wire_format_decoder(
+        {"query": (1, "string"), "timestamp": (2, "long"),
+         "pgsize": (3, "int"), "offset": (4, "int")}
+    )
+    out = {r.query: r for r in decoder(df).collect()}
+    assert out["neg"].timestamp == -1700000000000
+    assert out["neg"].pgsize == -7
+    assert out["pos"].timestamp == 1700000000000
+
+
 def test_wire_format_parser_units():
     enc = encode_wire_format({1: "héllo", 2: 2**45, 3: 0})
     parsed = parse_wire_format(enc)

@@ -64,6 +64,20 @@ def test_salted_join_matches_plain(spark):
     assert salted.columns == plain.columns  # _salt dropped
 
 
+def test_salted_join_rejects_right_and_full(spark):
+    """The small side is replicated buckets×, so right/full outer
+    would duplicate unmatched small-side keys — must raise."""
+    import pytest
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_suppkey", "l_orderkey")
+    sup = load_table(spark, SF_SMOKE, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(li, sup, on="l_suppkey", salt_from="l_orderkey", how=how)
+
+
 def test_ivf_corpus_cell_assignment_unique_and_valid(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     cells = emb.select(
