@@ -62,6 +62,14 @@ _PRIORITY = [
     "dedup_embedding",
     # new this round
     "dedup_embedding_ann",
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q16",
+    "tpch_q19",
 ]
 
 

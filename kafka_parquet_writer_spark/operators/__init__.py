@@ -5,6 +5,7 @@ from kafka_parquet_writer_spark.operators import (  # noqa: F401
     relational,
     analytics,
     scalar,
+    tpch,
     dedup,
     similarity,
     text,
