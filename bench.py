@@ -49,6 +49,22 @@ HEADLINE = [
     "udaf_grouped",
     "etl_rotation_binning",
     "pipeline_clean_corpus",
+    "dedup_embedding",
+    "dedup_embedding_ann",
+    "tpch_q5",
+    "tpch_q13",
+]
+
+#: streaming lane: executed end-to-end through Structured Streaming
+#: (file source → watermark/window/state → memory sink); timed like the
+#: batch lane so round-over-round streaming regressions are visible
+STREAMING_HEADLINE = [
+    "stream_window_tumbling",
+    "stream_window_sliding",
+    "stream_stateful_count",
+    "stream_stream_join",
+    "stream_dedup",
+    "stream_session_window",
 ]
 
 
@@ -101,6 +117,23 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"{name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    # streaming lane: each query drains the staged events stream through
+    # its windowed/stateful plan into a memory sink; best of two runs
+    # (fresh checkpoint each — the memory sink name is counter-suffixed)
+    streaming: dict[str, float] = {}
+    for name in STREAMING_HEADLINE:
+        best = float("inf")
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                run(QUERIES[name](spark, SF_DIR))
+                best = min(best, time.time() - t0)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: FAILED ({e})", file=sys.stderr)
+            continue
+        streaming[name] = round(best, 3)
+        print(f"{name}: {streaming[name]:.3f}s", file=sys.stderr)
+
     # streaming-ingest throughput: the reference's ONE quantitative
     # design point is 300k records/s per writer instance (BASELINE.md);
     # time the full pipeline (file stream source → decode-free path →
@@ -122,57 +155,53 @@ def main() -> None:
     # startup cost stops dominating the measured rate
     src = os.path.join(base, "src")
     os.makedirs(src)
-    K = 10
+    # 20 copies ≈ 2M rows: enough that the fixed micro-batch startup
+    # (~1 s) stops dominating — the reference's 300k rows/s design point
+    # is a steady-state number, so the comparison should be too
+    K = 20
     for i in range(K):
         os.symlink(ev_path, os.path.join(src, f"events_{i}.parquet"))
     n_rows = spark.read.parquet(ev_path).count() * K
-    cfg = IngestConfig(
-        target_dir=os.path.join(base, "out"),
-        checkpoint_dir=os.path.join(base, "ckpt"),
-        source_format="file",
-        source_path=src,
-        source_schema=spark.read.parquet(ev_path).schema,
-        decoder=normalize_nanos,  # fixture ts is TIMESTAMP(NANOS)
+    # best of two runs, matching the query section's methodology: the
+    # first streaming write pays one-time listing/codegen warm-up that
+    # a steady-state deployment (900 s triggers) never sees — the
+    # reference's 300k rows/s design point is a steady-state number
+    def bench_ingest(tag: str, **cfg_kw) -> None:
+        best = float("inf")
+        try:
+            for attempt in range(2):
+                cfg = IngestConfig(
+                    target_dir=os.path.join(base, f"out_{tag}_{attempt}"),
+                    checkpoint_dir=os.path.join(base, f"ckpt_{tag}_{attempt}"),
+                    source_format="file",
+                    source_path=src,
+                    source_schema=spark.read.parquet(ev_path).schema,
+                    decoder=normalize_nanos,  # fixture ts is TIMESTAMP(NANOS)
+                    trigger_seconds=None,
+                    **cfg_kw,
+                )
+                t0 = time.time()
+                ingest_once(spark, cfg)
+                best = min(best, time.time() - t0)
+        except Exception as e:  # noqa: BLE001
+            print(f"{tag}: FAILED ({e})", file=sys.stderr)
+            return
+        timings[tag] = round(best, 3)
+        print(
+            f"{tag}: {best:.3f}s ({n_rows / best:,.0f} rows/s; "
+            "reference design point 300,000 rows/s)",
+            file=sys.stderr,
+        )
+
+    bench_ingest(
+        "ingest_events_stream",
         directory_datetime_pattern="yyyy/MM/dd",
         partition_time_column="ts",
-        trigger_seconds=None,
+        files_per_dir=2,
     )
-    try:
-        t0 = time.time()
-        ingest_once(spark, cfg)
-        dt = time.time() - t0
-        timings["ingest_events_stream"] = round(dt, 3)
-        print(
-            f"ingest_events_stream (date-partitioned): {dt:.3f}s "
-            f"({n_rows / dt:,.0f} rows/s; reference design point 300,000 rows/s)",
-            file=sys.stderr,
-        )
-    except Exception as e:  # noqa: BLE001
-        print(f"ingest_events_stream: FAILED ({e})", file=sys.stderr)
-
     # reference-comparable configuration: unpartitioned rolling files
     # (the reference writes one flat file per worker thread)
-    cfg_flat = IngestConfig(
-        target_dir=os.path.join(base, "out_flat"),
-        checkpoint_dir=os.path.join(base, "ckpt_flat"),
-        source_format="file",
-        source_path=src,
-        source_schema=spark.read.parquet(ev_path).schema,
-        decoder=normalize_nanos,
-        directory_datetime_pattern=None,
-        trigger_seconds=None,
-    )
-    try:
-        t0 = time.time()
-        ingest_once(spark, cfg_flat)
-        dt = time.time() - t0
-        timings["ingest_events_stream_flat"] = round(dt, 3)
-        print(
-            f"ingest_events_stream_flat: {dt:.3f}s ({n_rows / dt:,.0f} rows/s)",
-            file=sys.stderr,
-        )
-    except Exception as e:  # noqa: BLE001
-        print(f"ingest_events_stream_flat: FAILED ({e})", file=sys.stderr)
+    bench_ingest("ingest_events_stream_flat", directory_datetime_pattern=None)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -184,6 +213,12 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "streaming": streaming,
+        "ingest_rows_per_sec": {
+            k: round(n_rows / timings[k]) for k in
+            ("ingest_events_stream", "ingest_events_stream_flat")
+            if k in timings
+        },
         "sf": sf_val,
     }
     print(json.dumps(result))
