@@ -718,53 +718,95 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: rounds the most recent connected_components call took (testing hook)
+_LAST_CC_ROUNDS = 0
+
+
 def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """(d1, d2) undirected edges → (doc, comp) with comp = min doc id
     reachable — the cluster representative.
 
-    Pregel-style large-star/small-star-ish label propagation: each
-    round every node takes the min label in its neighborhood; stop when
-    a round changes nothing. Rounds needed = graph diameter ≤ log-ish
-    for near-dup clusters (they are dense cliques in practice, so 2-3
-    rounds). The loop condition is a scalar count — the only
-    driver-side value — and each round is one shuffle-join; at larger
-    diameters swap in GraphFrames' connectedComponents, same contract.
-    The iterate is localCheckpointed each round to truncate the lineage
-    (otherwise plan depth grows linearly and planning time quadratically).
+    Alternating **large-star / small-star** (the MapReduce CC algorithm
+    of Kiveris et al.), not label propagation: label propagation needs
+    rounds ∝ graph *diameter* (a 1M-link chain of near-dup versions =
+    1M shuffle rounds), while star contraction converges in O(log n)
+    rounds on any topology. Each round is two grouped aggregations +
+    two joins; the per-round driver-side value is a constant-size
+    fingerprint (count + hash-sum) used for the fixpoint test. Iterates
+    are localCheckpointed to truncate lineage (plan depth would
+    otherwise grow linearly and planning time quadratically).
+
+    * large-star: every node links its larger neighbors to the minimum
+      of its neighborhood (incl. itself);
+    * small-star: every node links its smaller-or-equal neighbors and
+      itself to that minimum.
+
+    At the fixpoint every component is a star centered on its minimum
+    id, so labels read directly off the edge list.
     """
-    sym = (
-        edges.selectExpr("d1 AS a", "d2 AS b")
-        .unionByName(edges.selectExpr("d2 AS a", "d1 AS b"))
+    global _LAST_CC_ROUNDS
+    e = (
+        edges.selectExpr("d1 AS u", "d2 AS v")
+        .filter(F.col("u") != F.col("v"))
         .distinct()
-        .cache()
-    )
-    labels = (
-        sym.select(F.col("a").alias("doc"))
-        .distinct()
-        .withColumn("comp", F.col("doc"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym["b"] == labels["doc"])
-            .groupBy(F.col("a").alias("doc"))
-            .agg(F.min("comp").alias("nmin"))
+    prev_fp = None
+    for rounds in range(1, max_iter + 1):
+        # -- large-star ---------------------------------------------------
+        sym = e.unionByName(e.selectExpr("v AS u", "u AS v"))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "doc", "left")
-            .select(
-                "doc",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
-                ).alias("comp"),
-                (F.col("nmin") < F.col("comp")).alias("_changed"),
+        lg = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # -- small-star ---------------------------------------------------
+        o = (
+            lg.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
             )
-        ).localCheckpoint()
-        changed = new_labels.filter(F.col("_changed")).limit(1).count()
-        labels = new_labels.drop("_changed")
-        if changed == 0:
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        mins2 = o.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            o.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .unionByName(mins2.selectExpr("u", "m AS v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # fixpoint test: consecutive edge sets identical ⇒ stars formed
+        fp = tuple(
+            e.agg(
+                F.count(F.lit(1)),
+                # decimal accumulator: a long sum of 2^63-range hashes
+                # overflows under ANSI mode
+                F.coalesce(
+                    F.sum(F.xxhash64("u", "v").cast("decimal(30,0)")),
+                    F.lit(0).cast("decimal(30,0)"),
+                ),
+            ).collect()[0]
+        )
+        if fp == prev_fp:
             break
-    return labels
+        prev_fp = fp
+    _LAST_CC_ROUNDS = rounds
+    # stars: (member, center) edges with center < member; centers label
+    # themselves
+    return (
+        e.selectExpr("u AS doc", "v AS comp")
+        .unionByName(e.select(F.col("v").alias("doc"), F.col("v").alias("comp")))
+        .groupBy("doc")
+        .agg(F.min("comp").alias("comp"))
+    )
 
 
 def _clusters_oracle() -> str:

@@ -107,3 +107,50 @@ def test_connected_components_synthetic(spark):
         r["doc"]: r["comp"] for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_path_converges_in_log_rounds(spark):
+    """Star contraction must handle large-diameter graphs in O(log n)
+    rounds — the case that kills label propagation (rounds ∝ diameter).
+    A 128-hop path has diameter 128; the round budget here is 12."""
+    from kafka_parquet_writer_spark.operators import dedup as D
+
+    n = 128
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "d1 long, d2 long"
+    )
+    labels = {r["doc"]: r["comp"] for r in D.connected_components(edges).collect()}
+    assert len(labels) == n + 1
+    assert set(labels.values()) == {0}
+    assert D._LAST_CC_ROUNDS <= 12
+
+
+def test_connected_components_random_graph_matches_union_find(spark):
+    """Seeded random graph vs a plain Python union-find oracle."""
+    import random
+
+    from kafka_parquet_writer_spark.operators.dedup import connected_components
+
+    rng = random.Random(1234)
+    n, m = 300, 220
+    pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {x for ab in pairs for x in ab}
+    expected = {x: find(x) for x in touched}
+
+    edges = spark.createDataFrame(pairs, "d1 long, d2 long")
+    got = {r["doc"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == expected
