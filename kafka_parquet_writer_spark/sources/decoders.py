@@ -50,6 +50,69 @@ def proto_decoder(
     return decode
 
 
+#: FieldDescriptorProto.Type values (descriptor.proto, public spec)
+_PROTO_FIELD_TYPES = {
+    "double": 1,
+    "int64": 3,
+    "int32": 5,
+    "bool": 8,
+    "string": 9,
+    "bytes": 12,
+}
+
+
+def build_file_descriptor_set(
+    message_name: str,
+    fields: list[tuple[str, int, str]],
+    package: str = "kpws",
+    filename: str = "kpws_generated.proto",
+) -> bytes:
+    """Hand-encode a ``FileDescriptorSet`` for one flat proto3 message —
+    the descriptor input ``from_protobuf`` needs — without protoc.
+
+    ``fields``: [(field_name, field_number, type)] with type from
+    ``_PROTO_FIELD_TYPES``. descriptor.proto's own wire layout is the
+    stable public protobuf spec, so emitting it with the same varint /
+    length-delimited primitives the tier-2 reader uses is ~30 lines.
+    The resulting message's full name is ``<package>.<message_name>``.
+    """
+
+    def varint(v: int) -> bytes:
+        out = bytearray()
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    def ld(fnum: int, payload: bytes) -> bytes:  # length-delimited field
+        return varint((fnum << 3) | _LEN) + varint(len(payload)) + payload
+
+    def vint(fnum: int, v: int) -> bytes:  # varint field
+        return varint((fnum << 3) | _VARINT) + varint(v)
+
+    field_protos = b""
+    for name, number, ftype in fields:
+        field_protos += ld(
+            2,  # DescriptorProto.field
+            ld(1, name.encode())  # FieldDescriptorProto.name
+            + vint(3, number)  # .number
+            + vint(4, 1)  # .label = LABEL_OPTIONAL
+            + vint(5, _PROTO_FIELD_TYPES[ftype]),  # .type
+        )
+    message_type = ld(1, message_name.encode()) + field_protos
+    file_proto = (
+        ld(1, filename.encode())  # FileDescriptorProto.name
+        + ld(2, package.encode())  # .package
+        + ld(4, message_type)  # .message_type
+        + ld(12, b"proto3")  # .syntax
+    )
+    return ld(1, file_proto)  # FileDescriptorSet.file
+
+
 # --- tier 2: pure-Python wire-format reader --------------------------------
 
 #: wire types of the protobuf encoding (public spec)

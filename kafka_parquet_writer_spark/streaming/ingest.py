@@ -254,10 +254,13 @@ class IngestMetrics:
     """Reference #12 (Dropwizard meters :110-154) → StreamingQueryListener.
 
     Tracks written-record counts per query; ``written_records`` mirrors
-    the reference's ``getWrittenRecords()`` getter (:199-211).
+    the reference's ``getWrittenRecords()`` getter (:199-211). With a
+    ``target_dir``, also tracks the size of every committed parquet
+    file — the reference's closed-file-size ``Histogram``
+    (:110-121,146-154) — exposed via ``file_size_histogram()``.
     """
 
-    def __init__(self, spark: SparkSession) -> None:
+    def __init__(self, spark: SparkSession, target_dir: str | None = None) -> None:
         from pyspark.sql.streaming import StreamingQueryListener
 
         metrics = self
@@ -270,6 +273,7 @@ class IngestMetrics:
                 p = event.progress
                 metrics.written_records += p.sink.numOutputRows or 0
                 metrics.batches += 1
+                metrics._scan_files()
 
             def onQueryIdle(self, event):  # noqa: N802
                 pass
@@ -279,8 +283,55 @@ class IngestMetrics:
 
         self.written_records = 0
         self.batches = 0
+        self.target_dir = target_dir
+        self.file_sizes: list[int] = []
+        self._seen: set[str] = set()
         self._listener = _L()
         spark.streams.addListener(self._listener)
+
+    def _scan_files(self) -> None:
+        """Record sizes of newly committed data files under target_dir.
+        Also invoked lazily by file_size_histogram(), so readers never
+        race the (async) listener thread for the final batch."""
+        if not self.target_dir:
+            return
+        import os
+
+        for root, dirs, files in os.walk(self.target_dir):
+            # _spark_metadata holds the commit log, not data files
+            dirs[:] = [d for d in dirs if not d.startswith("_")]
+            for name in files:
+                if name.startswith(("_", ".")):
+                    continue
+                path = os.path.join(root, name)
+                if path in self._seen:
+                    continue
+                self._seen.add(path)
+                try:
+                    self.file_sizes.append(os.path.getsize(path))
+                except OSError:
+                    pass
+
+    def file_size_histogram(self) -> dict[str, float]:
+        """Dropwizard-Snapshot-shaped summary of committed file sizes."""
+        self._scan_files()
+        if not self.file_sizes:
+            return {"count": 0}
+        s = sorted(self.file_sizes)
+        n = len(s)
+
+        def pct(q: float) -> int:
+            return s[min(n - 1, int(q * n))]
+
+        return {
+            "count": n,
+            "min": s[0],
+            "max": s[-1],
+            "mean": sum(s) / n,
+            "p50": pct(0.50),
+            "p95": pct(0.95),
+            "p99": pct(0.99),
+        }
 
     def remove(self, spark: SparkSession) -> None:
         spark.streams.removeListener(self._listener)

@@ -95,6 +95,31 @@ def test_partitioned_directory_layout(spark, sf_dir):
     assert mismatch == 0
 
 
+def test_metrics_file_size_histogram(spark, sf_dir):
+    """Reference metric parity (KafkaProtoParquetWriter.java:110-121):
+    the flushed-file-size histogram must see every committed data file
+    and its true byte size."""
+    from kafka_parquet_writer_spark.streaming.ingest import IngestMetrics
+
+    cfg = _cfg(spark, sf_dir)
+    m = IngestMetrics(spark, target_dir=cfg.target_dir)
+    try:
+        ingest_once(spark, cfg)
+        h = m.file_size_histogram()
+        files = [
+            p
+            for p in glob.glob(
+                os.path.join(cfg.target_dir, "**", "*.parquet"), recursive=True
+            )
+            if "_spark_metadata" not in p
+        ]
+        assert h["count"] == len(files) > 0
+        assert h["min"] > 0 and h["max"] >= h["p95"] >= h["p50"] >= h["min"]
+        assert sum(m.file_sizes) == sum(os.path.getsize(p) for p in files)
+    finally:
+        m.remove(spark)
+
+
 def test_rotation_max_records_per_file(spark, sf_dir):
     """Size-rotation analogue (reference #4, :282-310): no output file
     exceeds the per-file record cap."""
