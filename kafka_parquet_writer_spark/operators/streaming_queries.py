@@ -50,19 +50,37 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: state partitions for the declared streaming queries. Stateful
+#: operators commit one store (stream-stream joins: four) per partition
+#: per batch — a file create+rename each — so partition count must track
+#: STATE size, not core count: at fixture scale 32 partitions spend more
+#: time committing empty stores than computing (measured 9 s → 3 s on
+#: the interval join at 8). Production sizing: state-rows ÷ what fits
+#: one executor's memory, set before the first batch (the count is
+#: baked into the checkpoint).
+STREAM_STATE_PARTITIONS = 8
+
+
 def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
     """Execute a streaming DataFrame to completion into a memory sink."""
     name = f"kpws_stream_{next(_counter)}"
     ckpt = tempfile.mkdtemp(prefix="kpws_ckpt_")
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # the conf is captured at stream start; restore for batch plans
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return stream_df.sparkSession.table(name)
 
 
