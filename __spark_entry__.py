@@ -70,6 +70,12 @@ _PRIORITY = [
     "tpch_q13",
     "tpch_q16",
     "tpch_q19",
+    "tpch_q1",
+    "tpch_q7",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q21",
+    "tpch_q22",
 ]
 
 

@@ -1,13 +1,16 @@
 """TPC-H composed-query sweep (round-2 widening of SURVEY §2B).
 
-Q3/Q6/Q14/Q18 live in relational.py; this module adds the remaining
-shapes expressible on the fixture schema: Q2 Q4 Q5 Q10 Q12 Q13 Q16 Q19.
-The fixture (TESTDATA.md) has no partsupp table and no
-l_shipmode/l_commitdate/l_receiptdate columns, so Q2/Q4/Q12/Q16/Q19
-are *adapted*: the structural shape (correlated max, EXISTS semi-join,
-conditional aggregation, distinct-count grouping, OR-of-ANDs predicate
-pushdown) is preserved on the columns that exist, and every adaptation
-is value-oracled against DuckDB running the identical SQL.
+Q3/Q6/Q14/Q18 live in relational.py; this module adds every remaining
+shape expressible on the fixture schema: Q1 Q2 Q4 Q5 Q7 Q10 Q12 Q13
+Q15 Q16 Q17 Q19 Q21 Q22 — 18 of the 22 TPC-H shapes in total (Q8/Q9/
+Q11/Q20 need partsupp columns with no fixture analogue). The fixture
+(TESTDATA.md) has no partsupp table and no l_shipmode/l_commitdate/
+l_receiptdate columns, so Q2/Q4/Q12/Q16/Q19/Q21/Q22 are *adapted*:
+the structural shape (correlated max, EXISTS semi-join, conditional
+aggregation, distinct-count grouping, OR-of-ANDs predicate pushdown,
+double-correlated EXISTS/NOT-EXISTS, scalar threshold + anti-join) is
+preserved on the columns that exist, and every adaptation is
+value-oracled against DuckDB running the identical SQL.
 
 Money math follows the repo convention: exact fixed-point (1e-2/1e-4
 cents) inside aggregates so both engines sum integers, portable
@@ -461,5 +464,363 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             pround(F.sum(_rev4()).cast("double") / 1e4, 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           (floor((CAST(sum(CAST(floor(l_quantity * 1e2 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1e2) * 1e2 + 0.5) / 1e2) AS sum_qty,
+           (floor((CAST(sum(CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1e2) * 1e2 + 0.5) / 1e2) AS sum_base_price,
+           (floor((CAST(sum({_REV4_SQL}) AS DOUBLE) / 1e4) * 1e2 + 0.5) / 1e2)
+             AS sum_disc_price,
+           (floor((CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * (1 + l_tax) * 1e4 + 0.5) AS BIGINT))
+                   AS DOUBLE) / 1e4) * 1e2 + 0.5) / 1e2) AS sum_charge,
+           (floor((CAST(sum(CAST(floor(l_quantity * 1e2 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1e2 / count(*)) * 1e4 + 0.5) / 1e4) AS avg_qty,
+           (floor((CAST(sum(CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1e2 / count(*)) * 1e4 + 0.5) / 1e4) AS avg_price,
+           (floor((CAST(sum(CAST(floor(l_discount * 1e4 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1e4 / count(*)) * 1e6 + 0.5) / 1e6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) — the full 8-measure form
+    (agg_hash covers the 3-measure shape). One scan, one partial-
+    aggregating shuffle on a 6-value key; every measure is exact fixed
+    point before the final portable rounding, so both engines sum
+    integers.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "2000-12-01"
+    )
+    qty2 = F.floor(F.col("l_quantity") * 1e2 + F.lit(0.5)).cast("long")
+    price2 = F.floor(F.col("l_extendedprice") * 1e2 + F.lit(0.5)).cast("long")
+    disc4 = F.floor(F.col("l_discount") * 1e4 + F.lit(0.5)).cast("long")
+    charge4 = F.floor(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 1e4
+        + F.lit(0.5)
+    ).cast("long")
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            pround(F.sum(qty2).cast("double") / 1e2, 2).alias("sum_qty"),
+            pround(F.sum(price2).cast("double") / 1e2, 2).alias("sum_base_price"),
+            pround(F.sum(_rev4()).cast("double") / 1e4, 2).alias("sum_disc_price"),
+            pround(F.sum(charge4).cast("double") / 1e4, 2).alias("sum_charge"),
+            pround(F.sum(qty2).cast("double") / 1e2 / n, 4).alias("avg_qty"),
+            pround(F.sum(price2).cast("double") / 1e2 / n, 4).alias("avg_price"),
+            pround(F.sum(disc4).cast("double") / 1e4 / n, 6).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q7",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           (floor((CAST(sum({_REV4_SQL}) AS DOUBLE) / 1e4) * 1e2 + 0.5) / 1e2)
+             AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      AND l.l_shipdate >= DATE '1996-01-01'
+      AND l.l_shipdate <  DATE '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade between two nations
+    per year — the query with TWO independent joins to the same
+    dimension (supplier nation and customer nation) and a symmetric
+    OR across them.
+
+    Scale: both nation joins broadcast; the OR is applied after the
+    (tiny) dim joins, never expanding the fact side; year extraction
+    stays JVM-side.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_suppkey", "l_shipdate",
+             "l_extendedprice", "l_discount")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(pround(F.sum(_rev4()).cast("double") / 1e4, 2).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum({_REV4_SQL}) AS total4
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           (floor((CAST(r.total4 AS DOUBLE) / 1e4) * 1e2 + 0.5) / 1e2)
+             AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total4 = (SELECT max(total4) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the revenue "view" + its global max —
+    a scalar-subquery-against-own-aggregate shape. Expressed as one
+    aggregation reused twice via an unpartitioned window max (the
+    aggregate is supplier-grain = tiny, so the single-partition window
+    is safe by construction; ties: all max suppliers returned, per
+    spec).
+
+    The exact integer fixed-point revenue makes the max comparison
+    engine-portable — a double sum would make "equals max" fragile.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev4()).alias("total4")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    w = W.partitionBy()
+    return (
+        rev.withColumn("mx", F.max("total4").over(w))
+        .filter(F.col("total4") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            pround(F.col("total4").cast("double") / 1e4, 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q17",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(floor(l_quantity * 1e2 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1e2 / count(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT (floor((CAST(sum(CAST(floor(l.l_extendedprice * 1e2 + 0.5) AS BIGINT))
+                   AS DOUBLE) / 1e2 / 7.0) * 1e2 + 0.5) / 1e2) AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND p.p_type = 'SMALL'
+      AND l.l_quantity < 0.2 * pa.avg_qty
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): the correlated
+    per-part average subquery, planned as an aggregate-then-rejoin on
+    partkey (never a per-row subquery execution). The per-part average
+    is computed in exact cents / exact count so the 0.2× threshold
+    comparison is bit-identical across engines.
+
+    Scale: two shuffles on partkey (the aggregate and the join); the
+    brand/type filter broadcasts from part and prunes before the
+    average join.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    qty2 = F.floor(F.col("l_quantity") * 1e2 + F.lit(0.5)).cast("long")
+    pa = li.groupBy("l_partkey").agg(
+        (F.sum(qty2).cast("double") / 1e2 / F.count(F.lit(1))).alias("avg_qty")
+    ).select(F.col("l_partkey").alias("pa_key"), "avg_qty")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
+    ).select("p_partkey")
+    price2 = F.floor(F.col("l_extendedprice") * 1e2 + F.lit(0.5)).cast("long")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pa, F.col("l_partkey") == F.col("pa_key"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            pround(F.sum(price2).cast("double") / 1e2 / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q21",
+    oracle="""
+    WITH lines AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) > 90 AS late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM (
+      SELECT DISTINCT a.l_orderkey, a.l_suppkey
+      FROM lines a
+      WHERE a.late
+        AND EXISTS (SELECT 1 FROM lines b
+                    WHERE b.l_orderkey = a.l_orderkey
+                      AND b.l_suppkey <> a.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lines c
+                        WHERE c.l_orderkey = a.l_orderkey
+                          AND c.l_suppkey <> a.l_suppkey AND c.late)
+    ) w
+    JOIN supplier s ON s.s_suppkey = w.l_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: "late"
+    is shipped >90 days after the order date (no commit/receipt dates
+    in the fixture). Keeps the defining EXISTS + NOT-EXISTS double
+    correlation: the sole late supplier in a multi-supplier order.
+
+    Planned without correlated subqueries: one per-order aggregate
+    (supplier count, late-supplier count, the late supplier id) then a
+    filter — two shuffles on orderkey total, vs four for the naive
+    semi/anti-join pair.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lines = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90
+            ).alias("late"),
+        )
+        .select("l_orderkey", "l_suppkey", "late")
+        .distinct()
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("late_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q22",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(sum(CAST(floor(c_acctbal * 1e2 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1e2 / count(*) AS v
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n.n_name AS cntry, count(*) AS numcust,
+           (floor((CAST(sum(CAST(floor(c.c_acctbal * 1e2 + 0.5) AS BIGINT))
+                   AS DOUBLE) / 1e2) * 1e2 + 0.5) / 1e2) AS totacctbal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > (SELECT v FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '1999-01-01')
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted: rich-but-inactive
+    customers (above-average balance, no orders since 1999) grouped by
+    nation (the fixture has no phone column for country codes; the date
+    window keeps the result non-empty — every fixture customer has
+    *some* order). The defining composition survives: scalar aggregate
+    threshold + anti-join against the fact table + re-aggregation.
+
+    Scale: the scalar average is a 1-row broadcast cross join; the
+    NOT EXISTS is a left-anti shuffle join on custkey; nation
+    broadcasts.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_nationkey"
+    )
+    bal2 = F.floor(F.col("c_acctbal") * 1e2 + F.lit(0.5)).cast("long")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(bal2).cast("double") / 1e2 / F.count(F.lit(1))).alias("v"))
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1999-01-01"
+    ).select("o_custkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("v"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            pround(F.sum(bal2).cast("double") / 1e2, 2).alias("totacctbal"),
         )
     )
