@@ -44,6 +44,53 @@ def measure_row_bytes(
     return max(1.0, dir_parquet_bytes(d) / n)
 
 
+def calibrate_file_sizing(
+    df: DataFrame,
+    sample_rows: int = SAMPLE_ROWS,
+    compression: str = "snappy",
+) -> tuple[float, float]:
+    """(marginal bytes per row, fixed bytes per file), by linear fit.
+
+    A parquet file's size is ≈ ``rows × slope + intercept``: the
+    intercept (dictionary pages, column-chunk metadata, footer) is a
+    per-FILE constant, so a single aggregate bytes/row figure
+    systematically overshoots small files. Two sample writes at
+    different ``maxRecordsPerFile`` give both coefficients; with them
+    ``write_parquet_sized`` lands inside the reference's own accuracy
+    band ((0.9, 1.01)×, `KafkaProtoParquetWriterTest.java:181-187`) —
+    see tests/test_writers.py. Cost: two tiny jobs, input-size-free.
+    """
+    import glob
+
+    sample = df.limit(sample_rows).coalesce(1).cache()
+    n = sample.count()
+    if n < 4:
+        sample.unpersist()
+        return max(1.0, measure_row_bytes(df, sample_rows, compression)), 0.0
+    points = []
+    for rows_per_file in (n, max(2, n // 4)):
+        d = tempfile.mkdtemp(prefix="kpws_sizeprobe_")
+        (
+            sample.write.mode("overwrite")
+            .option("compression", compression)
+            .option("maxRecordsPerFile", str(rows_per_file))
+            .parquet(d)
+        )
+        files = [
+            p
+            for p in glob.glob(os.path.join(d, "*.parquet"))
+            if not os.path.basename(p).startswith(("_", "."))
+        ]
+        points.append((n / len(files), dir_parquet_bytes(d) / len(files)))
+    sample.unpersist()
+    (r1, s1), (r2, s2) = points
+    if r1 == r2:
+        return max(1.0, s1 / r1), 0.0
+    slope = (s1 - s2) / (r1 - r2)
+    intercept = s1 - r1 * slope
+    return max(1.0, slope), max(0.0, intercept)
+
+
 def write_parquet_sized(
     df: DataFrame,
     path: str,
@@ -51,17 +98,22 @@ def write_parquet_sized(
     partition_by: list[str] | None = None,
     compression: str = "snappy",
     row_bytes: float | None = None,
+    file_overhead_bytes: float = 0.0,
 ) -> int:
     """Write ``df`` as parquet with files of ≈``target_file_bytes``.
 
-    Returns the ``maxRecordsPerFile`` used. Pass ``row_bytes`` to skip
-    the sampling job when the caller already knows the encoding rate
-    (e.g. from a previous run's metrics)."""
+    Returns the ``maxRecordsPerFile`` used. Pass ``row_bytes`` (and
+    optionally ``file_overhead_bytes``, both from
+    ``calibrate_file_sizing`` or a previous run's metrics) to skip the
+    sampling job and get reference-band accuracy; the default single
+    sample estimate is looser (it folds per-file overhead into the
+    per-row rate)."""
     if target_file_bytes <= 0:
         raise ValueError("target_file_bytes must be positive")
     if row_bytes is None:
         row_bytes = measure_row_bytes(df, compression=compression)
-    max_records = max(1, int(target_file_bytes / row_bytes))
+    usable = max(1.0, target_file_bytes - file_overhead_bytes)
+    max_records = max(1, int(usable / row_bytes))
     writer = (
         df.write.mode("overwrite")
         .option("compression", compression)

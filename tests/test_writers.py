@@ -9,6 +9,7 @@ import tempfile
 from tests.conftest import SF_SMOKE
 from kafka_parquet_writer_spark.catalog import load_table
 from kafka_parquet_writer_spark.sources.writers import (
+    calibrate_file_sizing,
     measure_row_bytes,
     write_parquet_sized,
 )
@@ -44,6 +45,28 @@ def test_sized_write_hits_target_band(spark):
     # all but the tail file within a generous band of the target
     for s in sorted(sizes, reverse=True)[:-1]:
         assert 0.4 * target <= s <= 2.5 * target, sizes
+
+
+def test_calibrated_sizing_hits_reference_accuracy_band(spark):
+    """Byte-accuracy parity with the reference's own rotation test
+    (KafkaProtoParquetWriterTest.java:181-187): every complete
+    (non-tail) file within (0.9, 1.01)× of the byte target, using the
+    two-point (slope, intercept) calibration instead of a single
+    bytes/row estimate."""
+    ev = load_table(spark, SF_SMOKE, "events").coalesce(1)
+    n = ev.count()
+    slope, intercept = calibrate_file_sizing(ev, sample_rows=n)
+    assert slope >= 1.0 and intercept >= 0.0
+    target = int(slope * n / 4 + intercept)  # aim for ~4 files
+    d = os.path.join(tempfile.mkdtemp(prefix="kpws_calib_"), "out")
+    write_parquet_sized(
+        ev, d, target_file_bytes=target,
+        row_bytes=slope, file_overhead_bytes=intercept,
+    )
+    sizes = sorted((os.path.getsize(f) for f in _files(d)), reverse=True)
+    assert len(sizes) >= 3
+    for s in sizes[:-1]:  # tail file holds the remainder, any size
+        assert 0.9 * target <= s <= 1.01 * target, sizes
 
 
 def test_sized_write_round_trip(spark):
