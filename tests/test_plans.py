@@ -105,6 +105,20 @@ def test_ivf_probe_join_broadcasts_queries(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_tpch_sweep_plans_no_cartesian_dims_broadcast(spark, sf_dir):
+    """TPC-H sweep plan gates: no cartesian products anywhere (tpch_q22's
+    BroadcastNestedLoopJoin is the canonical 1-row scalar-subquery
+    broadcast and is allowed); snowflake queries broadcast their dims."""
+    for name in ("tpch_q1", "tpch_q2", "tpch_q4", "tpch_q5", "tpch_q7",
+                 "tpch_q10", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q16",
+                 "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22"):
+        plan = formatted_plan(E.queries()[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "PushedFilters" in plan, name
+    for name in ("tpch_q5", "tpch_q7"):
+        assert uses_broadcast_join(E.queries()[name](spark, sf_dir)), name
+
+
 def test_salted_join_uses_shuffle_join(spark, sf_dir):
     """The merge hint must hold — a broadcast join would bypass the
     salted shuffle path the operator exists to demonstrate."""
