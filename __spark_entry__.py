@@ -76,6 +76,8 @@ _PRIORITY = [
     "tpch_q17",
     "tpch_q21",
     "tpch_q22",
+    "multimodal_decode",
+    "multimodal_frame_sample",
 ]
 
 

@@ -263,3 +263,76 @@ def extract_features(blobs: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
             )
 
     return blobs.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# driver-checked pipeline queries: the stubs are deterministic arithmetic,
+# so the REAL mapInPandas pipelines are value-oracled end-to-end (DuckDB
+# reproduces the stub math; a real decoder swap makes these rows-only)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id, 'text' AS modality,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER)
+             AS height,
+           TRUE AS ok
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full decode pipeline as a driver-checked query: pack payloads
+    into opaque blobs, run the Arrow-batched ``mapInPandas`` decoder,
+    emit per-blob metadata. The oracle reproduces ``_fake_decode``'s
+    deterministic arithmetic, so the *pipeline* (packing, Arrow batch
+    shape, UDF schema, executor-side byte handling) is value-verified —
+    swapping in a real decoder changes only the stub, and this query's
+    check degrades to rows-only.
+    """
+    from kafka_parquet_writer_spark.session import repartition_for_compute
+
+    docs = repartition_for_compute(
+        load_table(spark, sf_dir, "documents"), F.col("doc_id")
+    )
+    return decode_image_meta(pack_blobs(docs))
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    f AS (
+      SELECT doc_id, CAST(u AS INTEGER) AS frame_idx,
+             substring(text, CAST(u AS INTEGER) * 64 + 1, 64) AS frame
+      FROM (SELECT doc_id, text, unnest(range(0, greatest(1, n // 64))) AS u
+            FROM b)
+      WHERE u % 2 = 0
+    )
+    SELECT doc_id, frame_idx,
+           CAST(octet_length(encode(frame)) AS INTEGER) AS n_bytes,
+           md5(frame) AS frame_md5
+    FROM f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-many frame sampling as a driver-checked query: every 2nd
+    64-byte 'frame' of each blob becomes a row (the video-demux shape —
+    expansion happens batch-wise inside ``mapInPandas``, never as one
+    in-memory frame list). Frames are compared by md5, valid because the
+    fixture corpus is pure ASCII (oracle slices the varchar; byte and
+    character offsets coincide — asserted by the n_bytes column, which
+    would diverge on any multi-byte character).
+    """
+    from kafka_parquet_writer_spark.session import repartition_for_compute
+
+    docs = repartition_for_compute(
+        load_table(spark, sf_dir, "documents"), F.col("doc_id")
+    )
+    frames = sample_video_frames(pack_blobs(docs), frame_bytes=64, every_n=2)
+    return frames.select(
+        "doc_id", "frame_idx", "n_bytes", F.md5("frame").alias("frame_md5")
+    )
