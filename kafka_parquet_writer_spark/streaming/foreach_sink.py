@@ -11,10 +11,12 @@ table format: readers always see a complete consistent snapshot, and
 the swap is the same invisible-until-committed discipline the reference
 implements with tmp+rename (KafkaProtoParquetWriter.java:236-241).
 
-Versions accumulate under ``<dir>/v<epoch>``; pruning old versions is
-the caller's retention policy (or compaction's, at scale a real table
-format — Delta/Iceberg/Hudi — owns this, and this module is the
-dependency-free stand-in with the same interface shape).
+Versions accumulate under ``<dir>/v<batch_id>`` and form the
+time-travel surface: ``list_versions`` (history), ``read_version``
+(VERSION AS OF), ``prune_versions`` (VACUUM-style retention that never
+deletes the published pointer's target). At scale a real table format
+— Delta/Iceberg/Hudi — owns these concerns; this module is the
+dependency-free stand-in with the same interface shape.
 """
 
 from __future__ import annotations
@@ -39,6 +41,53 @@ def read_current(spark: SparkSession, table_dir: str) -> DataFrame:
     if cur is None:
         raise FileNotFoundError(f"no current version under {table_dir}")
     return spark.read.parquet(cur)
+
+
+def list_versions(table_dir: str) -> list[int]:
+    """Ascending batch ids of every retained snapshot (time-travel
+    surface — the `DESCRIBE HISTORY` analogue)."""
+    out = []
+    if not os.path.isdir(table_dir):
+        return out
+    for name in os.listdir(table_dir):
+        if name.startswith("v") and name[1:].isdigit():
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
+def read_version(spark: SparkSession, table_dir: str, version: int) -> DataFrame:
+    """Time-travel read: the table as of batch ``version`` (the
+    `VERSION AS OF` analogue). Raises KeyError for pruned/unknown
+    versions."""
+    d = os.path.join(table_dir, f"v{version}")
+    if not os.path.isdir(d):
+        raise KeyError(
+            f"version {version} not found under {table_dir}; "
+            f"retained: {list_versions(table_dir)}"
+        )
+    return spark.read.parquet(d)
+
+
+def prune_versions(table_dir: str, keep_last: int = 2) -> list[int]:
+    """Retention: delete all but the newest ``keep_last`` snapshots
+    (the `VACUUM` analogue). The published `current` version is never
+    deleted even if it falls outside the window (a reader following
+    the pointer must always succeed). Returns the pruned batch ids.
+    """
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be ≥ 1")
+    versions = list_versions(table_dir)
+    cur = current_version_dir(table_dir)
+    pruned = []
+    for v in versions[:-keep_last] if len(versions) > keep_last else []:
+        d = os.path.join(table_dir, f"v{v}")
+        if cur is not None and os.path.realpath(d) == cur:
+            continue
+        shutil.rmtree(d)
+        pruned.append(v)
+    return pruned
 
 
 def _swap_current(table_dir: str, version_dir: str) -> None:
