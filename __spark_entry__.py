@@ -78,6 +78,13 @@ _PRIORITY = [
     "tpch_q22",
     "multimodal_decode",
     "multimodal_frame_sample",
+    # new this session: time-series + incremental-maintenance surface
+    "sessionize_batch",
+    "rollup_time_hierarchy",
+    "join_range_band",
+    "agg_incremental",
+    "sample_stratified",
+    "unpivot_long",
 ]
 
 

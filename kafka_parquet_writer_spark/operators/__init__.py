@@ -15,4 +15,6 @@ from kafka_parquet_writer_spark.operators import (  # noqa: F401
     streaming_queries,
     skew,
     pipeline,
+    timeseries,
+    incremental,
 )

@@ -1,0 +1,178 @@
+"""Incremental / dataset-maintenance operators: materialized-view
+delta merge, deterministic stratified sampling, and wide→long unpivot.
+
+These are the maintenance jobs that run *around* a corpus the
+reference's writer lands (`KafkaProtoParquetWriter.java:362-380` date
+directories): refreshing rollups as new partitions arrive, drawing
+reproducible per-source samples for eval sets, and reshaping metric
+tables. All are fully value-oracled.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_parquet_writer_spark.catalog import load_table
+from kafka_parquet_writer_spark.functions.portable import (
+    cents,
+    pround,
+    sql_cents,
+    sql_pround,
+)
+from kafka_parquet_writer_spark.functions.texthash import (
+    portable_hash64,
+    sql_portable_hash64,
+)
+from kafka_parquet_writer_spark.registry import query
+
+#: snapshot/delta split point for the incremental-aggregate demo.
+MV_SPLIT_DATE = "1999-01-01"
+
+
+@query(
+    "agg_incremental",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {sql_pround(f"sum({sql_cents('o_totalprice')}) / 100.0", 2)}
+             AS revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: merge a pre-computed
+    snapshot aggregate (orders before MV_SPLIT_DATE) with a delta
+    aggregate (orders on/after it) and prove the merge equals a full
+    recompute — the oracle aggregates the whole table in one pass.
+
+    Scale shape: this is THE pattern for keeping a 100 TB rollup fresh
+    — re-aggregate only the new date partitions (partition pruning
+    makes the delta scan proportional to the delta, `tests/
+    test_partition_pruning.py`) and merge mergeable partials
+    (count/sum here; any algebraic aggregate works). The merge itself
+    shuffles only pre-aggregated rows: |groups|, not |orders|. The
+    union→re-agg is exactly Spark's own partial/final agg split,
+    expressed across time instead of across tasks.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.lit(MV_SPLIT_DATE).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("o_totalprice"))).alias("tc"),
+        )
+
+    snapshot = partial(orders.filter(F.col("o_orderdate") < split))
+    delta = partial(orders.filter(F.col("o_orderdate") >= split))
+    merged = (
+        snapshot.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("n").alias("n_orders"), F.sum("tc").alias("tc"))
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        pround(F.col("tc") / 100.0, 2).alias("revenue"),
+    )
+
+
+def _strat_rates(seed: int = 7) -> list[tuple[str, int]]:
+    """Seeded per-source sampling rates (percent), embedded as literals
+    in BOTH the Spark plan and the oracle SQL (seeded-literal rule)."""
+    rng = np.random.RandomState(seed)
+    return [(f"src{i}", int(rng.randint(5, 61))) for i in range(20)]
+
+
+_STRAT_SALT = "strat42:"
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, source, bucket
+    FROM (
+      SELECT doc_id, source,
+             {sql_portable_hash64(
+                 f"'{_STRAT_SALT}' || CAST(doc_id AS VARCHAR)")} % 100
+               AS bucket
+      FROM documents
+    )
+    JOIN (VALUES {", ".join(f"('{s}', {r})" for s, r in _strat_rates())})
+      AS rates(source, rate_pct) USING (source)
+    WHERE bucket < rate_pct
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: each source stratum keeps a
+    different seeded percentage of documents, selected by a portable
+    salted hash of the key — NOT `df.sample`, whose output depends on
+    partitioning and is irreproducible across engines and reruns.
+
+    Scale shape: the filter is a stateless per-row expression — no
+    shuffle, no state, trivially parallel, and pushed beneath
+    everything downstream. Hash-based sampling is also *stable under
+    growth*: re-running on an appended corpus keeps every previously
+    sampled doc_id (bucket is a pure function of the key), which is
+    what makes eval-set draws reproducible as the corpus evolves. The
+    rates table is broadcast (20 rows).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(_strat_rates(), "source string, rate_pct int")
+    bucket = (
+        portable_hash64(
+            F.concat(F.lit(_STRAT_SALT), F.col("doc_id").cast("string"))
+        )
+        % 100
+    )
+    return (
+        docs.select("doc_id", "source", bucket.alias("bucket"))
+        .join(F.broadcast(rates), "source")
+        .filter(F.col("bucket") < F.col("rate_pct"))
+        .select("doc_id", "source", "bucket")
+    )
+
+
+@query(
+    "unpivot_long",
+    oracle=f"""
+    WITH w AS (
+      SELECT l_returnflag,
+             sum({sql_cents('l_quantity')})      AS qty_c,
+             sum({sql_cents('l_extendedprice')}) AS price_c,
+             sum({sql_cents('l_discount')})      AS disc_c
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'qty_c'   AS measure, qty_c   AS amount FROM w
+    UNION ALL
+    SELECT l_returnflag, 'price_c' AS measure, price_c AS amount FROM w
+    UNION ALL
+    SELECT l_returnflag, 'disc_c'  AS measure, disc_c  AS amount FROM w
+    """,
+)
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (melt): aggregate three measures per return
+    flag, then unpivot to one (flag, measure, amount) row per cell —
+    the inverse of pivot_wide (operators/analytics.py).
+
+    Scale shape: `unpivot` is a zero-shuffle Expand (×3 row
+    multiplication after the aggregate, so it multiplies |groups| not
+    |lineitem|). Melting BEFORE aggregating would 3× the shuffle; the
+    aggregate-then-melt order here is the one that survives scale-up.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(cents(F.col("l_quantity"))).alias("qty_c"),
+        F.sum(cents(F.col("l_extendedprice"))).alias("price_c"),
+        F.sum(cents(F.col("l_discount"))).alias("disc_c"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty_c", "price_c", "disc_c"],
+        variableColumnName="measure",
+        valueColumnName="amount",
+    )

@@ -1,0 +1,199 @@
+"""Time-series operators: batch sessionization (gaps-and-islands),
+hypertable-style multi-granularity rollup, and range/interval joins.
+
+The reference engine partitions its output by event date
+(`KafkaProtoParquetWriter.java:362-380`) but has no time-series query
+surface at all; these are the operators a consumer of that date-laid
+data actually runs. All timestamps are compared in integer
+microseconds (`unix_micros` / `epoch_us`) so Spark and the DuckDB
+oracle agree bit-for-bit — no double-epoch rounding anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from kafka_parquet_writer_spark.catalog import load_table
+from kafka_parquet_writer_spark.functions.portable import (
+    cents,
+    pround,
+    sql_cents,
+    sql_pround,
+)
+from kafka_parquet_writer_spark.registry import query
+
+#: session gap: a pause longer than this starts a new session (6 h in µs).
+SESSION_GAP_US = 6 * 3600 * 1_000_000
+
+
+@query(
+    "sessionize_batch",
+    oracle=f"""
+    WITH x AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tu, value FROM events
+    ), g AS (
+      SELECT user_id, tu, value,
+             CASE WHEN tu - lag(tu) OVER w > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS brk
+      FROM x
+      WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+    ), s AS (
+      SELECT user_id, tu, value,
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tu
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_seq
+      FROM g
+    )
+    SELECT user_id, session_seq,
+           count(*)                                              AS n_events,
+           CAST(floor((max(tu) - min(tu)) / 1000000.0) AS BIGINT) AS duration_s,
+           {sql_pround(f"sum({sql_cents('value')}) / 100.0", 2)}  AS val_sum
+    FROM s
+    GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via gaps-and-islands: a >6 h pause starts a
+    new session; one row per (user, session) with count/duration/value.
+
+    Scale shape: ONE shuffle on user_id serves both window passes and
+    the final aggregate (Catalyst reuses the hash partitioning), so the
+    whole operator is shuffle-once regardless of corpus size. Session
+    boundaries are per-user local decisions — no global state, no
+    driver involvement; skewed users degrade one task, not the job
+    (the salting pattern in operators/skew.py applies if one user
+    dominates). This is the batch twin of the streaming
+    `stream_session_window` (operators/streaming_queries.py).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tu"), "value"
+    )
+    w = W.partitionBy("user_id").orderBy("tu", "event_id")
+    brk = F.when(
+        F.col("tu") - F.lag("tu").over(w) > SESSION_GAP_US, F.lit(1)
+    ).otherwise(F.lit(0))
+    run = W.partitionBy("user_id").orderBy("tu", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    sess = ev.withColumn("brk", brk).withColumn(
+        "session_seq", F.sum("brk").over(run).cast("long")
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor((F.max("tu") - F.min("tu")) / F.lit(1000000.0))
+        .cast("long")
+        .alias("duration_s"),
+        pround(F.sum(cents(F.col("value"))) / 100.0, 2).alias("val_sum"),
+    )
+
+
+@query(
+    "rollup_time_hierarchy",
+    oracle=f"""
+    WITH x AS (
+      SELECT strftime(ts, '%Y-%m-%d')     AS day,
+             CAST(hour(ts) AS BIGINT)     AS hr,
+             user_id,
+             {sql_cents('value')}         AS vc
+      FROM events
+    )
+    SELECT day, hr,
+           CAST(GROUPING(day) AS INTEGER) * 2
+             + CAST(GROUPING(hr) AS INTEGER)          AS gid,
+           count(*)                                   AS n_events,
+           count(DISTINCT user_id)                    AS n_users,
+           {sql_pround('sum(vc) / 100.0', 2)}         AS val_sum
+    FROM x
+    GROUP BY ROLLUP (day, hr)
+    """,
+)
+def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate hierarchy: the same events
+    rolled up at hourly, daily, and total granularity in one pass
+    (rollup = Expand ×3 + a single hash aggregate).
+
+    This is the materialization a TimescaleDB-like rollup maintains
+    incrementally; at 100 TB the one-pass Expand beats three separate
+    scans 3:1 on input I/O, and partial aggregation means the shuffle
+    carries only group keys. count(DISTINCT user_id) rewrites to a
+    two-phase expand+agg, still one shuffle family.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.hour("ts").cast("long").alias("hr"),
+        "user_id",
+        cents(F.col("value")).alias("vc"),
+    )
+    return (
+        ev.rollup("day", "hr")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            pround(F.sum("vc") / 100.0, 2).alias("val_sum"),
+        )
+        .select("day", "hr", "gid", "n_events", "n_users", "val_sum")
+    )
+
+
+#: irregular price bands — genuinely interval-typed (not reducible to a
+#: width_bucket/floor expression), embedded identically in the oracle.
+PRICE_BANDS = [
+    ("economy", 900.0, 920.0),
+    ("standard", 920.0, 950.0),
+    ("premium", 950.0, 980.0),
+    ("luxury", 980.0, 1000.0),
+]
+
+
+def _bands_values_sql() -> str:
+    rows = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BANDS)
+    return f"(VALUES {rows}) AS bands(band, lo, hi)"
+
+
+@query(
+    "join_range_band",
+    oracle=f"""
+    SELECT band, lo,
+           count(*) AS n_parts,
+           {sql_pround(f"sum({sql_cents('p_retailprice')})"
+                       " / (100.0 * count(*))", 2)} AS avg_price
+    FROM part
+    JOIN {_bands_values_sql()}
+      ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band, lo
+    """,
+)
+def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: assign each part to an irregular price
+    band via `lo <= p < hi`, then aggregate per band.
+
+    Scale shape: the band table is tiny and the fact side is huge, so
+    the correct physical plan is a broadcast nested-loop join with the
+    range predicate evaluated inline — zero shuffle on the fact side
+    until the final 4-group aggregate, whose partials collapse
+    map-side. This is the general interval-join pattern (IP→geo,
+    time→fiscal-period, value→tier): broadcast the interval dim; if
+    the interval side is too big to broadcast, the production path is
+    to quantize intervals into equi-join grid cells exactly like
+    dedup_embedding's grid join (operators/dedup.py).
+    """
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        PRICE_BANDS, "band string, lo double, hi double"
+    )
+    joined = part.join(
+        F.broadcast(bands),
+        (F.col("p_retailprice") >= F.col("lo"))
+        & (F.col("p_retailprice") < F.col("hi")),
+    )
+    return joined.groupBy("band", "lo").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        pround(
+            F.sum(cents(F.col("p_retailprice")))
+            / (100.0 * F.count(F.lit(1))),
+            2,
+        ).alias("avg_price"),
+    )

@@ -133,3 +133,48 @@ def test_udaf_single_exchange_into_pandas(spark, sf_dir):
     plan = formatted_plan(df)
     assert "FlatMapGroupsInPandas" in plan
     assert count_exchanges(df) == 1
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """Gaps-and-islands sessionization: both window passes AND the
+    per-session aggregate reuse ONE user_id shuffle."""
+    df = E.queries()["sessionize_batch"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    assert count_exchanges(df) == 1
+
+
+def test_range_band_join_broadcasts_interval_dim(spark, sf_dir):
+    """Interval join: tiny band dim must broadcast (BNLJ with inline
+    range predicate); the only exchange is the 4-group final agg."""
+    df = E.queries()["join_range_band"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert count_exchanges(df) == 1
+
+
+def test_stratified_sample_zero_shuffle(spark, sf_dir):
+    """Hash-based stratified sampling is a stateless per-row filter +
+    broadcast rates join: ZERO shuffle exchanges."""
+    df = E.queries()["sample_stratified"](spark, sf_dir)
+    assert uses_broadcast_join(df)
+    assert count_exchanges(df) == 0
+
+
+def test_unpivot_expands_after_aggregate(spark, sf_dir):
+    """Melt must multiply |groups|, not |lineitem|: Expand sits above
+    the single aggregate exchange."""
+    df = E.queries()["unpivot_long"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Expand" in plan
+    assert count_exchanges(df) == 1
+
+
+def test_rollup_hierarchy_one_pass(spark, sf_dir):
+    """Hypertable rollup: one Expand-based pass over events, never a
+    join or cartesian of per-granularity scans."""
+    plan = formatted_plan(E.queries()["rollup_time_hierarchy"](spark, sf_dir))
+    assert "Expand" in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
