@@ -53,6 +53,8 @@ HEADLINE = [
     "dedup_embedding_ann",
     "tpch_q5",
     "tpch_q13",
+    "sessionize_batch",
+    "rollup_time_hierarchy",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming

@@ -191,16 +191,97 @@ def _ivf_centroids() -> list[list[float]]:
 IVF_CENTROIDS = _ivf_centroids()
 
 
-def _ivf_cell_structs(v):
+def _ivf_cell_structs(v, centroids: list[list[float]] | None = None):
     """Array of (l2-score, cell-idx) structs vs every centroid.
     score_j = ‖c_j‖² − 2·v·c_j  (argmin over j ≡ nearest centroid;
     the ‖v‖² term is constant per row and dropped)."""
     cells = []
-    for j, c in enumerate(IVF_CENTROIDS):
+    for j, c in enumerate(centroids or IVF_CENTROIDS):
         c_norm2 = sum(x * x for x in c)
         score = F.lit(float(c_norm2)) - 2.0 * V.dot_expr(v, V.lit_vector(c))
         cells.append(F.struct(score.alias("s"), F.lit(j).alias("c")))
     return F.array(*cells)
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    n_cells: int,
+    sample_fraction: float = 1.0,
+    seed: int = IVF_SEED,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Production IVF centroid selection: k-means on a sample (MLlib).
+
+    The declared `similarity_ivf` query uses seeded random centroids so
+    the DuckDB oracle can run the identical algorithm; a real deployment
+    wants centroids that follow the data distribution — cells come out
+    balanced, so probe cost (∝ Σ probed-cell sizes) stays predictable.
+
+    Scale shape: train on a small sample (~1% — k-means only needs the
+    coarse density landscape), which bounds driver/MLlib cost regardless
+    of corpus size; the returned centroids are plain Python literals, so
+    the assignment/probe/re-rank plan (`ivf_topk`) is byte-identical to
+    the seeded-centroid plan — still per-row expressions + one equi-join.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sample = emb if sample_fraction >= 1.0 else emb.sample(
+        fraction=sample_fraction, seed=seed
+    )
+    feats = sample.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(feats)
+    return [
+        [round(float(x), 6) for x in center] for center in model.clusterCenters()
+    ]
+
+
+def ivf_topk(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    n_queries: int = IVF_N_QUERIES,
+    probe: int = IVF_PROBE,
+    topk: int = IVF_TOPK,
+) -> DataFrame:
+    """IVF assignment/probe/re-rank with caller-supplied centroids —
+    the shared engine under `similarity_ivf` (seeded centroids, oracle-
+    checked) and the k-means production path (`kmeans_centroids`)."""
+    cells = emb.select(
+        "vec_id",
+        "embedding",
+        _ivf_cell_structs(F.col("embedding"), centroids).alias("cl"),
+    )
+    corpus = cells.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("cv"),
+        F.array_min(F.col("cl"))["c"].alias("cell"),
+    )
+    probes = (
+        cells.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qv"),
+            F.explode(F.slice(F.array_sort(F.col("cl")), 1, probe)).alias("p"),
+        )
+        .select("q_id", "qv", F.col("p.c").alias("cell"))
+    )
+    cos = pround(V.cosine_expr(F.col("qv"), F.col("cv")), 6)
+    # each corpus vector lives in exactly one cell and a query's probe
+    # rows carry distinct cells, so (q_id, n_id) pairs are unique
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", cos.alias("cos"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+        .select("q_id", "n_id", "cos")
+    )
 
 
 def _ivf_oracle() -> str:
@@ -257,38 +338,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = repartition_for_compute(
         load_table(spark, sf_dir, "embeddings"), F.col("vec_id")
     )
-    cells = emb.select(
-        "vec_id", "embedding", _ivf_cell_structs(F.col("embedding")).alias("cl")
-    )
-    corpus = cells.select(
-        F.col("vec_id").alias("n_id"),
-        F.col("embedding").alias("cv"),
-        F.array_min(F.col("cl"))["c"].alias("cell"),
-    )
-    probes = (
-        cells.filter(F.col("vec_id") < IVF_N_QUERIES)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("embedding").alias("qv"),
-            F.explode(F.slice(F.array_sort(F.col("cl")), 1, IVF_PROBE)).alias("p"),
-        )
-        .select("q_id", "qv", F.col("p.c").alias("cell"))
-    )
-    cos = pround(V.cosine_expr(F.col("qv"), F.col("cv")), 6)
-    # each corpus vector lives in exactly one cell and a query's two
-    # probe rows carry distinct cells, so (q_id, n_id) pairs are unique
-    scored = (
-        F.broadcast(probes)
-        .join(corpus, "cell")
-        .filter(F.col("n_id") != F.col("q_id"))
-        .select("q_id", "n_id", cos.alias("cos"))
-    )
-    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= IVF_TOPK)
-        .select("q_id", "n_id", "cos")
-    )
+    return ivf_topk(emb, IVF_CENTROIDS)
 
 
 def brute_force_topk_matrix(

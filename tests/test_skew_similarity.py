@@ -122,3 +122,27 @@ def test_ivf_results_subset_of_brute_force(spark):
     for q, n, c in ivf_pairs:
         if (q, n) in exact_by_pair:
             assert exact_by_pair[(q, n)] == c
+
+
+def test_ivf_kmeans_production_path(spark):
+    """The k-means centroid path (production IVF) plugs into the same
+    ivf_topk engine: trained centroids have the right shape, and the
+    resulting top-k is structurally valid (≤ k per query, no self-pairs,
+    deterministic across runs with a fixed seed)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = S.kmeans_centroids(emb, n_cells=4, seed=7)
+    assert len(cents) == 4
+    assert all(len(c) == S.EMBED_DIM for c in cents)
+
+    out = S.ivf_topk(emb, cents, n_queries=8, probe=2, topk=3).collect()
+    per_q = {}
+    for r in out:
+        assert r["n_id"] != r["q_id"]
+        per_q.setdefault(r["q_id"], []).append((r["cos"], r["n_id"]))
+    assert set(per_q) <= set(range(8))
+    for q, neigh in per_q.items():
+        assert len(neigh) <= 3
+
+    # determinism: same seed → same centroids → same result set
+    cents2 = S.kmeans_centroids(emb, n_cells=4, seed=7)
+    assert cents == cents2
