@@ -87,3 +87,71 @@ def test_bucketed_join_matches_plain_results(spark, bucketed_tables):
     assert sorted(map(tuple, bucketed.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+# --- library API (sources/bucketed.py): write_bucketed / smb_join ----
+
+from kafka_parquet_writer_spark.sources.bucketed import (
+    bucket_spec,
+    smb_join,
+    suggest_bucket_count,
+    write_bucketed,
+)
+
+
+@pytest.fixture(scope="module")
+def api_bucketed_tables(spark):
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    write_bucketed(orders, "api_orders", "o_orderkey", N_BUCKETS)
+    write_bucketed(lineitem, "api_lineitem", "l_orderkey", N_BUCKETS)
+    write_bucketed(orders, "api_orders_8", "o_orderkey", 2 * N_BUCKETS)
+    orders.write.mode("overwrite").saveAsTable("api_orders_flat")
+    return "api_orders", "api_lineitem"
+
+
+def test_smb_join_shuffle_free_and_correct(spark, api_bucketed_tables):
+    left, right = api_bucketed_tables
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = smb_join(spark, left, right, "o_orderkey", "l_orderkey").select(
+            "o_orderkey", "l_quantity", "o_totalprice"
+        )
+        assert count_exchanges(j) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    plain = _join(
+        spark,
+        load_table(spark, SF_SMOKE, "orders"),
+        load_table(spark, SF_SMOKE, "lineitem"),
+    )
+    assert sorted(map(tuple, j.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_smb_join_refuses_incompatible_layouts(spark, api_bucketed_tables):
+    left, right = api_bucketed_tables
+    with pytest.raises(ValueError, match="not bucketed"):
+        smb_join(spark, "api_orders_flat", right, "o_orderkey", "l_orderkey")
+    with pytest.raises(ValueError, match="bucket counts differ"):
+        smb_join(spark, "api_orders_8", right, "o_orderkey", "l_orderkey")
+    with pytest.raises(ValueError, match="bucketed on"):
+        smb_join(spark, left, right, "o_custkey", "l_orderkey")
+
+
+def test_bucket_spec_reads_catalog(spark, api_bucketed_tables):
+    left, _ = api_bucketed_tables
+    assert bucket_spec(spark, left) == (["o_orderkey"], N_BUCKETS)
+    assert bucket_spec(spark, "api_orders_flat") is None
+
+
+def test_suggest_bucket_count_power_of_two(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    # tiny target forces multiple buckets; count must be a power of two
+    n = suggest_bucket_count(li, target_bucket_bytes=64 << 10)
+    assert n >= 2 and (n & (n - 1)) == 0
+    # huge target collapses to a single bucket
+    assert suggest_bucket_count(li, target_bucket_bytes=1 << 40) == 1
