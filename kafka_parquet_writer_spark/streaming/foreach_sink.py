@@ -145,3 +145,56 @@ def start_upsert_stream(
     elif trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def start_txlog_upsert_stream(
+    stream_df: DataFrame,
+    table_dir: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    order_col: str | None = None,
+    app_id: str = "txlog-upsert",
+    available_now: bool = False,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Stream → transaction-log table (tablefmt.TxTable) via MERGE.
+
+    The file-level upgrade of ``start_upsert_stream``: each micro-batch
+    rewrites only the files whose key range overlaps the batch (footer
+    min/max pruning) instead of re-writing the whole snapshot —
+    a trickle of late corrections against a 100 TB table touches a
+    handful of files per trigger.
+
+    Exactly-once table state without relying on merge idempotence: the
+    commit carries a ``txn`` action recording (app_id, batch_id); a
+    replayed batch sees its id already committed and no-ops. This is
+    the Delta transactional-writer dedup, so even a non-idempotent
+    future op (e.g. aggregate-increment) would replay safely.
+    """
+    from kafka_parquet_writer_spark.tablefmt import TxTable
+
+    table = TxTable(table_dir)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        last = table.last_txn_batch(app_id)
+        if last is not None and batch_id <= last:
+            return  # this batch already committed — replay is a no-op
+        if not table.exists():
+            empty = batch_df.sparkSession.createDataFrame([], batch_df.schema)
+            table.create(empty)
+        table.merge(
+            batch_df.sparkSession,
+            batch_df,
+            keys=keys,
+            order_col=order_col,
+            txn={"app": app_id, "batch": batch_id},
+        )
+
+    writer = stream_df.writeStream.foreachBatch(merge_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

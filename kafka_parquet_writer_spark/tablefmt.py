@@ -1,0 +1,458 @@
+"""Dependency-free Delta-shaped transaction-log table format.
+
+The reference publishes files by tmp-write + rename and readers just
+glob the directory (`KafkaProtoParquetWriter.java:236-241,362-380`);
+the upsert sink (streaming/foreach_sink.py) upgraded that to whole-
+snapshot versions. This module is the real table-format shape those
+two approximate — the design Delta Lake / Iceberg standardized, built
+only on parquet + JSON + POSIX atomic primitives:
+
+- **Commit log.** `<dir>/_txlog/<version>.json`, one JSON action per
+  line (`add` / `remove` / `meta` / `commit`). A version is claimed by
+  `O_CREAT|O_EXCL` — the atomic point of every operation. Data files
+  are staged first and are invisible until the log entry lands, so a
+  crash mid-write leaves garbage bytes, never a corrupt table.
+- **File-level operations.** Append adds files; nothing is rewritten.
+  MERGE rewrites ONLY the files whose key range overlaps the batch
+  (min/max stats are read from parquet footers at commit time) — on a
+  100 TB table a trickle of late corrections touches a handful of
+  files, not the table. Untouched `add` actions survive by reference.
+- **Optimistic concurrency.** Two writers racing for version N: one
+  wins the O_EXCL create, the loser re-reads the log and retries if
+  its operation commutes (append, compact), or raises if it logically
+  conflicts (overwrite, merge).
+- **Snapshot isolation + time travel.** A reader resolves the live
+  file set at a version and reads exactly those parquet paths;
+  writers never mutate committed files. `read(version=)` is
+  `VERSION AS OF`; `history()` is `DESCRIBE HISTORY`.
+- **Log checkpoints.** Every `CHECKPOINT_EVERY` commits the full live
+  set is rolled into `_checkpoint.<version>.json`, so snapshot
+  resolution replays O(recent commits), not O(table lifetime).
+- **Data skipping.** Per-file min/max stats make `read_where` prune
+  non-overlapping files before Spark ever lists them — the same
+  pruning MERGE uses for rewrites.
+- **Idempotent streaming commits.** A `txn` action records
+  (app, batch-id); replaying a crashed micro-batch sees its own txn
+  already committed and no-ops (Delta's transactional writer dedup) —
+  see streaming/foreach_sink.start_txlog_upsert_stream.
+
+Object-store note: O_EXCL-create maps to conditional PUT
+(if-none-match) on S3/GCS/ABFS — the same primitive Delta's commit
+service uses; everything else is plain immutable-file I/O.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+LOG_SUBDIR = "_txlog"
+DATA_SUBDIR = "data"
+CHECKPOINT_EVERY = 10
+_COMMUTING_OPS = {"append", "compact"}
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A non-commuting operation lost the race for its log version."""
+
+
+def _min_max_stats(path: str, cols: list[str]) -> dict[str, list]:
+    """Per-file [min, max] for ``cols`` from the parquet footer only
+    (no data pages read). Columns without footer stats are omitted —
+    absent stats mean "never prune this file on that column"."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict[str, list] = {}
+    for c in cols:
+        if c not in idx:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[c]).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if ok and lo is not None:
+            if hasattr(lo, "isoformat"):
+                lo, hi = lo.isoformat(), hi.isoformat()
+            out[c] = [lo, hi]
+    return out
+
+
+class TxTable:
+    """Handle on a transaction-log table rooted at ``table_dir``."""
+
+    def __init__(self, table_dir: str):
+        self.dir = table_dir
+        self.log_dir = os.path.join(table_dir, LOG_SUBDIR)
+        self.data_dir = os.path.join(table_dir, DATA_SUBDIR)
+
+    # ---------- log plumbing ----------
+
+    def _commit_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:012d}.json")
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(
+            int(n[:-5])
+            for n in os.listdir(self.log_dir)
+            if n.endswith(".json") and n[:-5].isdigit()
+        )
+
+    def exists(self) -> bool:
+        return bool(self._versions())
+
+    def latest_version(self) -> int:
+        vs = self._versions()
+        if not vs:
+            raise FileNotFoundError(f"no tx table at {self.dir}")
+        return vs[-1]
+
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"_checkpoint.{version:012d}.json")
+
+    def _latest_checkpoint(self, at_or_below: int) -> int | None:
+        best = None
+        if os.path.isdir(self.log_dir):
+            for n in os.listdir(self.log_dir):
+                if n.startswith("_checkpoint.") and n.endswith(".json"):
+                    v = int(n[len("_checkpoint.") : -5])
+                    if v <= at_or_below and (best is None or v > best):
+                        best = v
+        return best
+
+    def _snapshot(self, version: int | None = None) -> dict:
+        """Replay the log (from the nearest checkpoint) to ``version``.
+        Returns {"files": {rel_path: add_action}, "schema": json_str,
+        "txns": {app: last_batch}, "version": v}."""
+        v = self.latest_version() if version is None else version
+        if v not in set(self._versions()):
+            raise KeyError(
+                f"version {v} not in log (have {self._versions()})"
+            )
+        files: dict[str, dict] = {}
+        schema = None
+        txns: dict[str, int] = {}
+        start = 0
+        ckpt = self._latest_checkpoint(v)
+        if ckpt is not None:
+            with open(self._checkpoint_path(ckpt)) as f:
+                snap = json.load(f)
+            files = dict(snap["files"])
+            schema = snap["schema"]
+            txns = dict(snap.get("txns", {}))
+            start = ckpt + 1
+        for cv in range(start, v + 1):
+            p = self._commit_path(cv)
+            if not os.path.exists(p):  # racing writer claimed; not visible yet
+                continue
+            with open(p) as f:
+                for line in f:
+                    a = json.loads(line)
+                    if "add" in a:
+                        files[a["add"]["path"]] = a["add"]
+                    elif "remove" in a:
+                        files.pop(a["remove"]["path"], None)
+                    elif "meta" in a:
+                        schema = a["meta"]["schema"]
+                    elif "commit" in a:
+                        t = a["commit"].get("txn")
+                        if t:
+                            txns[t["app"]] = t["batch"]
+        return {"files": files, "schema": schema, "txns": txns, "version": v}
+
+    def _try_commit(self, version: int, actions: list[dict]) -> bool:
+        """Atomically claim ``version`` with O_EXCL. False if lost."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        try:
+            fd = os.open(
+                self._commit_path(version),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        if version % CHECKPOINT_EVERY == 0 and version > 0:
+            snap = self._snapshot(version)
+            tmp = self._checkpoint_path(version) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"files": snap["files"], "schema": snap["schema"],
+                     "txns": snap["txns"]},
+                    f,
+                )
+            os.replace(tmp, self._checkpoint_path(version))
+        return True
+
+    def _commit(
+        self, op: str, actions: list[dict], base_version: int | None,
+        txn: dict | None = None,
+    ) -> int:
+        """Commit ``actions`` as the next version. Commuting ops retry
+        past racing writers; conflicting ops raise if the table moved
+        beyond ``base_version``."""
+        commit = {"commit": {"op": op}}
+        if txn:
+            commit["commit"]["txn"] = txn
+        removes = {a["remove"]["path"] for a in actions if "remove" in a}
+        while True:
+            vs = self._versions()
+            nxt = (vs[-1] + 1) if vs else 0
+            if base_version is not None and nxt != base_version + 1:
+                if op not in _COMMUTING_OPS:
+                    raise ConcurrentWriteError(
+                        f"{op} based on v{base_version} but table is at "
+                        f"v{nxt - 1} — rerun on the current snapshot"
+                    )
+                # a commuting op still conflicts if a racing commit
+                # removed a file it is rewriting (e.g. compact ∥ merge
+                # on the same file would resurrect replaced rows)
+                if removes and not removes <= set(
+                    self._snapshot(nxt - 1)["files"]
+                ):
+                    raise ConcurrentWriteError(
+                        f"{op} based on v{base_version}: a concurrent "
+                        f"commit removed file(s) this op rewrites — "
+                        f"rerun on the current snapshot"
+                    )
+            if self._try_commit(nxt, [commit] + actions):
+                return nxt
+
+    # ---------- data-file plumbing ----------
+
+    def _stage(self, df: DataFrame, stats_cols: list[str]) -> list[dict]:
+        """Write ``df``'s data as immutable files under data/ and
+        return their add-actions (not yet committed — invisible)."""
+        os.makedirs(self.data_dir, exist_ok=True)
+        stage = os.path.join(self.dir, f"_stage-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(stage)
+        adds = []
+        for name in sorted(os.listdir(stage)):
+            if not name.endswith(".parquet"):
+                continue
+            import pyarrow.parquet as pq
+
+            src = os.path.join(stage, name)
+            nrows = pq.ParquetFile(src).metadata.num_rows
+            if nrows == 0:  # empty partitions produce empty part files
+                continue
+            final = f"{uuid.uuid4().hex}.parquet"
+            dst = os.path.join(self.data_dir, final)
+            nbytes = os.path.getsize(src)
+            stats = _min_max_stats(src, stats_cols)
+            os.replace(src, dst)
+            adds.append(
+                {"add": {"path": f"{DATA_SUBDIR}/{final}", "rows": nrows,
+                         "bytes": nbytes, "stats": stats}}
+            )
+        shutil.rmtree(stage, ignore_errors=True)
+        return adds
+
+    def _paths(self, snap: dict) -> list[str]:
+        return [os.path.join(self.dir, p) for p in snap["files"]]
+
+    # ---------- public surface ----------
+
+    def create(self, df: DataFrame, stats_cols: list[str] | None = None) -> int:
+        """Create the table (version 0) from ``df``."""
+        if os.path.isdir(self.log_dir) and self._versions():
+            raise FileExistsError(f"tx table already exists at {self.dir}")
+        stats_cols = stats_cols or df.columns
+        actions = [{"meta": {"schema": df.schema.json(),
+                             "stats_cols": stats_cols}}]
+        actions += self._stage(df, stats_cols)
+        return self._commit("create", actions, base_version=None)
+
+    def _stats_cols(self, snap: dict) -> list[str]:
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        return [f.name for f in schema.fields]
+
+    def append(self, df: DataFrame, txn: dict | None = None) -> int:
+        """Add files; nothing rewritten. Commutes with other appends."""
+        snap = self._snapshot()
+        adds = self._stage(df, self._stats_cols(snap))
+        return self._commit("append", adds, snap["version"], txn=txn)
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Replace the whole table contents (schema kept from meta)."""
+        snap = self._snapshot()
+        actions = self._stage(df, self._stats_cols(snap))
+        actions += [{"remove": {"path": p}} for p in snap["files"]]
+        return self._commit("overwrite", actions, snap["version"])
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Snapshot read; ``version`` = time travel (VERSION AS OF)."""
+        snap = self._snapshot(version)
+        paths = self._paths(snap)
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        if not paths:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*paths)
+
+    def candidate_files(self, snap: dict, col: str, lo, hi) -> list[str]:
+        """Live files whose [min,max] for ``col`` intersects [lo,hi];
+        files without stats for ``col`` are always candidates."""
+        out = []
+        for p, add in snap["files"].items():
+            st = add.get("stats", {}).get(col)
+            if st is None or not (st[1] < lo or st[0] > hi):
+                out.append(p)
+        return out
+
+    def read_where(
+        self, spark: SparkSession, col: str, lo, hi,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Range read with file-level data skipping: only footer-
+        overlapping files are handed to Spark (row-level filtering
+        still applies within them — pruning is a superset guarantee).
+        """
+        snap = self._snapshot(version)
+        cand = self.candidate_files(snap, col, lo, hi)
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        if not cand:
+            return spark.createDataFrame([], schema)
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(self.dir, p) for p in cand]
+        )
+        return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+
+    def merge(
+        self, spark: SparkSession, updates: DataFrame, keys: list[str],
+        order_col: str | None = None, txn: dict | None = None,
+    ) -> int:
+        """Delta-style MERGE (upsert by key) with file pruning: only
+        files whose primary-key range overlaps the batch are rewritten;
+        every other file survives by reference. At 100 TB this is the
+        difference between touching ~GBs and rewriting the table.
+
+        Winner per key: the updates side, then greatest ``order_col``
+        (same contract as streaming/maintenance.upsert_parquet).
+        """
+        from pyspark.sql.window import Window
+
+        snap = self._snapshot()
+        pk = keys[0]  # prune on the leading key; extra keys filter rows
+        bounds = updates.agg(
+            F.min(pk).alias("lo"), F.max(pk).alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is None:  # empty batch: record the txn, change nothing
+            return self._commit("merge", [], snap["version"], txn=txn)
+        lo, hi = bounds["lo"], bounds["hi"]
+        if hasattr(lo, "isoformat"):
+            lo, hi = lo.isoformat(), hi.isoformat()
+        touched = self.candidate_files(snap, pk, lo, hi)
+
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        upd = updates.withColumn("_src", F.lit(1))
+        if touched:
+            old = spark.read.schema(schema).parquet(
+                *[os.path.join(self.dir, p) for p in touched]
+            ).withColumn("_src", F.lit(0))
+            merged = upd.unionByName(old)
+        else:
+            merged = upd
+        order = [F.col("_src").desc()]
+        if order_col is not None:
+            order.append(F.col(order_col).desc())
+        w = Window.partitionBy(*keys).orderBy(*order)
+        result = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_src")
+        )
+        actions = self._stage(result, self._stats_cols(snap))
+        actions += [{"remove": {"path": p}} for p in touched]
+        return self._commit("merge", actions, snap["version"], txn=txn)
+
+    def compact(self, spark: SparkSession, max_file_bytes: int = 64 << 20) -> int:
+        """OPTIMIZE: rewrite files smaller than ``max_file_bytes`` into
+        few right-sized ones. Commutes with appends (acts only on files
+        it read; a racing append's files are untouched)."""
+        snap = self._snapshot()
+        small = [
+            p for p, a in snap["files"].items() if a["bytes"] < max_file_bytes
+        ]
+        if len(small) < 2:
+            return snap["version"]
+        total = sum(snap["files"][p]["bytes"] for p in small)
+        n_out = max(1, total // max_file_bytes)
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(self.dir, p) for p in small]
+        ).coalesce(int(n_out))
+        actions = self._stage(df, self._stats_cols(snap))
+        actions += [{"remove": {"path": p}} for p in small]
+        return self._commit("compact", actions, snap["version"])
+
+    def last_txn_batch(self, app: str) -> int | None:
+        """Highest batch id committed by ``app`` (idempotence probe)."""
+        try:
+            return self._snapshot().get("txns", {}).get(app)
+        except FileNotFoundError:
+            return None
+
+    def history(self) -> list[dict]:
+        """Commit metadata per version, ascending (DESCRIBE HISTORY)."""
+        out = []
+        for v in self._versions():
+            with open(self._commit_path(v)) as f:
+                first = json.loads(f.readline())
+            info = dict(first.get("commit", {}))
+            info["version"] = v
+            out.append(info)
+        return out
+
+    def vacuum(self, retain_versions: int = 2) -> list[str]:
+        """Delete data files unreferenced by every retained snapshot,
+        then drop the log entries older than the horizon (their
+        snapshots become unreadable — that is the retention contract).
+        Never touches files live in any retained version."""
+        vs = self._versions()
+        keep = vs[-retain_versions:] if retain_versions > 0 else vs[-1:]
+        live: set[str] = set()
+        for v in keep:
+            live |= set(self._snapshot(v)["files"])
+        removed = []
+        if os.path.isdir(self.data_dir):
+            for name in os.listdir(self.data_dir):
+                rel = f"{DATA_SUBDIR}/{name}"
+                if rel not in live:
+                    os.unlink(os.path.join(self.data_dir, name))
+                    removed.append(rel)
+        # horizon: rewrite a checkpoint at the oldest kept version so
+        # replay never needs the dropped commits
+        oldest = keep[0]
+        if not os.path.exists(self._checkpoint_path(oldest)):
+            snap = self._snapshot(oldest)
+            tmp = self._checkpoint_path(oldest) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"files": snap["files"], "schema": snap["schema"],
+                           "txns": snap["txns"]}, f)
+            os.replace(tmp, self._checkpoint_path(oldest))
+        for v in vs:
+            if v < oldest:
+                os.unlink(self._commit_path(v))
+        for name in os.listdir(self.log_dir):
+            if name.startswith("_checkpoint."):
+                cv = int(name[len("_checkpoint.") : -5])
+                if cv < oldest:
+                    os.unlink(os.path.join(self.log_dir, name))
+        return removed

@@ -1,0 +1,231 @@
+"""Transaction-log table format (tablefmt.TxTable): commit atomicity,
+file-pruned MERGE, time travel, optimistic concurrency, checkpointed
+replay, vacuum retention, and the idempotent streaming sink."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_parquet_writer_spark.tablefmt import (
+    ConcurrentWriteError,
+    TxTable,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string, ts int")
+
+
+def _data(t, spark, version=None):
+    return sorted(
+        (r["k"], r["v"], r["ts"]) for r in t.read(spark, version).collect()
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = TxTable(str(tmp_path / "tx"))
+    t.create(_df(spark, [(1, "a", 1), (2, "b", 1), (3, "c", 1)]))
+    return t
+
+
+def test_create_read_roundtrip(spark, table):
+    assert _data(table, spark) == [(1, "a", 1), (2, "b", 1), (3, "c", 1)]
+    assert table.latest_version() == 0
+    with pytest.raises(FileExistsError):
+        table.create(_df(spark, [(9, "z", 9)]))
+
+
+def test_append_adds_files_without_rewriting(spark, table):
+    before = set(table._snapshot()["files"])
+    table.append(_df(spark, [(4, "d", 1)]))
+    after = table._snapshot()["files"]
+    assert before <= set(after)  # original files survive by reference
+    assert _data(table, spark)[-1] == (4, "d", 1)
+
+
+def test_time_travel_and_history(spark, table):
+    table.append(_df(spark, [(4, "d", 1)]))
+    table.overwrite(_df(spark, [(9, "z", 9)]))
+    assert [h["op"] for h in table.history()] == [
+        "create", "append", "overwrite",
+    ]
+    assert len(_data(table, spark, version=0)) == 3
+    assert len(_data(table, spark, version=1)) == 4
+    assert _data(table, spark) == [(9, "z", 9)]
+
+
+def test_merge_upserts_and_prunes_files(spark, tmp_path):
+    t = TxTable(str(tmp_path / "tx"))
+    # two disjoint key-range files: [1..10] and [100..110]
+    lo = _df(spark, [(i, "lo", 1) for i in range(1, 11)]).coalesce(1)
+    hi = _df(spark, [(i, "hi", 1) for i in range(100, 111)]).coalesce(1)
+    t.create(lo)
+    t.append(hi)
+    snap = t._snapshot()
+    lo_files = {
+        p for p, a in snap["files"].items() if a["stats"]["k"][0] == 1
+    }
+    hi_files = set(snap["files"]) - lo_files
+
+    # batch touches only the low range: update k=5, insert k=6½ (=50)
+    t.merge(spark, _df(spark, [(5, "UPD", 2), (50, "NEW", 2)]), keys=["k"])
+    after = set(t._snapshot()["files"])
+    assert hi_files <= after          # untouched range survives by reference
+    assert not (lo_files & after)     # overlapping file was rewritten
+    d = dict((k, v) for k, v, _ in _data(t, spark))
+    assert d[5] == "UPD" and d[50] == "NEW" and d[4] == "lo" and d[100] == "hi"
+    assert len(d) == 22
+
+
+def test_merge_order_col_picks_latest(spark, table):
+    table.merge(
+        spark,
+        _df(spark, [(1, "new", 9), (1, "old", 2)]),
+        keys=["k"],
+        order_col="ts",
+    )
+    assert dict((k, v) for k, v, _ in _data(table, spark))[1] == "new"
+
+
+def test_read_where_skips_files(spark, tmp_path):
+    t = TxTable(str(tmp_path / "tx"))
+    t.create(_df(spark, [(i, "lo", 1) for i in range(1, 11)]).coalesce(1))
+    t.append(_df(spark, [(i, "hi", 1) for i in range(100, 111)]).coalesce(1))
+    snap = t._snapshot()
+    assert len(snap["files"]) == 2
+    assert len(t.candidate_files(snap, "k", 1, 10)) == 1  # footer-pruned
+    got = t.read_where(spark, "k", 3, 5).collect()
+    assert sorted(r["k"] for r in got) == [3, 4, 5]
+    assert t.read_where(spark, "k", 1000, 2000).count() == 0
+
+
+def test_conflicting_op_raises_commuting_op_retries(spark, table):
+    # take a snapshot, then let a racing writer claim the next version
+    base = table._snapshot()["version"]
+    racer = {"add": {"path": "data/racer.parquet", "rows": 0, "bytes": 1,
+                     "stats": {}}}
+    assert table._try_commit(base + 1, [{"commit": {"op": "append"}}, racer])
+
+    # an overwrite planned against the stale snapshot must refuse
+    with pytest.raises(ConcurrentWriteError):
+        table._commit("overwrite", [], base_version=base)
+    # an append planned against the same stale snapshot commutes: lands
+    # at the next free version
+    assert table._commit("append", [], base_version=base) == base + 2
+
+    # a commuting op that rewrites a file a racing commit removed must
+    # also refuse (compact ∥ merge would resurrect replaced rows)
+    victim = next(iter(table._snapshot()["files"]))
+    base2 = table._snapshot()["version"]
+    assert table._try_commit(
+        base2 + 1,
+        [{"commit": {"op": "merge"}}, {"remove": {"path": victim}}],
+    )
+    with pytest.raises(ConcurrentWriteError):
+        table._commit(
+            "compact", [{"remove": {"path": victim}}], base_version=base2
+        )
+
+
+def test_compact_coalesces_small_files(spark, table):
+    for i in range(5):
+        table.append(_df(spark, [(10 + i, "x", 1)]).coalesce(1))
+    before = table._snapshot()
+    v = table.compact(spark)
+    after = table._snapshot(v)
+    assert len(after["files"]) < len(before["files"])
+    assert _data(table, spark) == sorted(
+        (r["k"], r["v"], r["ts"]) for r in table.read(spark, 5).collect()
+    )
+
+
+def test_checkpoint_bounds_replay(spark, table):
+    for i in range(12):  # cross the CHECKPOINT_EVERY=10 boundary
+        table.append(_df(spark, [(100 + i, "x", 1)]))
+    ckpts = [
+        n for n in os.listdir(table.log_dir) if n.startswith("_checkpoint.")
+    ]
+    assert ckpts  # a checkpoint was rolled
+    assert len(_data(table, spark)) == 3 + 12
+
+
+def test_vacuum_drops_old_files_keeps_retained(spark, table):
+    table.overwrite(_df(spark, [(7, "q", 1)]))
+    table.append(_df(spark, [(8, "r", 1)]))
+    removed = table.vacuum(retain_versions=2)
+    assert removed  # v0's files are unreferenced by v1/v2
+    assert _data(table, spark) == [(7, "q", 1), (8, "r", 1)]
+    assert len(_data(table, spark, version=1)) == 1  # retained travel works
+    with pytest.raises(KeyError):
+        table.read(spark, version=0)  # pruned horizon
+
+
+def test_txn_idempotence_marker(spark, table):
+    assert table.last_txn_batch("app") is None
+    table.merge(spark, _df(spark, [(1, "x", 5)]), keys=["k"],
+                txn={"app": "app", "batch": 3})
+    assert table.last_txn_batch("app") == 3
+    # empty batch still records the txn
+    table.merge(spark, _df(spark, []).limit(0), keys=["k"],
+                txn={"app": "app", "batch": 4})
+    assert table.last_txn_batch("app") == 4
+
+
+def test_stats_in_log_are_json(table):
+    snap = table._snapshot()
+    for add in snap["files"].values():
+        json.dumps(add)  # must be serializable
+        assert add["rows"] > 0 and add["bytes"] > 0
+        assert "k" in add["stats"]
+
+
+def test_streaming_txlog_upsert(spark, tmp_path):
+    """End-to-end: file-source stream → txlog MERGE sink, then verify
+    replaying the last batch is a no-op (txn dedup)."""
+    from kafka_parquet_writer_spark.streaming.foreach_sink import (
+        start_txlog_upsert_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _df(spark, [(1, "a", 1), (2, "b", 1)]).coalesce(1).write.mode(
+        "overwrite"
+    ).json(str(src / "batch0"))
+
+    stream = (
+        spark.readStream.schema("k int, v string, ts int")
+        .json(str(src / "batch0"))
+    )
+    q = start_txlog_upsert_stream(
+        stream,
+        str(tmp_path / "tx"),
+        keys=["k"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        order_col="ts",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    t = TxTable(str(tmp_path / "tx"))
+    assert _data(t, spark) == [(1, "a", 1), (2, "b", 1)]
+    last = t.last_txn_batch("txlog-upsert")
+    assert last is not None
+    v_before = t.latest_version()
+
+    # re-run over the same checkpoint: the replayed batch must no-op
+    stream2 = (
+        spark.readStream.schema("k int, v string, ts int")
+        .json(str(src / "batch0"))
+    )
+    q2 = start_txlog_upsert_stream(
+        stream2,
+        str(tmp_path / "tx"),
+        keys=["k"],
+        checkpoint_dir=str(tmp_path / "ckpt"),  # same checkpoint: no new data
+        order_col="ts",
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert t.latest_version() == v_before  # nothing recommitted
