@@ -248,3 +248,248 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("text").cast("double") / F.nullif(n_bpe, F.lit(0)), 6
         ).alias("chars_per_token"),
     )
+
+
+def _bigrams(ws):
+    """All word bigrams (with duplicates) as 'w1 w2' strings — a pure
+    per-row expression (zip of the array with its own tail)."""
+    n = F.size(ws)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(ws, 1, n - 1),
+            F.slice(ws, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _trigrams(ws):
+    n = F.size(ws)
+    return F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(ws, i),
+                F.element_at(ws, i + 1),
+                F.element_at(ws, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+#: Gopher-style repetition cut-offs (Rae et al. 2021 use character-
+#: fraction thresholds ≈0.2 on web text; this corpus is synthetic word
+#: soup, so the thresholds are sized to split it, not to match paper
+#: values — the FILTER SHAPE is the point)
+REP_DUP2_MAX = 0.80
+REP_DUP3_MAX = 0.60
+
+
+def _repetition_oracle() -> str:
+    w = TH.sql_words("text")
+    return f"""
+    WITH base AS (SELECT doc_id, {w} AS w FROM documents),
+    g AS (
+      SELECT doc_id,
+             CAST(len(w) AS INTEGER) AS n_tokens,
+             list_transform(range(1, len(w)),
+                            i -> w[i] || ' ' || w[i+1]) AS g2,
+             list_transform(range(1, len(w) - 1),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
+      FROM base
+    ),
+    m AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN len(g2) = 0 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+             END AS dup2,
+             CASE WHEN len(g3) = 0 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+             END AS dup3,
+             CASE WHEN len(g2) = 0 THEN 0.0
+                  ELSE CAST(list_max(list_transform(list_distinct(g2),
+                       d -> len(list_filter(g2, x -> x = d)))) AS DOUBLE)
+                       / len(g2)
+             END AS top2
+      FROM g
+    )
+    SELECT doc_id, n_tokens,
+           (floor(dup2 * 1e6 + 0.5) / 1e6) AS dup2_ratio,
+           (floor(dup3 * 1e6 + 0.5) / 1e6) AS dup3_ratio,
+           (floor(top2 * 1e6 + 0.5) / 1e6) AS top_bigram_share,
+           (dup2 <= {REP_DUP2_MAX} AND dup3 <= {REP_DUP3_MAX}) AS keep
+    FROM m
+    """
+
+
+@query("text_repetition", oracle=_repetition_oracle())
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher/MassiveText rules):
+    duplicate bigram fraction, duplicate trigram fraction, and the
+    most-frequent-bigram share, with a keep/drop verdict.
+
+    Scale shape: everything is a per-row expression over the token
+    array (zip-with-tail n-grams, distinct/count ratios) — no explode,
+    no shuffle, whole-stage codegen end to end. The top-bigram share
+    is O(distinct² ) per document, bounded by document length — the
+    same cost the reference rules pay; it never touches other rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = TH.words_expr("text")
+    g = docs.select(
+        "doc_id",
+        F.size(ws).alias("n_tokens"),
+        _bigrams(ws).alias("g2"),
+        _trigrams(ws).alias("g3"),
+    )
+
+    def dup_ratio(col):
+        return F.when(F.size(col) == 0, F.lit(0.0)).otherwise(
+            1.0 - F.size(F.array_distinct(col)).cast("double") / F.size(col)
+        )
+
+    top2 = F.when(F.size("g2") == 0, F.lit(0.0)).otherwise(
+        F.array_max(
+            F.transform(
+                F.array_distinct("g2"),
+                lambda d: F.size(F.filter("g2", lambda x: x == d)),
+            )
+        ).cast("double")
+        / F.size("g2")
+    )
+    m = g.select(
+        "doc_id",
+        "n_tokens",
+        dup_ratio(F.col("g2")).alias("dup2"),
+        dup_ratio(F.col("g3")).alias("dup3"),
+        top2.alias("top2"),
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        pround(F.col("dup2"), 6).alias("dup2_ratio"),
+        pround(F.col("dup3"), 6).alias("dup3_ratio"),
+        pround(F.col("top2"), 6).alias("top_bigram_share"),
+        (
+            (F.col("dup2") <= REP_DUP2_MAX) & (F.col("dup3") <= REP_DUP3_MAX)
+        ).alias("keep"),
+    )
+
+
+def _ngram_lm_oracle() -> str:
+    w = TH.sql_words("text")
+    return f"""
+    WITH base AS (SELECT doc_id, {w} AS w FROM documents),
+    toks AS (SELECT unnest(w) AS word FROM base),
+    uni AS (SELECT word, count(*) AS cu FROM toks GROUP BY word),
+    v AS (SELECT count(*) AS nv FROM uni),
+    pairs AS (
+      SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                      i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS bg
+        FROM base) t
+    ),
+    bi AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY 1, 2),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(floor(1e6 * (b.cb + 1) / (u.cu + (SELECT nv FROM v)) + 0.5)
+                  AS BIGINT) AS p6
+      FROM pairs p
+      JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+      JOIN uni u ON u.word = p.w1
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           (floor((CAST(sum(p6) AS DOUBLE) / 1e6 / count(*)) * 1e6 + 0.5) / 1e6)
+             AS avg_p
+    FROM scored GROUP BY doc_id
+    """
+
+
+@query("docs_ngram_lm", oracle=_ngram_lm_oracle())
+def docs_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram language-model scoring (the CCNet/KenLM
+    perplexity-filter shape): train add-one-smoothed bigram statistics
+    on the WHOLE corpus, then score every document against them —
+    avg p(w2|w1) per doc. Low-probability docs are the out-of-domain /
+    garbage candidates a pre-training pipeline drops.
+
+    Scale shape: two count aggregations (unigram, bigram) with
+    map-side partials — vocabulary tables are ≪ corpus and AQE
+    broadcast-joins them back onto the exploded token stream; the only
+    fact-grain shuffles are the counts themselves and the final
+    per-doc aggregate. Per-token probabilities are int64 fixed-point
+    (1e-6) before the cross-row sum, so the result is bit-identical
+    across engines and partition orders (see memory: never sum raw
+    doubles across partitions in an oracle-checked output).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = TH.words_expr("text")
+    n = F.size(ws)
+    pair_structs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(ws, 1, n - 1),
+            F.slice(ws, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    base = docs.select("doc_id", ws.alias("w"))
+    toks = base.select(F.explode("w").alias("word"))
+    uni = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("nv"))
+    pairs = docs.select(
+        "doc_id", F.explode(pair_structs).alias("bg")
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    p6 = F.floor(
+        1e6 * (F.col("cb") + 1) / (F.col("cu") + F.col("nv")) + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        pairs.join(bi, ["w1", "w2"])
+        .join(uni.withColumnRenamed("word", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", p6.alias("p6"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        pround(
+            F.sum("p6").cast("double") / 1e6 / F.count(F.lit(1)), 6
+        ).alias("avg_p"),
+    )
+
+
+#: PII patterns kept to a regex dialect subset valid in BOTH Java
+#: (Spark) and RE2 (DuckDB), so library behavior matches what an
+#: oracle-checked variant would do on data that contains PII.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d[\d -]{7,}\d",
+}
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / phone-shaped digit runs, appending
+    per-category match counts (<EMAIL>, <IP>, <PHONE> tags).
+
+    Library-only (not driver-declared): the synthetic corpus contains
+    no digits, so an oracle row would verify nothing; the unit test
+    exercises it on constructed rows instead. Pure JVM regex — one
+    projection, no shuffle, safe at any scale.
+    """
+    out = df
+    col = F.col(text_col)
+    for name, tag in (("email", "<EMAIL>"), ("ipv4", "<IP>"), ("phone", "<PHONE>")):
+        pat = PII_PATTERNS[name]
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(col, F.lit(pat))
+        )
+    scrubbed = col
+    for name, tag in (("email", "<EMAIL>"), ("ipv4", "<IP>"), ("phone", "<PHONE>")):
+        scrubbed = F.regexp_replace(scrubbed, PII_PATTERNS[name], tag)
+    return out.withColumn(f"{text_col}_scrubbed", scrubbed)
