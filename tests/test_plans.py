@@ -178,3 +178,47 @@ def test_rollup_hierarchy_one_pass(spark, sf_dir):
     assert "Expand" in plan
     assert "CartesianProduct" not in plan
     assert "Join" not in plan
+
+
+def test_tpch_q8_q9_broadcast_dims_no_cartesian(spark, sf_dir):
+    for k in ("tpch_q8", "tpch_q9"):
+        df = E.queries()[k](spark, sf_dir)
+        plan = formatted_plan(df)
+        assert uses_broadcast_join(df), k
+        assert "CartesianProduct" not in plan, k
+        # fact-side shuffles only (lineitem⋈orders + agg) — the seven
+        # dimension joins must never add exchanges
+        assert count_exchanges(df) <= 3, k
+
+
+def test_tpch_q11_reuses_aggregate_for_total(spark, sf_dir):
+    """The global total must come from a window over the part-grain
+    aggregate (Q15 pattern) — never a second scan of lineitem."""
+    plan = formatted_plan(E.queries()["tpch_q11"](spark, sf_dir))
+    # 3 scans (lineitem+supplier+nation), each listed twice (tree+detail)
+    assert plan.count("Scan parquet") <= 6
+    assert "Window" in plan
+
+
+def test_tpch_q20_single_fact_aggregate(spark, sf_dir):
+    """All-time and window quantities from ONE conditional-agg pass."""
+    df = E.queries()["tpch_q20"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # lineitem+part+supplier+nation scans, each listed twice (tree+detail)
+    assert plan.count("Scan parquet") <= 8
+    assert count_exchanges(df) <= 3
+
+
+def test_text_repetition_is_pure_projection(spark, sf_dir):
+    """The Gopher rules are per-row expressions: ZERO exchanges —
+    at 100 TB this operator must stream map-only."""
+    df = E.queries()["text_repetition"](spark, sf_dir)
+    assert count_exchanges(df) == 0
+
+
+def test_docs_ngram_lm_no_cartesian(spark, sf_dir):
+    """Corpus LM scoring: count aggs + equi-joins only. The single
+    BroadcastNestedLoopJoin is the 1-row vocab-size broadcast (the
+    scalar-subquery pattern) — a real cartesian would be a bug."""
+    plan = formatted_plan(E.queries()["docs_ngram_lm"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
