@@ -137,14 +137,14 @@ class TxTable:
     def _snapshot(self, version: int | None = None) -> dict:
         """Replay the log (from the nearest checkpoint) to ``version``.
         Returns {"files": {rel_path: add_action}, "schema": json_str,
-        "txns": {app: last_batch}, "version": v}."""
+        "partition_by": [...], "txns": {app: last_batch}, "version": v}."""
         v = self.latest_version() if version is None else version
         if v not in set(self._versions()):
             raise KeyError(
                 f"version {v} not in log (have {self._versions()})"
             )
         files: dict[str, dict] = {}
-        schema = None
+        meta: dict = {}
         txns: dict[str, int] = {}
         start = 0
         ckpt = self._latest_checkpoint(v)
@@ -152,7 +152,7 @@ class TxTable:
             with open(self._checkpoint_path(ckpt)) as f:
                 snap = json.load(f)
             files = dict(snap["files"])
-            schema = snap["schema"]
+            meta = dict(snap.get("meta") or {"schema": snap.get("schema")})
             txns = dict(snap.get("txns", {}))
             start = ckpt + 1
         for cv in range(start, v + 1):
@@ -167,12 +167,14 @@ class TxTable:
                     elif "remove" in a:
                         files.pop(a["remove"]["path"], None)
                     elif "meta" in a:
-                        schema = a["meta"]["schema"]
+                        meta = a["meta"]
                     elif "commit" in a:
                         t = a["commit"].get("txn")
                         if t:
                             txns[t["app"]] = t["batch"]
-        return {"files": files, "schema": schema, "txns": txns, "version": v}
+        return {"files": files, "schema": meta.get("schema"),
+                "partition_by": meta.get("partition_by") or [],
+                "meta": meta, "txns": txns, "version": v}
 
     def _try_commit(self, version: int, actions: list[dict]) -> bool:
         """Atomically claim ``version`` with O_EXCL. False if lost."""
@@ -194,7 +196,7 @@ class TxTable:
             tmp = self._checkpoint_path(version) + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(
-                    {"files": snap["files"], "schema": snap["schema"],
+                    {"files": snap["files"], "meta": snap["meta"],
                      "txns": snap["txns"]},
                     f,
                 )
@@ -237,31 +239,59 @@ class TxTable:
 
     # ---------- data-file plumbing ----------
 
-    def _stage(self, df: DataFrame, stats_cols: list[str]) -> list[dict]:
+    def _stage(
+        self, df: DataFrame, stats_cols: list[str],
+        partition_by: list[str] | None = None,
+    ) -> list[dict]:
         """Write ``df``'s data as immutable files under data/ and
-        return their add-actions (not yet committed — invisible)."""
+        return their add-actions (not yet committed — invisible).
+
+        With ``partition_by``, files keep their hive-style directory
+        layout under data/ (so `basePath` reads reconstruct partition
+        columns) AND record their partition values in the add action —
+        partition pruning then happens at the LOG level, before any
+        filesystem listing (the Delta model; directory layout is a
+        readability nicety, the log is the source of truth)."""
+        import pyarrow.parquet as pq
+
         os.makedirs(self.data_dir, exist_ok=True)
         stage = os.path.join(self.dir, f"_stage-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(stage)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(stage)
         adds = []
-        for name in sorted(os.listdir(stage)):
-            if not name.endswith(".parquet"):
-                continue
-            import pyarrow.parquet as pq
-
-            src = os.path.join(stage, name)
-            nrows = pq.ParquetFile(src).metadata.num_rows
-            if nrows == 0:  # empty partitions produce empty part files
-                continue
-            final = f"{uuid.uuid4().hex}.parquet"
-            dst = os.path.join(self.data_dir, final)
-            nbytes = os.path.getsize(src)
-            stats = _min_max_stats(src, stats_cols)
-            os.replace(src, dst)
-            adds.append(
-                {"add": {"path": f"{DATA_SUBDIR}/{final}", "rows": nrows,
-                         "bytes": nbytes, "stats": stats}}
-            )
+        for root, _, names in os.walk(stage):
+            rel_dir = os.path.relpath(root, stage)
+            pvals = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    if "=" in seg:
+                        k, _, v = seg.partition("=")
+                        pvals[k] = v
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, name)
+                nrows = pq.ParquetFile(src).metadata.num_rows
+                if nrows == 0:  # empty partitions produce empty part files
+                    continue
+                final = f"{uuid.uuid4().hex}.parquet"
+                rel = (
+                    f"{DATA_SUBDIR}/{final}"
+                    if rel_dir == "."
+                    else f"{DATA_SUBDIR}/{rel_dir}/{final}"
+                )
+                dst = os.path.join(self.dir, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                nbytes = os.path.getsize(src)
+                stats = _min_max_stats(src, stats_cols)
+                os.replace(src, dst)
+                add = {"path": rel, "rows": nrows, "bytes": nbytes,
+                       "stats": stats}
+                if pvals:
+                    add["partition_values"] = pvals
+                adds.append({"add": add})
         shutil.rmtree(stage, ignore_errors=True)
         return adds
 
@@ -270,14 +300,20 @@ class TxTable:
 
     # ---------- public surface ----------
 
-    def create(self, df: DataFrame, stats_cols: list[str] | None = None) -> int:
-        """Create the table (version 0) from ``df``."""
+    def create(
+        self, df: DataFrame, stats_cols: list[str] | None = None,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Create the table (version 0) from ``df``. ``partition_by``
+        fixes the table's partition columns for life (every later
+        write re-uses them from the meta action)."""
         if os.path.isdir(self.log_dir) and self._versions():
             raise FileExistsError(f"tx table already exists at {self.dir}")
         stats_cols = stats_cols or df.columns
         actions = [{"meta": {"schema": df.schema.json(),
-                             "stats_cols": stats_cols}}]
-        actions += self._stage(df, stats_cols)
+                             "stats_cols": stats_cols,
+                             "partition_by": partition_by or []}}]
+        actions += self._stage(df, stats_cols, partition_by)
         return self._commit("create", actions, base_version=None)
 
     def _stats_cols(self, snap: dict) -> list[str]:
@@ -287,24 +323,32 @@ class TxTable:
     def append(self, df: DataFrame, txn: dict | None = None) -> int:
         """Add files; nothing rewritten. Commutes with other appends."""
         snap = self._snapshot()
-        adds = self._stage(df, self._stats_cols(snap))
+        adds = self._stage(df, self._stats_cols(snap), snap["partition_by"])
         return self._commit("append", adds, snap["version"], txn=txn)
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace the whole table contents (schema kept from meta)."""
         snap = self._snapshot()
-        actions = self._stage(df, self._stats_cols(snap))
+        actions = self._stage(df, self._stats_cols(snap), snap["partition_by"])
         actions += [{"remove": {"path": p}} for p in snap["files"]]
         return self._commit("overwrite", actions, snap["version"])
+
+    def _read_paths(
+        self, spark: SparkSession, snap: dict, paths: list[str]
+    ) -> DataFrame:
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        if not paths:
+            return spark.createDataFrame([], schema)
+        reader = spark.read.schema(schema)
+        if snap["partition_by"]:
+            # hive layout under data/ reconstructs partition columns
+            reader = reader.option("basePath", self.data_dir)
+        return reader.parquet(*paths)
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Snapshot read; ``version`` = time travel (VERSION AS OF)."""
         snap = self._snapshot(version)
-        paths = self._paths(snap)
-        schema = StructType.fromJson(json.loads(snap["schema"]))
-        if not paths:
-            return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*paths)
+        return self._read_paths(spark, snap, self._paths(snap))
 
     def candidate_files(self, snap: dict, col: str, lo, hi) -> list[str]:
         """Live files whose [min,max] for ``col`` intersects [lo,hi];
@@ -316,6 +360,36 @@ class TxTable:
                 out.append(p)
         return out
 
+    def partition_candidates(self, snap: dict, equals: dict) -> list[str]:
+        """Log-level partition pruning: live files whose partition
+        values match every (col → value) in ``equals``. Values compare
+        as hive directory strings (str(value)); files without the
+        column recorded are conservatively kept."""
+        want = {k: str(v) for k, v in equals.items()}
+        out = []
+        for p, add in snap["files"].items():
+            pv = add.get("partition_values", {})
+            if all(k not in pv or pv[k] == v for k, v in want.items()):
+                out.append(p)
+        return out
+
+    def read_partition(
+        self, spark: SparkSession, equals: dict,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Equality read over partition columns, pruned from the LOG
+        (no directory listing): the file set is resolved before Spark
+        sees a single path — the Delta/Iceberg partition-pruning model
+        rather than Spark's directory discovery."""
+        snap = self._snapshot(version)
+        cand = self.partition_candidates(snap, equals)
+        df = self._read_paths(
+            spark, snap, [os.path.join(self.dir, p) for p in cand]
+        )
+        for k, v in equals.items():
+            df = df.filter(F.col(k) == v)
+        return df
+
     def read_where(
         self, spark: SparkSession, col: str, lo, hi,
         version: int | None = None,
@@ -326,11 +400,8 @@ class TxTable:
         """
         snap = self._snapshot(version)
         cand = self.candidate_files(snap, col, lo, hi)
-        schema = StructType.fromJson(json.loads(snap["schema"]))
-        if not cand:
-            return spark.createDataFrame([], schema)
-        df = spark.read.schema(schema).parquet(
-            *[os.path.join(self.dir, p) for p in cand]
+        df = self._read_paths(
+            spark, snap, [os.path.join(self.dir, p) for p in cand]
         )
         return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
 
@@ -360,11 +431,30 @@ class TxTable:
             lo, hi = lo.isoformat(), hi.isoformat()
         touched = self.candidate_files(snap, pk, lo, hi)
 
-        schema = StructType.fromJson(json.loads(snap["schema"]))
+        # partition pruning stacks on stats pruning when the partition
+        # columns are part of the merge key: a file in a partition the
+        # batch never writes cannot hold any batch key. The distinct
+        # partition tuples of a micro-batch are few by construction
+        # (that is what partitioning means), so the collect is bounded.
+        pby = snap["partition_by"]
+        if pby and set(pby) <= set(keys) and touched:
+            tuples = {
+                tuple(str(r[c]) for c in pby)
+                for r in updates.select(*pby).distinct().collect()
+            }
+            touched = [
+                t for t in touched
+                if tuple(
+                    snap["files"][t].get("partition_values", {}).get(c)
+                    for c in pby
+                ) in tuples
+                or not snap["files"][t].get("partition_values")
+            ]
+
         upd = updates.withColumn("_src", F.lit(1))
         if touched:
-            old = spark.read.schema(schema).parquet(
-                *[os.path.join(self.dir, p) for p in touched]
+            old = self._read_paths(
+                spark, snap, [os.path.join(self.dir, p) for p in touched]
             ).withColumn("_src", F.lit(0))
             merged = upd.unionByName(old)
         else:
@@ -378,7 +468,7 @@ class TxTable:
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_src")
         )
-        actions = self._stage(result, self._stats_cols(snap))
+        actions = self._stage(result, self._stats_cols(snap), pby)
         actions += [{"remove": {"path": p}} for p in touched]
         return self._commit("merge", actions, snap["version"], txn=txn)
 
@@ -394,11 +484,10 @@ class TxTable:
             return snap["version"]
         total = sum(snap["files"][p]["bytes"] for p in small)
         n_out = max(1, total // max_file_bytes)
-        schema = StructType.fromJson(json.loads(snap["schema"]))
-        df = spark.read.schema(schema).parquet(
-            *[os.path.join(self.dir, p) for p in small]
+        df = self._read_paths(
+            spark, snap, [os.path.join(self.dir, p) for p in small]
         ).coalesce(int(n_out))
-        actions = self._stage(df, self._stats_cols(snap))
+        actions = self._stage(df, self._stats_cols(snap), snap["partition_by"])
         actions += [{"remove": {"path": p}} for p in small]
         return self._commit("compact", actions, snap["version"])
 
@@ -432,11 +521,15 @@ class TxTable:
             live |= set(self._snapshot(v)["files"])
         removed = []
         if os.path.isdir(self.data_dir):
-            for name in os.listdir(self.data_dir):
-                rel = f"{DATA_SUBDIR}/{name}"
-                if rel not in live:
-                    os.unlink(os.path.join(self.data_dir, name))
-                    removed.append(rel)
+            for root, dirs, names in os.walk(self.data_dir, topdown=False):
+                for name in names:
+                    full = os.path.join(root, name)
+                    rel = os.path.relpath(full, self.dir)
+                    if rel not in live:
+                        os.unlink(full)
+                        removed.append(rel)
+                if root != self.data_dir and not os.listdir(root):
+                    os.rmdir(root)
         # horizon: rewrite a checkpoint at the oldest kept version so
         # replay never needs the dropped commits
         oldest = keep[0]
@@ -444,7 +537,7 @@ class TxTable:
             snap = self._snapshot(oldest)
             tmp = self._checkpoint_path(oldest) + ".tmp"
             with open(tmp, "w") as f:
-                json.dump({"files": snap["files"], "schema": snap["schema"],
+                json.dump({"files": snap["files"], "meta": snap["meta"],
                            "txns": snap["txns"]}, f)
             os.replace(tmp, self._checkpoint_path(oldest))
         for v in vs:

@@ -229,3 +229,78 @@ def test_streaming_txlog_upsert(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert t.latest_version() == v_before  # nothing recommitted
+
+
+# ---------------- partitioned layout ----------------
+
+
+def _pdf(spark, rows):
+    return spark.createDataFrame(rows, "dt string, k int, v string")
+
+
+@pytest.fixture()
+def ptable(spark, tmp_path):
+    t = TxTable(str(tmp_path / "ptx"))
+    t.create(
+        _pdf(spark, [("d1", 1, "a"), ("d1", 2, "b"), ("d2", 10, "c"),
+                     ("d2", 11, "d")]),
+        partition_by=["dt"],
+    )
+    return t
+
+
+def test_partitioned_layout_and_roundtrip(spark, ptable):
+    snap = ptable._snapshot()
+    assert snap["partition_by"] == ["dt"]
+    for p, add in snap["files"].items():
+        assert "/dt=" in p
+        assert add["partition_values"]["dt"] in ("d1", "d2")
+    got = sorted(
+        (r["dt"], r["k"], r["v"]) for r in ptable.read(spark).collect()
+    )
+    assert got == [("d1", 1, "a"), ("d1", 2, "b"), ("d2", 10, "c"),
+                   ("d2", 11, "d")]
+
+
+def test_partition_pruning_from_log(spark, ptable):
+    snap = ptable._snapshot()
+    cand = ptable.partition_candidates(snap, {"dt": "d1"})
+    assert cand and len(cand) < len(snap["files"])
+    got = ptable.read_partition(spark, {"dt": "d1"}).collect()
+    assert sorted(r["k"] for r in got) == [1, 2]
+
+
+def test_partitioned_merge_prunes_other_partitions(spark, ptable):
+    snap = ptable._snapshot()
+    d2_files = {
+        p for p, a in snap["files"].items()
+        if a["partition_values"]["dt"] == "d2"
+    }
+    # batch touches only d1 — d2 files must survive by reference even
+    # though k=1 overlaps d2's stats range conservatively
+    ptable.merge(
+        spark,
+        _pdf(spark, [("d1", 1, "UPD"), ("d1", 3, "NEW")]),
+        keys=["dt", "k"],
+    )
+    after = set(ptable._snapshot()["files"])
+    assert d2_files <= after
+    got = {(r["dt"], r["k"]): r["v"] for r in ptable.read(spark).collect()}
+    assert got[("d1", 1)] == "UPD" and got[("d1", 3)] == "NEW"
+    assert got[("d2", 10)] == "c"
+    assert len(got) == 5
+
+
+def test_partitioned_vacuum_cleans_dirs(spark, ptable):
+    ptable.overwrite(_pdf(spark, [("d3", 99, "z")]))
+    removed = ptable.vacuum(retain_versions=1)
+    assert removed
+    got = ptable.read(spark).collect()
+    assert [(r["dt"], r["k"], r["v"]) for r in got] == [("d3", 99, "z")]
+    import os as _os
+
+    livedirs = [
+        d for d in _os.listdir(ptable.data_dir)
+        if _os.path.isdir(_os.path.join(ptable.data_dir, d))
+    ]
+    assert livedirs == ["dt=d3"]
