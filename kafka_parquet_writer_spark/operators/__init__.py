@@ -17,4 +17,5 @@ from kafka_parquet_writer_spark.operators import (  # noqa: F401
     pipeline,
     timeseries,
     incremental,
+    graph,
 )

@@ -1,0 +1,144 @@
+"""Graph analytics over the near-duplicate document graph.
+
+`dedup_clusters` (operators/dedup.py) answers "which docs are the same
+cluster"; PageRank answers "which docs are CENTRAL" — a corpus-quality
+/ canonical-document signal a pre-training pipeline uses to pick the
+representative worth keeping (highest-centrality member) or to weight
+sampling. The graph is the verified MinHash pair set, symmetrized.
+
+Determinism discipline (see memory: oracle-portability-rules): a fixed
+iteration count is UNROLLED into the plan — 5 chained join+aggregate
+stages — and every rank is int64 micro-units (1e-6): the per-edge
+contribution is floor(85·r / (100·deg)) and the damping base is
+floor(0.15·1e6 / N), so both engines sum INTEGERS in every round and
+the result is bit-identical regardless of partitioning or order. The
+DuckDB oracle is the literally-unrolled identical algebra.
+
+100 TB shape: each iteration is one shuffle join (ranks ⋈ edges on
+src) + one aggregate (sum by dst) with map-side partials; the edge set
+is scanned once per round via exchange reuse. Degree is attached to
+edges ONCE before the loop. For web-scale graphs you add dangling-mass
+redistribution and convergence checks (GraphFrames/Pregel territory);
+the fixed-round unrolled form is the bounded-latency batch variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_parquet_writer_spark.operators.dedup import (
+    _minhash_oracle,
+    dedup_minhash_lsh,
+)
+from kafka_parquet_writer_spark.functions.portable import pround
+from kafka_parquet_writer_spark.registry import query
+
+PR_ITERS = 5
+PR_DAMP_NUM = 85      # damping 0.85 as an integer ratio (85/100)
+PR_SCALE = 1_000_000  # rank fixed-point scale (micro-units)
+
+
+def pagerank_edges(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """Fixed-point PageRank over a symmetric (src, dst) edge set.
+
+    Returns (node, degree, rank) with rank summing to ≈1 across nodes.
+    The caller provides edges already symmetrized; nodes are the
+    distinct sources (every node of a symmetric graph appears as src).
+
+    The edge set is localCheckpointed before the loop: the unrolled
+    iterations would otherwise re-plan (and, without exchange reuse,
+    re-execute) the upstream pair-generation pipeline once per round —
+    the same lineage-truncation discipline as connected_components.
+    """
+    edges = edges.localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_d = edges.join(deg, "src")
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node",
+        F.floor(F.lit(float(PR_SCALE)) / F.col("n")).cast("long").alias("r"),
+        F.floor(
+            F.lit(float(PR_SCALE) * (100 - PR_DAMP_NUM) / 100) / F.col("n")
+        ).cast("long").alias("base"),
+    )
+    for _ in range(iters):
+        contrib = ranks.join(
+            edges_d, ranks["node"] == edges_d["src"]
+        ).select(
+            "dst",
+            F.floor(
+                F.lit(float(PR_DAMP_NUM)) * F.col("r") / (100 * F.col("deg"))
+            ).cast("long").alias("c"),
+        )
+        summed = contrib.groupBy("dst").agg(F.sum("c").alias("m"))
+        ranks = (
+            ranks.select("node", "base")
+            .join(summed, ranks["node"] == summed["dst"], "left")
+            .select(
+                "node",
+                "base",
+                (F.col("base") + F.coalesce(F.col("m"), F.lit(0))).alias("r"),
+            )
+        )
+    return (
+        ranks.join(deg, ranks["node"] == deg["src"])
+        .select(
+            "node",
+            F.col("deg").alias("degree"),
+            pround(F.col("r").cast("double") / PR_SCALE, 6).alias("rank"),
+        )
+    )
+
+
+def _pagerank_oracle() -> str:
+    base_frac = float(PR_SCALE) * (100 - PR_DAMP_NUM) / 100
+    cte = [
+        f"pairs AS MATERIALIZED ({_minhash_oracle()})",
+        "sym AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs"
+        " UNION ALL SELECT d2, d1 FROM pairs)",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM sym GROUP BY src)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym)",
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes)",
+        f"r0 AS MATERIALIZED (SELECT node,"
+        f" CAST(floor({float(PR_SCALE)!r} / n) AS BIGINT) AS r,"
+        f" CAST(floor({base_frac!r} / n) AS BIGINT) AS base"
+        f" FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        cte.append(
+            f"c{i} AS MATERIALIZED (SELECT s.dst,"
+            f" sum(CAST(floor({float(PR_DAMP_NUM)!r} * r.r / (100 * d.deg))"
+            f" AS BIGINT)) AS m"
+            f" FROM r{i-1} r JOIN sym s ON s.src = r.node"
+            f" JOIN deg d ON d.src = s.src GROUP BY s.dst)"
+        )
+        cte.append(
+            f"r{i} AS MATERIALIZED (SELECT p.node, p.base,"
+            f" p.base + coalesce(c.m, 0) AS r"
+            f" FROM r{i-1} p LEFT JOIN c{i} c ON c.dst = p.node)"
+        )
+    body = ",\n    ".join(cte)
+    return f"""
+    WITH {body}
+    SELECT r.node, d.deg AS degree,
+           (floor((CAST(r.r AS DOUBLE) / {PR_SCALE}) * 1e6 + 0.5) / 1e6)
+             AS rank
+    FROM r{PR_ITERS} r JOIN deg d ON d.src = r.node
+    """
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the verified near-duplicate graph —
+    5 unrolled iterations, damping 0.85, int64 fixed-point throughout
+    (see module docstring for why that makes an iterative graph
+    algorithm value-hash-verifiable across engines)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    sym = pairs.select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
+    )
+    return pagerank_edges(sym)
