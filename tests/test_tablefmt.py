@@ -304,3 +304,41 @@ def test_partitioned_vacuum_cleans_dirs(spark, ptable):
         if _os.path.isdir(_os.path.join(ptable.data_dir, d))
     ]
     assert livedirs == ["dt=d3"]
+
+
+def test_streaming_txlog_upsert_partitioned(spark, tmp_path):
+    """Streaming MERGE into a PARTITIONED txlog table: partition
+    pruning applies per micro-batch (dt is part of the merge key)."""
+    from kafka_parquet_writer_spark.streaming.foreach_sink import (
+        start_txlog_upsert_stream,
+    )
+
+    t = TxTable(str(tmp_path / "ptx"))
+    t.create(
+        _pdf(spark, [("d1", 1, "old"), ("d2", 10, "keep")]),
+        partition_by=["dt"],
+    )
+    d2_files = {
+        p for p, a in t._snapshot()["files"].items()
+        if a["partition_values"]["dt"] == "d2"
+    }
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _pdf(spark, [("d1", 1, "upd"), ("d1", 2, "new")]).coalesce(1).write.mode(
+        "overwrite"
+    ).json(str(src))
+    stream = spark.readStream.schema("dt string, k int, v string").json(str(src))
+    q = start_txlog_upsert_stream(
+        stream,
+        str(tmp_path / "ptx"),
+        keys=["dt", "k"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    after = set(t._snapshot()["files"])
+    assert d2_files <= after  # untouched partition survived by reference
+    got = {(r["dt"], r["k"]): r["v"] for r in t.read(spark).collect()}
+    assert got == {("d1", 1): "upd", ("d1", 2): "new", ("d2", 10): "keep"}
