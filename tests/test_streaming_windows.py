@@ -99,3 +99,40 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
     # within one availableNow batch all duplicates are in horizon
     assert out.select("user_id", "event_type").distinct().count() == distinct
     assert out.count() == distinct
+
+
+def test_tws_totals_gated(spark):
+    """transformWithStateInPandas operator — runs only where the
+    google.protobuf Python package exists (the TWS state protocol
+    imports StateMessage_pb2 in the driver worker). Absent here; the
+    operator is exercised end-to-end wherever protobuf is installed."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf not installed — TWS driver worker "
+                    "cannot start (same environment gap as spark-protobuf)")
+
+    from kafka_parquet_writer_spark.operators.streaming_queries import (
+        stream_tws_totals,
+    )
+    from tests.conftest import SF_SMOKE
+
+    out = stream_tws_totals(spark, SF_SMOKE)
+    rows = {r["user_id"]: r for r in out.collect()}
+    from kafka_parquet_writer_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    exp = {
+        r["user_id"]: r
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.countDistinct("event_type").alias("n_types"))
+        .collect()
+    }
+    assert set(rows) == set(exp)
+    for k in rows:
+        assert rows[k]["n"] == exp[k]["n"]
+        assert rows[k]["n_types"] == exp[k]["n_types"]
