@@ -123,3 +123,49 @@ def write_parquet_sized(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
     return max_records
+
+
+def finalize_file_names(
+    out_dir: str,
+    instance_name: str,
+    timestamp_ms: int | None = None,
+    date_time_pattern: str | None = None,
+    extension: str = ".parquet",
+) -> list[str]:
+    """Rename Spark part-files to the reference's finalized-file scheme
+    ``<timestamp>_<instanceName>_<shardIndex><ext>``
+    (`KafkaProtoParquetWriter.java:55,313-320`: epoch-millis by default,
+    or a strftime-style ``date_time_pattern``; shard index = the
+    writer's ordinal, here the part-file ordinal).
+
+    Runs AFTER the write commits — Spark's own temp-file protocol has
+    already made the data visible atomically, so this is pure cosmetic
+    parity for downstream consumers that parse the reference's names.
+    Recurses into Hive partition directories (shard index restarts per
+    directory, matching per-writer numbering). Skips non-data files
+    (_SUCCESS, checksums). Returns the new relative paths.
+    """
+    import time as _time
+
+    ts = int(_time.time() * 1000) if timestamp_ms is None else timestamp_ms
+    if date_time_pattern is not None:
+        from datetime import datetime, timezone
+
+        stamp = datetime.fromtimestamp(ts / 1000, tz=timezone.utc).strftime(
+            date_time_pattern
+        )
+    else:
+        stamp = str(ts)
+    renamed = []
+    for root, _dirs, names in os.walk(out_dir):
+        shard = 0
+        for name in sorted(names):
+            if not name.endswith(".parquet") or not name.startswith("part-"):
+                continue
+            final = f"{stamp}_{instance_name}_{shard}{extension}"
+            os.replace(os.path.join(root, name), os.path.join(root, final))
+            renamed.append(
+                os.path.relpath(os.path.join(root, final), out_dir)
+            )
+            shard += 1
+    return renamed

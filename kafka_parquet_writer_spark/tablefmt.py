@@ -472,10 +472,21 @@ class TxTable:
         actions += [{"remove": {"path": p}} for p in touched]
         return self._commit("merge", actions, snap["version"], txn=txn)
 
-    def compact(self, spark: SparkSession, max_file_bytes: int = 64 << 20) -> int:
+    def compact(
+        self, spark: SparkSession, max_file_bytes: int = 64 << 20,
+        cluster_by: list[str] | None = None, n_files: int | None = None,
+    ) -> int:
         """OPTIMIZE: rewrite files smaller than ``max_file_bytes`` into
         few right-sized ones. Commutes with appends (acts only on files
-        it read; a racing append's files are untouched)."""
+        it read; a racing append's files are untouched).
+
+        ``cluster_by`` additionally range-sorts the rewritten rows
+        before writing (the OPTIMIZE ZORDER analogue, linear order for
+        the common single-column case): clustered files get narrow,
+        disjoint min/max ranges, so the SAME stats make `read_where`
+        and MERGE prune far more files. Unclustered appends arrive with
+        overlapping ranges; periodic clustered compaction is what keeps
+        data skipping effective on a long-lived 100 TB table."""
         snap = self._snapshot()
         small = [
             p for p, a in snap["files"].items() if a["bytes"] < max_file_bytes
@@ -483,10 +494,19 @@ class TxTable:
         if len(small) < 2:
             return snap["version"]
         total = sum(snap["files"][p]["bytes"] for p in small)
-        n_out = max(1, total // max_file_bytes)
+        n_out = n_files or max(1, total // max_file_bytes)
         df = self._read_paths(
             spark, snap, [os.path.join(self.dir, p) for p in small]
-        ).coalesce(int(n_out))
+        )
+        if cluster_by:
+            # repartitionByRange gives each output file a disjoint key
+            # range (sortWithinPartitions alone would leave every file
+            # spanning the whole key space)
+            df = df.repartitionByRange(
+                int(n_out), *cluster_by
+            ).sortWithinPartitions(*cluster_by)
+        else:
+            df = df.coalesce(int(n_out))
         actions = self._stage(df, self._stats_cols(snap), snap["partition_by"])
         actions += [{"remove": {"path": p}} for p in small]
         return self._commit("compact", actions, snap["version"])

@@ -342,3 +342,29 @@ def test_streaming_txlog_upsert_partitioned(spark, tmp_path):
     assert d2_files <= after  # untouched partition survived by reference
     got = {(r["dt"], r["k"]): r["v"] for r in t.read(spark).collect()}
     assert got == {("d1", 1): "upd", ("d1", 2): "new", ("d2", 10): "keep"}
+
+
+def test_clustered_compaction_tightens_pruning(spark, tmp_path):
+    """Interleaved appends leave every file spanning the whole key
+    range (stats pruning useless); compact(cluster_by=) range-sorts so
+    files become disjoint and the same read prunes most of them."""
+    t = TxTable(str(tmp_path / "tx"))
+    # 4 appends, each covering the FULL key space (worst case for stats)
+    t.create(_df(spark, [(i, "x", 1) for i in range(0, 100, 4)]).coalesce(1))
+    for off in (1, 2, 3):
+        t.append(
+            _df(spark, [(i + off, "x", 1) for i in range(0, 100, 4)]).coalesce(1)
+        )
+    snap = t._snapshot()
+    assert len(t.candidate_files(snap, "k", 10, 19)) == 4  # nothing prunes
+
+    t.compact(spark, cluster_by=["k"], n_files=4)
+    # compaction must preserve content exactly
+    assert len(_data(t, spark)) == 100
+
+    snap3 = t._snapshot()
+    assert len(snap3["files"]) == 4
+    cand = t.candidate_files(snap3, "k", 10, 19)
+    assert len(cand) < len(snap3["files"])  # disjoint ranges now prune
+    got = t.read_where(spark, "k", 10, 19).collect()
+    assert sorted(r["k"] for r in got) == list(range(10, 20))

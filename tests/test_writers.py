@@ -77,3 +77,43 @@ def test_sized_write_round_trip(spark):
     assert sorted(r["event_id"] for r in back.collect()) == sorted(
         r["event_id"] for r in ev.collect()
     )
+
+
+def test_finalize_file_names_reference_scheme(spark, tmp_path):
+    """Renamed files follow <timestamp>_<instance>_<shard>.parquet
+    (KafkaProtoParquetWriter.java:55) and stay readable, including
+    under Hive partition directories."""
+    import re
+
+    from kafka_parquet_writer_spark.sources.writers import finalize_file_names
+
+    df = spark.range(100).selectExpr("id", "id % 2 AS p")
+    out = str(tmp_path / "out")
+    df.repartition(2).write.partitionBy("p").mode("overwrite").parquet(out)
+
+    renamed = finalize_file_names(out, "writerA", timestamp_ms=1700000000000)
+    assert renamed
+    pat = re.compile(r"^1700000000000_writerA_\d+\.parquet$")
+    import os
+
+    for rel in renamed:
+        assert pat.match(os.path.basename(rel)), rel
+        assert rel.startswith("p=")  # partition dirs preserved
+    # shard indices restart per directory (per-writer numbering)
+    by_dir = {}
+    for rel in renamed:
+        d, b = os.path.split(rel)
+        by_dir.setdefault(d, []).append(b)
+    for d, names in by_dir.items():
+        idx = sorted(int(n.split("_")[2].split(".")[0]) for n in names)
+        assert idx == list(range(len(idx)))
+    # still a valid parquet dataset
+    assert spark.read.parquet(out).count() == 100
+
+    # datetime-pattern variant (fileDateTimePattern)
+    out2 = str(tmp_path / "out2")
+    spark.range(10).coalesce(1).write.mode("overwrite").parquet(out2)
+    renamed2 = finalize_file_names(
+        out2, "w", timestamp_ms=1700000000000, date_time_pattern="%Y%m%d-%H%M"
+    )
+    assert renamed2 == ["20231114-2213_w_0.parquet"]
