@@ -348,3 +348,133 @@ def subquery_correlated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  WHERE p2.p_brand = p.p_brand)
         """
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, ts FROM events),
+    s1 AS (
+      SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+                OVER (PARTITION BY user_id) AS t1
+      FROM e
+    ),
+    s2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                OVER (PARTITION BY user_id) AS t2
+      FROM s1
+    ),
+    s3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                OVER (PARTITION BY user_id) AS t3
+      FROM s2
+    )
+    SELECT
+      CAST(count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS BIGINT)
+        AS n_view,
+      CAST(count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS BIGINT)
+        AS n_view_click,
+      CAST(count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS BIGINT)
+        AS n_view_click_purchase
+    FROM s3
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): per user, the
+    first view, the first click strictly AFTER that view, the first
+    purchase strictly after that click; counts how many users survive
+    each stage. The product-analytics sequence-matching shape.
+
+    Scale: three chained window aggregates over the SAME user_id
+    partitioning — one shuffle total, each stage's threshold feeding
+    the next without a self-join (the naive formulation is a 3-way
+    self-join on the event table; this is one pass). The final
+    stage-count aggregate is a 1-row reduction.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    wu = W.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu)
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(wu),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(wu),
+    )
+    return s3.agg(
+        F.countDistinct(
+            F.when(F.col("t1").isNotNull(), F.col("user_id"))
+        ).alias("n_view"),
+        F.countDistinct(
+            F.when(F.col("t2").isNotNull(), F.col("user_id"))
+        ).alias("n_view_click"),
+        F.countDistinct(
+            F.when(F.col("t3").isNotNull(), F.col("user_id"))
+        ).alias("n_view_click_purchase"),
+    )
+
+
+@query(
+    "agg_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_wk
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS act_wk FROM events
+    )
+    SELECT strftime(f.cohort_wk, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', CAST(f.cohort_wk AS DATE),
+                          CAST(a.act_wk AS DATE)) / 7 AS INTEGER)
+             AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM activity a JOIN first_seen f ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def agg_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen week,
+    counted in each later activity week (offset in weeks) — the
+    engagement table every analytics stack computes.
+
+    Scale: one user-grain aggregate (first event), one distinct
+    projection of (user, week), an equi-join on user_id (both sides
+    user-grain ≪ events), and the final (cohort, offset) aggregate —
+    all shuffles on user_id reuse one partitioning; cohort weeks are
+    formatted as strings so the output is engine-portable (date
+    serialization differs, ISO strings don't).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_wk")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_wk")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                F.datediff(F.to_date("act_wk"), F.to_date("cohort_wk")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
