@@ -209,11 +209,14 @@ def test_tpch_q20_single_fact_aggregate(spark, sf_dir):
     assert count_exchanges(df) <= 3
 
 
-def test_text_repetition_is_pure_projection(spark, sf_dir):
-    """The Gopher rules are per-row expressions: ZERO exchanges —
-    at 100 TB this operator must stream map-only."""
+def test_text_repetition_single_compute_repartition(spark, sf_dir):
+    """The Gopher rules are per-row expressions with no cross-row
+    dependency: exactly ONE exchange — the explicit compute
+    repartition that spreads the O(distinct²) per-doc work across
+    cores (see repartition_for_compute) — and no aggregation."""
     df = E.queries()["text_repetition"](spark, sf_dir)
-    assert count_exchanges(df) == 0
+    assert count_exchanges(df) == 1
+    assert "HashAggregate" not in formatted_plan(df)
 
 
 def test_docs_ngram_lm_no_cartesian(spark, sf_dir):
