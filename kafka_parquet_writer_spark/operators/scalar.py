@@ -258,3 +258,41 @@ def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(m).alias("n_keys"),
         F.concat_ws(",", F.map_keys(m)).alias("keys_csv"),
     )
+
+
+@query(
+    "scalar_struct",
+    oracle="""
+    SELECT o_orderkey,
+           struct_pack(cust := o_custkey,
+                       status := o_orderstatus).cust   AS s_cust,
+           struct_pack(cust := o_custkey,
+                       status := o_orderstatus).status AS s_status,
+           struct_pack(a := struct_pack(k := o_orderkey),
+                       b := o_totalprice > 100000.0).a.k AS nested_k,
+           struct_pack(a := struct_pack(k := o_orderkey),
+                       b := o_totalprice > 100000.0).b   AS is_big
+    FROM orders
+    """,
+)
+def scalar_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction and field access (incl. nested structs) —
+    the scalar family's missing composite type. Pure projection: zero
+    shuffles, whole-stage codegen, field access compiles to a direct
+    column reference after Catalyst's CreateStruct/GetStructField
+    simplification (the struct never materializes)."""
+    o = load_table(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_custkey").alias("cust"), F.col("o_orderstatus").alias("status")
+    )
+    nested = F.struct(
+        F.struct(F.col("o_orderkey").alias("k")).alias("a"),
+        (F.col("o_totalprice") > 100000.0).alias("b"),
+    )
+    return o.select(
+        "o_orderkey",
+        s["cust"].alias("s_cust"),
+        s["status"].alias("s_status"),
+        nested["a"]["k"].alias("nested_k"),
+        nested["b"].alias("is_big"),
+    )

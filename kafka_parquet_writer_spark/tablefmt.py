@@ -320,9 +320,51 @@ class TxTable:
         schema = StructType.fromJson(json.loads(snap["schema"]))
         return [f.name for f in schema.fields]
 
-    def append(self, df: DataFrame, txn: dict | None = None) -> int:
-        """Add files; nothing rewritten. Commutes with other appends."""
+    def append(
+        self, df: DataFrame, txn: dict | None = None,
+        merge_schema: bool = False,
+    ) -> int:
+        """Add files; nothing rewritten. Commutes with other appends.
+
+        ``merge_schema=True`` allows ADDITIVE evolution: new nullable
+        columns in ``df`` extend the table schema via a fresh meta
+        action in the same commit; committed files never rewrite —
+        schema-on-read fills the column with null for old files (the
+        Delta `mergeSchema` contract). Dropping or retyping an existing
+        column is refused either way: that would silently corrupt
+        old-file reads.
+        """
         snap = self._snapshot()
+        stored = StructType.fromJson(json.loads(snap["schema"]))
+        have = {f.name: f.dataType for f in stored.fields}
+        extra = [f for f in df.schema.fields if f.name not in have]
+        retyped = [
+            f.name for f in df.schema.fields
+            if f.name in have and f.dataType != have[f.name]
+        ]
+        if retyped:
+            raise ValueError(
+                f"append: column type change for {retyped} — evolution "
+                f"is additive-only (rewrite via overwrite instead)"
+            )
+        actions: list[dict] = []
+        if extra:
+            if not merge_schema:
+                raise ValueError(
+                    f"append: new columns {[f.name for f in extra]} — "
+                    f"pass merge_schema=True to evolve the table schema"
+                )
+            merged = StructType(stored.fields + extra)
+            meta = dict(snap["meta"])
+            meta["schema"] = merged.json()
+            actions.append({"meta": meta})
+            # schema evolution must not race anything: treat this
+            # append as conflicting (exact base required)
+            adds = self._stage(df, [f.name for f in merged.fields],
+                               snap["partition_by"])
+            return self._commit(
+                "append_evolve", actions + adds, snap["version"], txn=txn
+            )
         adds = self._stage(df, self._stats_cols(snap), snap["partition_by"])
         return self._commit("append", adds, snap["version"], txn=txn)
 

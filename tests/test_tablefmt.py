@@ -368,3 +368,31 @@ def test_clustered_compaction_tightens_pruning(spark, tmp_path):
     assert len(cand) < len(snap3["files"])  # disjoint ranges now prune
     got = t.read_where(spark, "k", 10, 19).collect()
     assert sorted(r["k"] for r in got) == list(range(10, 20))
+
+
+def test_schema_evolution_additive(spark, table):
+    wide = spark.createDataFrame(
+        [(10, "w", 1, 3.5)], "k int, v string, ts int, score double"
+    )
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        table.append(wide)
+    v = table.append(wide, merge_schema=True)
+
+    out = {r["k"]: r for r in table.read(spark).collect()}
+    assert out[10]["score"] == 3.5
+    assert out[1]["score"] is None  # old files: schema-on-read null
+    assert len(out) == 4
+
+    # time travel to before the evolution sees the OLD schema
+    old = table.read(spark, version=v - 1)
+    assert "score" not in old.columns
+
+    # retypes always refused
+    bad = spark.createDataFrame([(11, 5, 1)], "k int, v int, ts int")
+    with pytest.raises(ValueError, match="additive-only"):
+        table.append(bad, merge_schema=True)
+
+    # further normal appends use the evolved schema
+    table.append(_df(spark, [(12, "z", 1)]))
+    out2 = {r["k"]: r for r in table.read(spark).collect()}
+    assert out2[12]["score"] is None
