@@ -18,4 +18,5 @@ from kafka_parquet_writer_spark.operators import (  # noqa: F401
     timeseries,
     incremental,
     graph,
+    corpus_prep,
 )

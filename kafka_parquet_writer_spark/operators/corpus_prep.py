@@ -1,0 +1,359 @@
+"""Training-corpus preparation operators: sliding-window chunking,
+token-budget sequence packing, column profiling, SCD2 dimension build,
+and corpus heavy-hitters.
+
+These are the batch transforms an LLM training-data pipeline runs after
+dedup/quality (operators/dedup.py, operators/text.py): split documents
+into model-window chunks, pack them into fixed token budgets, profile
+the tables being shipped, and track slowly-changing attributes. The
+reference engine stops at parquet landing
+(`KafkaProtoParquetWriter.java:156-380`); this is the consumer-side
+surface over that landed data. All operators are pure JVM expression
+pipelines with exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from kafka_parquet_writer_spark.catalog import load_table
+from kafka_parquet_writer_spark.functions import texthash as TH
+from kafka_parquet_writer_spark.functions.portable import (
+    cents,
+    pround,
+    sql_cents,
+    sql_pround,
+)
+from kafka_parquet_writer_spark.registry import query
+
+#: chunking window: tokens per chunk / stride between chunk starts
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+#: packing: target tokens per packed sequence, and the doc_id block size
+#: used to shard the distributed prefix sum
+PACK_BUDGET = 2048
+PACK_BLOCK = 64
+
+#: heavy hitters: minimum document frequency, percent of corpus
+HH_MIN_DF_PCT = 5
+
+
+@query(
+    "text_chunk",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {TH.sql_words('text')} AS w FROM documents
+    ), s AS (
+      SELECT doc_id, w, unnest(range(0, len(w), {CHUNK_STRIDE})) AS st
+      FROM w WHERE len(w) > 0
+    ), c AS (
+      SELECT doc_id,
+             CAST(st // {CHUNK_STRIDE} AS BIGINT) AS chunk_seq,
+             list_slice(w, st + 1, st + {CHUNK_TOKENS}) AS chunk
+      FROM s
+    )
+    SELECT doc_id, chunk_seq,
+           CAST(len(chunk) AS BIGINT) AS n_tokens,
+           {TH.sql_portable_hash64("array_to_string(chunk, ' ')")} AS chunk_hash
+    FROM c
+    """,
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: split each document into overlapping
+    {CHUNK_TOKENS}-token windows every {CHUNK_STRIDE} tokens (the
+    context-window prep step of an LLM pipeline); emit one row per
+    chunk with a portable content hash.
+
+    Scale shape: tokenize → per-row sequence of start offsets →
+    explode. Zero shuffles — chunking is embarrassingly parallel, the
+    explode fan-out (~len/stride per doc) stays inside the scan stage,
+    and the chunk text itself never leaves the task (only the 64-bit
+    hash is emitted). At 100 TB this is a map-only pass bounded by
+    scan I/O.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TH.words_expr("text").alias("w")
+    )
+    n = F.size("w")
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(CHUNK_STRIDE))
+    ).otherwise(F.lit(None))
+    chunk = F.slice(F.col("w"), F.col("st") + 1, CHUNK_TOKENS)
+    return (
+        docs.select("doc_id", F.explode(starts).alias("st"), "w")
+        .select(
+            "doc_id",
+            F.floor(F.col("st") / CHUNK_STRIDE).cast("long").alias("chunk_seq"),
+            chunk.alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_seq",
+            F.size("chunk").cast("long").alias("n_tokens"),
+            TH.portable_hash64(F.array_join("chunk", " ")).alias("chunk_hash"),
+        )
+    )
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({TH.sql_words('text')}) AS BIGINT) AS t
+      FROM documents
+    ), c AS (
+      SELECT doc_id, t,
+             COALESCE(sum(t) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM t
+    )
+    SELECT CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS bin_id,
+           count(*)                                    AS n_docs,
+           min(doc_id)                                 AS first_doc,
+           max(doc_id)                                 AS last_doc,
+           CAST(sum(t) AS BIGINT)                      AS tok_sum,
+           {sql_pround(f'sum(t) * 100.0 / {PACK_BUDGET}', 2)} AS fill_pct
+    FROM c
+    GROUP BY bin_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: assign documents (in doc_id
+    order) to consecutive {PACK_BUDGET}-token bins — a doc goes to the
+    bin its cumulative start offset falls in, so bins overflow by at
+    most one document. One row per bin with fill statistics.
+
+    Scale shape: the global running sum is computed as a DISTRIBUTED
+    prefix sum, not a single-task window. Docs shard into doc_id
+    blocks of {PACK_BLOCK}; per-shard token totals (one tiny row per
+    shard) take a driver-size window pass to become shard offsets,
+    which broadcast-join back so each shard computes its local cumsum
+    independently (`partitionBy(shard)`). The oracle's plain
+    `sum() OVER (ORDER BY doc_id)` is the single-node semantics; the
+    Spark plan never materializes a 1-partition window over the
+    corpus — the classic parallel scan decomposition.
+    """
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(TH.words_expr("text")).cast("long").alias("t"),
+        )
+        .withColumn("shard", F.floor(F.col("doc_id") / PACK_BLOCK))
+    )
+    shard_tot = toks.groupBy("shard").agg(F.sum("t").alias("st"))
+    w_shard = W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+    offsets = shard_tot.select(
+        "shard", F.coalesce(F.sum("st").over(w_shard), F.lit(0)).alias("off")
+    )
+    w_local = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    binned = (
+        toks.join(F.broadcast(offsets), "shard")
+        .withColumn(
+            "cum_before",
+            F.coalesce(F.sum("t").over(w_local), F.lit(0)) + F.col("off"),
+        )
+        .withColumn(
+            "bin_id", F.floor(F.col("cum_before") / PACK_BUDGET).cast("long")
+        )
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.sum("t").alias("tok_sum"),
+        pround(F.sum("t") * 100.0 / PACK_BUDGET, 2).alias("fill_pct"),
+    )
+
+
+#: (column name in output, Spark string expression, DuckDB string expression)
+_PROFILE_COLS = [
+    ("o_orderkey", lambda: F.col("o_orderkey").cast("string"),
+     "CAST(o_orderkey AS VARCHAR)"),
+    ("o_custkey", lambda: F.col("o_custkey").cast("string"),
+     "CAST(o_custkey AS VARCHAR)"),
+    ("o_orderstatus", lambda: F.col("o_orderstatus"), "o_orderstatus"),
+    ("o_orderpriority", lambda: F.col("o_orderpriority"), "o_orderpriority"),
+    ("o_orderdate", lambda: F.date_format("o_orderdate", "yyyy-MM-dd"),
+     "strftime(o_orderdate, '%Y-%m-%d')"),
+    ("o_totalprice_cents",
+     lambda: cents(F.col("o_totalprice")).cast("string"),
+     f"CAST({sql_cents('o_totalprice')} AS VARCHAR)"),
+]
+
+
+def _profile_oracle() -> str:
+    arms = "\n      UNION ALL ".join(
+        f"SELECT '{name}' AS col_name, {sql_expr} AS val FROM orders"
+        for name, _, sql_expr in _PROFILE_COLS
+    )
+    return f"""
+    WITH long AS (
+      {arms}
+    )
+    SELECT col_name,
+           count(*)            AS n_rows,
+           count(val)          AS n_nonnull,
+           count(DISTINCT val) AS n_distinct,
+           min(val)            AS min_val,
+           max(val)            AS max_val
+    FROM long
+    GROUP BY col_name
+    """
+
+
+@query("profile_columns", oracle=_profile_oracle())
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profile of `orders`: per column, row/null/
+    distinct counts and min/max — the pre-shipment audit a pipeline
+    runs on every landed table. Numerics profile through portable
+    string forms (ints as decimal strings, money as fixed-point cents,
+    dates as ISO) so both engines compare identical bytes.
+
+    Scale shape: one scan; each row explodes into (col_name, value)
+    pairs so the whole profile is a single explode + one hash
+    aggregate keyed by column name — no per-column scan loop, no
+    driver iteration, and the shuffle carries only distinct
+    (col, value) pairs after partial aggregation. count(DISTINCT)
+    per group rewrites to a two-phase exact distinct; for columns
+    where an estimate suffices, approx_count_distinct drops the
+    second phase (documented, not declared).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    kv = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("col_name"), expr().alias("val")
+            )
+            for name, expr, _ in _PROFILE_COLS
+        ]
+    )
+    long = orders.select(F.explode(kv).alias("kv")).select("kv.*")
+    return long.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("val").alias("n_nonnull"),
+        F.countDistinct("val").alias("n_distinct"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
+@query(
+    "dim_scd2",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, epoch_us(ts) AS tu, event_id, event_type FROM events
+    ), g AS (
+      SELECT user_id, event_type, tu, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY tu, event_id) AS prev
+      FROM x
+    ), c AS (
+      SELECT user_id, event_type, tu, event_id FROM g
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type,
+           tu                                  AS valid_from_us,
+           lead(tu) OVER w                     AS valid_to_us,
+           CAST(row_number() OVER w AS BIGINT) AS version_seq,
+           CAST(CASE WHEN lead(tu) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_current
+    FROM c
+    WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+    """,
+)
+def dim_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from the event stream:
+    collapse each user's event_type runs into effective-dated versions
+    [valid_from, valid_to), open-ended (NULL valid_to, is_current=1)
+    for the latest — the standard warehouse history table over landed
+    CDC/event data.
+
+    Scale shape: ONE shuffle on user_id serves both window passes
+    (change detection, then validity ranges over the filtered change
+    rows — Catalyst reuses the hash partitioning since both windows
+    key on user_id). Version chains are per-user local; no global
+    ordering, no driver state.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("tu"),
+        "event_id",
+        "event_type",
+    )
+    w = W.partitionBy("user_id").orderBy("tu", "event_id")
+    changes = ev.withColumn("prev", F.lag("event_type").over(w)).where(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("tu").alias("valid_from_us"),
+        F.lead("tu").over(w).alias("valid_to_us"),
+        F.row_number().over(w).cast("long").alias("version_seq"),
+        F.when(F.lead("tu").over(w).isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_current"),
+    )
+
+
+@query(
+    "text_heavy_hitters",
+    oracle=f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, unnest({TH.sql_words('text')}) AS token
+      FROM documents
+    ), freq AS (
+      SELECT token, count(*) AS doc_freq FROM dt GROUP BY token
+    ), tot AS (
+      SELECT count(*) AS n_docs FROM documents
+    )
+    SELECT token, doc_freq,
+           {sql_pround('doc_freq * 100.0 / n_docs', 2)} AS df_pct
+    FROM freq, tot
+    WHERE doc_freq * 100 >= n_docs * {HH_MIN_DF_PCT}
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy-hitters: tokens whose DOCUMENT frequency is at
+    least {HH_MIN_DF_PCT}% of the corpus (frequent-pattern mining's
+    support threshold; the candidate stopword/boilerplate list a
+    cleaning pipeline feeds back into quality scoring).
+
+    Scale shape: per-doc distinct tokens explode → partial hash agg →
+    shuffle only the vocabulary; the corpus size arrives as a 1-row
+    broadcast (the scalar-subquery plan of analytics.subquery_scalar).
+    The threshold compare is integer arithmetic — no float threshold
+    drift between engines. At 100 TB the exact count is
+    vocabulary-bound; the sketched variant (count-min + Misra-Gries
+    merge in applyInPandas) trades exactness for constant memory and
+    is documented here rather than declared.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(TH.words_expr("text"))).alias("token"),
+    )
+    freq = dt.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    tot = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        freq.crossJoin(F.broadcast(tot))
+        .where(F.col("doc_freq") * 100 >= F.col("n_docs") * HH_MIN_DF_PCT)
+        .select(
+            "token",
+            "doc_freq",
+            pround(F.col("doc_freq") * 100.0 / F.col("n_docs"), 2).alias(
+                "df_pct"
+            ),
+        )
+    )

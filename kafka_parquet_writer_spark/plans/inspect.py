@@ -59,3 +59,10 @@ def count_exchanges(df: DataFrame) -> int:
         and " Exchange" in line
         and "BroadcastExchange" not in line
     )
+
+
+def simple_plan(df: DataFrame) -> str:
+    """The simple physical plan string (node args inline on each line) —
+    for gates that need an operator's spec (e.g. a Window's partition
+    columns) on the same line as the node name."""
+    return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
