@@ -55,6 +55,8 @@ HEADLINE = [
     "tpch_q13",
     "sessionize_batch",
     "rollup_time_hierarchy",
+    "text_chunk",
+    "pack_sequences",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming

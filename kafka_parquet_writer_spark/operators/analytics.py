@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from kafka_parquet_writer_spark.catalog import load_table
-from kafka_parquet_writer_spark.functions.portable import pround, sql_cents, sql_pround
+from kafka_parquet_writer_spark.functions.portable import cents, pround, sql_cents, sql_pround
 from kafka_parquet_writer_spark.registry import query
 
 ORDER_STATUSES = ["F", "O", "P"]
@@ -477,4 +477,84 @@ def agg_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int").alias("week_offset"),
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "agg_winsorized",
+    oracle=f"""
+    WITH x AS (
+      SELECT o_orderpriority AS priority,
+             o_orderkey,
+             {sql_cents('o_totalprice')} AS vc
+      FROM orders
+    ), r AS (
+      SELECT priority, vc,
+             row_number() OVER (PARTITION BY priority
+                                ORDER BY vc, o_orderkey) AS rn,
+             count(*)    OVER (PARTITION BY priority)    AS n
+      FROM x
+    ), t AS (
+      SELECT priority, vc, n,
+             max(CASE WHEN rn = (n * 5  + 99) // 100 THEN vc END)
+               OVER (PARTITION BY priority) AS lo,
+             max(CASE WHEN rn = (n * 95 + 99) // 100 THEN vc END)
+               OVER (PARTITION BY priority) AS hi
+      FROM r
+    ), c AS (
+      SELECT priority, n, lo, hi,
+             least(greatest(vc, lo), hi) AS cw
+      FROM t
+    )
+    SELECT priority,
+           CAST(max(n)  AS BIGINT) AS n_orders,
+           CAST(max(lo) AS BIGINT) AS lo_cents,
+           CAST(max(hi) AS BIGINT) AS hi_cents,
+           {sql_pround('sum(cw) / 100.0 / max(n)', 2)} AS win_avg
+    FROM c
+    GROUP BY priority
+    """,
+)
+def agg_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics: per order priority, clamp order
+    totals at the exact empirical 5th/95th percentiles (discrete —
+    the k-th smallest element, k = ceil(p·n), so both engines pick an
+    actual data value, no interpolation arithmetic to diverge on) and
+    report the clamped mean — the outlier-robust aggregate a feature
+    pipeline ships instead of a raw mean.
+
+    Scale shape: ONE shuffle on the group key serves everything — the
+    rank/count windows, the percentile-element broadcast back to rows
+    (a full-frame window max, not a self-join), the clamp, and the
+    final aggregate all reuse the same hash partitioning. Fixed-point
+    cents keep the percentile compare and the clamped sum
+    engine-identical.
+    """
+    x = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderkey",
+        cents(F.col("o_totalprice")).alias("vc"),
+    )
+    w_ord = W.partitionBy("priority").orderBy("vc", "o_orderkey")
+    w_all = W.partitionBy("priority").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    r = x.withColumn("rn", F.row_number().over(w_ord)).withColumn(
+        "n", F.count(F.lit(1)).over(w_all)
+    )
+    k_lo = ((F.col("n") * 5 + 99) / 100).cast("long")
+    k_hi = ((F.col("n") * 95 + 99) / 100).cast("long")
+    t = r.withColumn(
+        "lo", F.max(F.when(F.col("rn") == k_lo, F.col("vc"))).over(w_all)
+    ).withColumn(
+        "hi", F.max(F.when(F.col("rn") == k_hi, F.col("vc"))).over(w_all)
+    )
+    c = t.withColumn(
+        "cw", F.least(F.greatest(F.col("vc"), F.col("lo")), F.col("hi"))
+    )
+    return c.groupBy("priority").agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.max("lo").cast("long").alias("lo_cents"),
+        F.max("hi").cast("long").alias("hi_cents"),
+        pround(F.sum("cw") / 100.0 / F.max("n"), 2).alias("win_avg"),
     )

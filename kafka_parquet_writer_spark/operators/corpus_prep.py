@@ -357,3 +357,54 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: inverted index: cap stored postings per token (real indexes shard
+#: long postings; the count is always exact)
+INDEX_POSTINGS_CAP = 64
+
+
+@query(
+    "text_inverted_index",
+    oracle=f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, unnest({TH.sql_words('text')}) AS token
+      FROM documents
+    )
+    SELECT token,
+           count(*) AS df,
+           array_to_string(
+             list_slice(list(doc_id ORDER BY doc_id),
+                        1, {INDEX_POSTINGS_CAP}), ',') AS postings_head
+    FROM dt
+    GROUP BY token
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token → document frequency + the sorted
+    postings head (first {INDEX_POSTINGS_CAP} doc_ids, comma-joined) —
+    the IR index-construction pass over a landed corpus.
+
+    Scale shape: distinct (doc, token) pairs → partial hash agg →
+    shuffle only the vocabulary; postings accumulate via collect_list
+    under the aggregate (sorted after, capped so row width is bounded
+    — a production index spills long postings to segment files, which
+    is exactly what the cap models). df stays exact regardless of the
+    cap. No Python, no driver collection.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(TH.words_expr("text"))).alias("token"),
+    )
+    return dt.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(
+            F.slice(
+                F.sort_array(F.collect_list("doc_id")),
+                1,
+                INDEX_POSTINGS_CAP,
+            ),
+            ",",
+        ).alias("postings_head"),
+    )

@@ -23,7 +23,7 @@ from pyspark.sql.window import Window as W
 
 from kafka_parquet_writer_spark.catalog import load_table
 from kafka_parquet_writer_spark.functions import vector as V
-from kafka_parquet_writer_spark.functions.portable import pround
+from kafka_parquet_writer_spark.functions.portable import pround, sql_pround
 from kafka_parquet_writer_spark.registry import query
 from kafka_parquet_writer_spark.session import repartition_for_compute
 
@@ -380,3 +380,98 @@ def brute_force_topk_matrix(
     cands = emb.mapInPandas(score, schema="q_id long, n_id long, cos double")
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return cands.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+# --- product quantization (the compression half of IVF-PQ) -----------------
+
+PQ_SEED = 404
+PQ_M = 4          #: subspaces
+PQ_SUBDIM = EMBED_DIM // PQ_M
+PQ_K = 16         #: codebook entries per subspace
+
+
+def _pq_codebooks() -> list[list[list[float]]]:
+    rng = np.random.RandomState(PQ_SEED)
+    return [
+        [[round(float(x), 6) for x in c]
+         for c in rng.randn(PQ_K, PQ_SUBDIM)]
+        for _ in range(PQ_M)
+    ]
+
+
+PQ_CODEBOOKS = _pq_codebooks()
+
+
+def _pq_oracle() -> str:
+    best = []
+    norms = []
+    for m, book in enumerate(PQ_CODEBOOKS):
+        sub = f"list_slice(v, {m * PQ_SUBDIM + 1}, {(m + 1) * PQ_SUBDIM})"
+        structs = ", ".join(
+            f"struct_pack(s := CAST({sum(x * x for x in c)!r} AS DOUBLE)"
+            f" - 2.0 * list_dot_product({sub}, {V.sql_lit_vector(c)}),"
+            f" c := {k})"
+            for k, c in enumerate(book)
+        )
+        best.append(f"list_sort([{structs}])[1] AS b{m}")
+        norms.append(f"list_dot_product({sub}, {sub}) AS n{m}")
+    err = " + ".join(f"(b{m}.s + n{m})" for m in range(PQ_M))
+    code = " + ".join(f"(b{m}.c) * {PQ_K ** m}" for m in range(PQ_M))
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, {", ".join(best)}, {", ".join(norms)} FROM e)
+    SELECT vec_id,
+           CAST({code} AS BIGINT) AS pq_code,
+           {sql_pround(err, 6)} AS err6
+    FROM s
+    """
+
+
+@query("embedding_pq", oracle=_pq_oracle())
+def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: each 64-dim embedding splits into 4
+    subvectors of 16 dims; each subvector is assigned its nearest of 16
+    seeded codebook centroids (argmin of ‖c‖² − 2·v·c, the constant
+    ‖v‖² dropped from the compare and added back for the error). Emits
+    the packed 16-bit PQ code and the exact squared reconstruction
+    error — the compression half of an IVF-PQ index, which cuts vector
+    storage 64·4 bytes → 2 bytes and makes the ANN candidate scan
+    memory-resident at 100 TB.
+
+    Scale shape: pure per-row expressions (no shuffle, no UDF) — the
+    codebooks are plan literals (seeded here; production swaps in
+    k-means-trained books exactly as `kmeans_centroids` does for IVF
+    cells, same plan). The oracle runs the identical arithmetic; the
+    sequential-fold dot product keeps doubles bit-identical.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    errs, codes = [], []
+    for m, book in enumerate(PQ_CODEBOOKS):
+        sub = F.slice(v, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+        structs = F.array(
+            *[
+                F.struct(
+                    (
+                        F.lit(float(sum(x * x for x in c)))
+                        - 2.0 * V.dot_expr(sub, V.lit_vector(c))
+                    ).alias("s"),
+                    F.lit(k).alias("c"),
+                )
+                for k, c in enumerate(book)
+            ]
+        )
+        best = F.array_min(structs)
+        errs.append(best["s"] + V.sq_norm_expr(sub))
+        codes.append(best["c"] * (PQ_K**m))
+    err = errs[0]
+    for e in errs[1:]:
+        err = err + e
+    code = codes[0]
+    for c in codes[1:]:
+        code = code + c
+    return emb.select(
+        "vec_id",
+        code.cast("long").alias("pq_code"),
+        pround(err, 6).alias("err6"),
+    )

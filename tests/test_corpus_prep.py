@@ -119,3 +119,30 @@ def test_profile_columns_counts(spark, sf_dir):
         assert 0 < r.n_distinct <= r.n_nonnull <= r.n_rows
     # primary key is unique
     assert rows["o_orderkey"].n_distinct == n
+
+
+def test_embedding_pq_shape_and_plan(spark, sf_dir):
+    df = E.queries()["embedding_pq"](spark, sf_dir)
+    assert count_exchanges(df) == 0  # pure per-row expressions
+    rows = df.collect()
+    from kafka_parquet_writer_spark.operators.similarity import PQ_K, PQ_M
+
+    assert all(0 <= r.pq_code < PQ_K**PQ_M for r in rows)
+    assert all(r.err6 >= 0 for r in rows)
+
+
+def test_winsorized_bounds(spark, sf_dir):
+    rows = E.queries()["agg_winsorized"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.lo_cents <= r.hi_cents
+        assert r.lo_cents / 100.0 <= r.win_avg <= r.hi_cents / 100.0
+
+
+def test_inverted_index_postings_sorted(spark, sf_dir):
+    rows = E.queries()["text_inverted_index"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        ids = [int(x) for x in r.postings_head.split(",") if x]
+        assert ids == sorted(ids)
+        assert len(ids) <= 64
+        assert r.df >= len(ids)
