@@ -197,3 +197,84 @@ def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("avg_price"),
     )
+
+
+#: binned interval join: half-width of the temporal window (30 min, µs);
+#: bin width equals the half-width so a window spans ≤ 2 adjacent bins
+RANGE_BIN_US = 1800 * 1_000_000
+
+
+@query(
+    "join_range_binned",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id AS e_id, epoch_us(ts) AS e_tu
+      FROM events WHERE event_type = 'error'
+    ), c AS (
+      SELECT epoch_us(ts) AS c_tu, {sql_cents('value')} AS vc
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT e_id,
+           count(c_tu)                            AS n_nearby,
+           {sql_pround('sum(vc) / 100.0', 2)}     AS click_val
+    FROM e LEFT JOIN c ON abs(c_tu - e_tu) <= {RANGE_BIN_US}
+    GROUP BY e_id
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big interval join, binned: for every error event, count (and
+    sum the value of) ALL click events within ±30 minutes — a temporal
+    co-occurrence join where BOTH sides are event-scale, so the
+    broadcast-NLJ strategy of `join_range_band` is off the table.
+
+    Scale shape: the O(n²) interval predicate becomes an EQUI-join by
+    time binning — bin width = the window half-width, so any match lies
+    in the error's own bin or an adjacent one. Errors fan out ×3 probe
+    bins (explode of 3 literals, map-side); clicks keep their single
+    bin; the join shuffles on bin id and the exact |Δt| ≤ W filter runs
+    post-join. Cost ∝ Σ bin² (co-occurring density), never |E|×|C| —
+    the same bucketing idea as the LSH dedup family, applied to time.
+    A final left join restores zero-match errors (count 0, null sum),
+    matching the declarative LEFT JOIN oracle.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("tu"),
+        "event_type",
+        "value",
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"),
+        F.col("tu").alias("e_tu"),
+        F.floor(F.col("tu") / RANGE_BIN_US).alias("bin"),
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("tu").alias("c_tu"),
+        cents(F.col("value")).alias("vc"),
+        F.floor(F.col("tu") / RANGE_BIN_US).alias("cbin"),
+    )
+    probes = err.select(
+        "e_id",
+        "e_tu",
+        F.explode(
+            F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1)
+        ).alias("pb"),
+    )
+    matched = (
+        probes.join(clk, F.col("pb") == F.col("cbin"))
+        .filter(F.abs(F.col("c_tu") - F.col("e_tu")) <= RANGE_BIN_US)
+        .groupBy("e_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_nearby"),
+            pround(F.sum("vc") / 100.0, 2).alias("click_val"),
+        )
+    )
+    return (
+        err.select("e_id")
+        .join(matched, "e_id", "left")
+        .select(
+            "e_id",
+            F.coalesce(F.col("n_nearby"), F.lit(0)).alias("n_nearby"),
+            F.col("click_val"),
+        )
+    )

@@ -146,3 +146,9 @@ def test_inverted_index_postings_sorted(spark, sf_dir):
         assert ids == sorted(ids)
         assert len(ids) <= 64
         assert r.df >= len(ids)
+
+
+def test_range_binned_join_is_equi_not_nlj(spark, sf_dir):
+    plan = simple_plan(E.queries()["join_range_binned"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
