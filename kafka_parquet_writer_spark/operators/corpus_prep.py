@@ -408,3 +408,80 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("postings_head"),
     )
+
+
+#: fuzzy matching: maximum edit distance for a candidate merge
+ER_MAX_DIST = 2
+
+
+@query(
+    "er_fuzzy_name_match",
+    oracle=f"""
+    WITH n AS (
+      SELECT DISTINCT p_name AS name FROM part
+    ), b AS (
+      SELECT name,
+             string_split(name, ' ')[-1] AS block,
+             length(name)               AS ln
+      FROM n
+    )
+    SELECT a.name AS name_a, c.name AS name_b,
+           CAST(levenshtein(a.name, c.name) AS INTEGER) AS dist
+    FROM b a JOIN b c
+      ON a.block = c.block
+     AND a.name < c.name
+     AND c.ln BETWEEN a.ln - {ER_MAX_DIST} AND a.ln + {ER_MAX_DIST}
+    WHERE levenshtein(a.name, c.name) <= {ER_MAX_DIST}
+    """,
+)
+def er_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / record linkage: candidate merges among part
+    names at edit distance ≤ {ER_MAX_DIST}, found by BLOCKED fuzzy
+    matching — candidates must share a blocking key (last name token)
+    and a ±{ER_MAX_DIST} length band before the quadratic Levenshtein
+    runs. The declared operator IS the blocked algorithm on both
+    engines (the LSH-oracle pattern), because exact all-pairs edit
+    distance is the scale-killer this operator exists to avoid.
+
+    Scale shape: dedupe to distinct names first (names repeat across
+    rows; resolution work is vocabulary-bound), then an equi-join on
+    the block key — cost ∝ Σ block², never |N|². The length band
+    prunes inside blocks (|len(a)−len(b)| > d ⇒ dist > d, a lossless
+    filter). Production blocking unions several keys (phonetic code,
+    token prefixes, q-gram LSH) and dedups pairs; each key is this
+    same plan.
+    """
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+    )
+    b = names.select(
+        "name",
+        F.element_at(F.split("name", " "), -1).alias("block"),
+        F.length("name").alias("ln"),
+    )
+    a = b.select(
+        F.col("name").alias("name_a"),
+        F.col("block").alias("block"),
+        F.col("ln").alias("ln_a"),
+    )
+    c = b.select(
+        F.col("name").alias("name_b"),
+        F.col("block").alias("block"),
+        F.col("ln").alias("ln_b"),
+    )
+    return (
+        a.join(c, "block")
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            & (F.col("ln_b") >= F.col("ln_a") - ER_MAX_DIST)
+            & (F.col("ln_b") <= F.col("ln_a") + ER_MAX_DIST)
+        )
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= ER_MAX_DIST)
+    )

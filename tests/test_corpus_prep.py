@@ -152,3 +152,14 @@ def test_range_binned_join_is_equi_not_nlj(spark, sf_dir):
     plan = simple_plan(E.queries()["join_range_binned"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_er_fuzzy_is_blocked_equi_join(spark, sf_dir):
+    df = E.queries()["er_fuzzy_name_match"](spark, sf_dir)
+    plan = simple_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for r in df.collect():
+        assert r.name_a < r.name_b
+        assert 0 < r.dist <= 2
+        assert r.name_a.split(" ")[-1] == r.name_b.split(" ")[-1]
