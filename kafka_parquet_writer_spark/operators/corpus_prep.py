@@ -485,3 +485,69 @@ def er_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= ER_MAX_DIST)
     )
+
+
+#: equi-width histogram buckets
+HIST_BUCKETS = 16
+
+
+@query(
+    "agg_histogram",
+    oracle=f"""
+    WITH x AS (
+      SELECT {sql_cents('o_totalprice')} AS vc FROM orders
+    ), b AS (
+      SELECT min(vc) AS mn,
+             (max(vc) - min(vc) + {HIST_BUCKETS}) // {HIST_BUCKETS} AS width,
+             count(*) AS total
+      FROM x
+    )
+    SELECT CAST((vc - mn) // width AS BIGINT)       AS bucket,
+           CAST(mn + ((vc - mn) // width) * width AS BIGINT) AS lo_cents,
+           count(*)                                 AS n,
+           {sql_pround('count(*) * 100.0 / max(total)', 2)} AS pct
+    FROM x, b
+    GROUP BY bucket, lo_cents
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals: data-driven bounds, {HIST_BUCKETS}
+    fixed-width buckets — the distribution sketch a profiler ships next
+    to `profile_columns`' min/max, and the stats an optimizer's
+    selectivity estimate wants.
+
+    Scale shape: bounds are a 1-row aggregate broadcast back (the
+    scalar-subquery plan); bucketing is then a pure per-row integer
+    expression and the histogram itself one partial-agg'd shuffle of at
+    most {HIST_BUCKETS} groups. width = ceil((range+1)/buckets) in
+    integer arithmetic, so bucket ids stay in [0, {HIST_BUCKETS}) by
+    construction — no float edge cases at the max, no clamp needed.
+    """
+    x = load_table(spark, sf_dir, "orders").select(
+        cents(F.col("o_totalprice")).alias("vc")
+    )
+    b = x.agg(
+        F.min("vc").alias("mn"),
+        F.floor(
+            (F.max("vc") - F.min("vc") + HIST_BUCKETS) / HIST_BUCKETS
+        ).alias("width"),
+        F.count(F.lit(1)).alias("total"),
+    )
+    bucket = F.floor((F.col("vc") - F.col("mn")) / F.col("width"))
+    return (
+        x.crossJoin(F.broadcast(b))
+        .select(
+            bucket.cast("long").alias("bucket"),
+            (F.col("mn") + bucket * F.col("width"))
+            .cast("long")
+            .alias("lo_cents"),
+            "total",
+        )
+        .groupBy("bucket", "lo_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pround(F.count(F.lit(1)) * 100.0 / F.max("total"), 2).alias(
+                "pct"
+            ),
+        )
+    )

@@ -278,3 +278,56 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("click_val"),
         )
     )
+
+
+#: CEP pattern: contiguous view→click→purchase in a user's event stream
+CEP_PATTERN = "view,click,purchase"
+
+
+@query(
+    "events_pattern_seq",
+    oracle=f"""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(len(regexp_extract_all(
+                 string_agg(event_type, ',' ORDER BY epoch_us(ts), event_id),
+                 '{CEP_PATTERN}')) AS BIGINT) AS n_conv
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_pattern_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching (the CEP / MATCH_RECOGNIZE shape): per
+    user, count non-overlapping contiguous view→click→purchase runs in
+    the time-ordered event stream — conversion bursts with no
+    intervening events.
+
+    Scale shape: ONE shuffle on user_id; the ordered event-type string
+    builds inside the aggregate (sort under collect_list — bounded by
+    per-user history; a production pipeline sessionizes first, which
+    is `sessionize_batch`, and matches within sessions). The pattern
+    scan is then a per-row regexp — both engines consume matches
+    left-to-right, so non-overlapping counts agree. This is the batch
+    twin of a streaming CEP operator: the same contiguous-run
+    semantics expressed as ordered aggregation + regex instead of an
+    NFA over a keyed stream.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("tu"),
+        "event_id",
+        "event_type",
+    )
+    seq = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("tu", "event_id", "event_type"))
+            ),
+            lambda x: x["event_type"],
+        ),
+        ",",
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.regexp_count(seq, F.lit(CEP_PATTERN)).cast("long").alias("n_conv"),
+    )

@@ -163,3 +163,16 @@ def test_er_fuzzy_is_blocked_equi_join(spark, sf_dir):
         assert r.name_a < r.name_b
         assert 0 < r.dist <= 2
         assert r.name_a.split(" ")[-1] == r.name_b.split(" ")[-1]
+
+
+def test_histogram_tiles_range(spark, sf_dir):
+    import duckdb
+
+    rows = sorted(
+        E.queries()["agg_histogram"](spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    n = duckdb.sql(f"SELECT count(*) FROM '{sf_dir}/orders.parquet'").fetchone()[0]
+    assert sum(r.n for r in rows) == n
+    assert all(0 <= r.bucket < 16 for r in rows)
+    assert abs(sum(r.pct for r in rows) - 100.0) < 0.5
