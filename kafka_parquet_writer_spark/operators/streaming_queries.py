@@ -412,3 +412,215 @@ def stream_tws_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+# --- incremental streaming near-dup dedup ----------------------------------
+
+#: micro-batches for the incremental dedup stream (doc_id-ranged files)
+DEDUP_STREAM_BATCHES = 4
+
+_dedup_stage_cache: dict[str, str] = {}
+
+
+def _documents_batched_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Split the documents table into DEDUP_STREAM_BATCHES doc_id-ranged
+    parquet files, one per future micro-batch, with strictly increasing
+    mtimes so the file source admits them oldest-first — i.e. micro-
+    batches arrive in doc_id order, the precondition for first-wins
+    dedup to be reproducible."""
+    import glob
+    import os
+    import shutil
+
+    key = f"{sf_dir}|{DEDUP_STREAM_BATCHES}"
+    if key in _dedup_stage_cache:
+        return _dedup_stage_cache[key]
+    ensure_nanos_readable(spark)
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    lo, hi = docs.agg(
+        F.min("doc_id"), F.max("doc_id")
+    ).first()
+    span = (hi - lo + DEDUP_STREAM_BATCHES) // DEDUP_STREAM_BATCHES
+    stage = tempfile.mkdtemp(prefix="kpws_dedup_src_")
+    base_t = 1_600_000_000
+    for i in range(DEDUP_STREAM_BATCHES):
+        part_dir = os.path.join(stage, f"_tmp{i}")
+        docs.filter(
+            (F.col("doc_id") >= lo + i * span)
+            & (F.col("doc_id") < lo + (i + 1) * span)
+        ).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        [part] = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dst = os.path.join(stage, f"{i:03d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(part_dir)
+        os.utime(dst, (base_t + i * 10, base_t + i * 10))
+    _dedup_stage_cache[key] = stage
+    return stage
+
+
+def _minhash_bucket_pairs(docs_df: DataFrame) -> DataFrame:
+    """(doc, bucket) pairs: MinHash signature → LSH band buckets, using
+    the same portable hashing as the batch dedup_minhash_lsh plan."""
+    from kafka_parquet_writer_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_COEFFS,
+        MINHASH_ROWS,
+        SHINGLE_N,
+        minhash_signatures,
+    )
+    from kafka_parquet_writer_spark.functions import texthash as TH
+
+    sh = docs_df.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(TH.word_shingles_expr("text", SHINGLE_N)).alias("shingle"),
+    )
+    sigs = minhash_signatures(sh, MINHASH_COEFFS)
+    band_structs = [
+        F.struct(
+            F.concat_ws(
+                ":",
+                F.lit(j),
+                *[F.col(f"h{j * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)],
+            ).alias("bucket")
+        )
+        for j in range(MINHASH_BANDS)
+    ]
+    return sigs.select(
+        "doc", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc", F.col("bs.bucket").alias("bucket"))
+
+
+def _stream_dedup_minhash_oracle() -> str:
+    from kafka_parquet_writer_spark.functions import texthash as TH
+    from kafka_parquet_writer_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_COEFFS,
+        MINHASH_ROWS,
+        SHINGLE_N,
+    )
+
+    hs = ",\n      ".join(
+        f"min({TH.sql_affine('tid', a, b)}) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc, {j} AS band, concat_ws(',', {cols}) AS sig FROM sigs".format(
+            j=j,
+            cols=", ".join(f"h{j * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)),
+        )
+        for j in range(MINHASH_BANDS)
+    )
+    return f"""
+    WITH sh AS ({TH.sql_shingle_cte('documents', 'doc_id', 'text', SHINGLE_N)}),
+    st AS (SELECT doc, {TH.sql_portable_tid('shingle')} AS tid FROM sh),
+    sigs AS (SELECT doc, {hs} FROM st GROUP BY doc),
+    bands AS (
+      {band_selects}
+    ),
+    dropped AS (
+      SELECT DISTINCT a.doc FROM bands a
+      JOIN bands b ON a.band = b.band AND a.sig = b.sig AND b.doc < a.doc
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc FROM dropped)
+    """
+
+
+@query("stream_dedup_minhash", oracle=_stream_dedup_minhash_oracle())
+def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental streaming near-dup dedup: documents arrive in
+    doc_id-ordered micro-batches; each batch MinHash-LSH-buckets its
+    docs, drops any doc sharing a bucket with an earlier doc (a
+    versioned bucket→min-doc state table carries history; a self-join
+    handles within-batch collisions), emits survivors, and merges its
+    bucket minima into the next state version. The final kept set is
+    proven equal to the one-shot batch computation — the oracle is the
+    plain batch SQL ("drop any doc with a smaller same-bucket doc"),
+    so the correctness gate checks the incremental/batch equivalence,
+    the property that makes incremental corpus dedup trustworthy.
+
+    Scale shape: per batch, one shuffle builds signatures (bounded by
+    batch size), the history check is an equi-join against the state
+    table on bucket (state is bucket-minima only — one row per bucket,
+    far smaller than the corpus), and state rewrite is append+min — at
+    production scale the state lives in the txlog table format
+    (tablefmt.merge) keyed by bucket instead of full-file rewrite.
+    Batch versioning (state_v{{bid}}, out/b{{bid}} with overwrite)
+    makes micro-batch replay idempotent — the foreach_sink.py crash
+    lesson applied.
+    """
+    import os
+
+    stage = _documents_batched_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="kpws_dedup_run_")
+    state_base = os.path.join(work, "state")
+    out_base = os.path.join(work, "kept")
+    ckpt = os.path.join(work, "ckpt")
+
+    def merge(bdf: DataFrame, bid: int) -> None:
+        sp = bdf.sparkSession
+        pairs = _minhash_bucket_pairs(
+            bdf.select("doc_id", "text")
+        ).localCheckpoint(eager=True)
+        prev_path = os.path.join(state_base, f"v{bid - 1}")
+        if bid > 0:
+            prev = sp.read.parquet(prev_path)
+        else:
+            prev = sp.createDataFrame([], "bucket string, min_doc long")
+        hist_drop = (
+            pairs.join(prev, "bucket")
+            .where(F.col("min_doc") < F.col("doc"))
+            .select("doc")
+        )
+        a, b = pairs.alias("a"), pairs.alias("b")
+        intra_drop = (
+            a.join(
+                b,
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("b.doc") < F.col("a.doc")),
+            )
+            .select(F.col("a.doc").alias("doc"))
+        )
+        dropped = hist_drop.unionByName(intra_drop).distinct()
+        kept = bdf.select("doc_id").join(
+            dropped, F.col("doc_id") == F.col("doc"), "left_anti"
+        )
+        kept.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_base, f"b{bid}")
+        )
+        new_state = (
+            prev.unionByName(
+                pairs.select("bucket", F.col("doc").alias("min_doc"))
+            )
+            .groupBy("bucket")
+            .agg(F.min("min_doc").alias("min_doc"))
+        )
+        new_state.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(state_base, f"v{bid}")
+        )
+
+    ensure_nanos_readable(spark)
+    schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            src.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(
+        *[
+            os.path.join(out_base, f"b{i}")
+            for i in range(DEDUP_STREAM_BATCHES)
+        ]
+    ).select("doc_id")

@@ -136,3 +136,20 @@ def test_tws_totals_gated(spark):
     for k in rows:
         assert rows[k]["n"] == exp[k]["n"]
         assert rows[k]["n_types"] == exp[k]["n_types"]
+
+
+def test_stream_dedup_minhash_kept_set_properties(spark):
+    """The incremental stream keeps exactly the docs with no smaller
+    same-bucket partner; spot-check invariants beyond the oracle gate:
+    monotone doc_id coverage and first-batch doc 0 always kept."""
+    import __spark_entry__ as E
+
+    kept = sorted(
+        r.doc_id
+        for r in E.queries()["stream_dedup_minhash"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    )
+    assert kept, "kept set must be non-empty"
+    assert kept[0] == 0  # smallest doc can never collide with a smaller one
+    assert len(kept) == len(set(kept))  # no doc emitted twice (idempotence)
