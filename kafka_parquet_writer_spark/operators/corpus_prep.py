@@ -551,3 +551,78 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: tf-idf: top terms kept per document
+TFIDF_TOPK = 3
+
+
+@query(
+    "text_tfidf",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({TH.sql_words('text')}) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM tok GROUP BY doc_id, token
+    ), dfreq AS (
+      SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), w AS (
+      SELECT tf.doc_id, tf.token, tf.tf,
+             {sql_pround('tf.tf * ln((n_docs + 1.0) / (df + 1.0))', 6)}
+               AS wgt
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, wgt,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY wgt DESC, token) AS INTEGER)
+             AS rnk
+    FROM w
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY wgt DESC, token) <= {TFIDF_TOPK}
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: each document's top {TFIDF_TOPK}
+    terms by tf·idf (smoothed idf = ln((N+1)/(df+1))) — the classic IR
+    weighting, and the keyword/topic signal a corpus pipeline attaches
+    per document next to `text_quality`.
+
+    Scale shape: term frequencies partial-aggregate before their
+    shuffle on (doc, token); document frequencies are vocabulary-bound
+    (the `text_inverted_index` shuffle); the tf⋈df join keys on token
+    (vocabulary-sized build side — broadcastable at production scale,
+    left to AQE here); the corpus size N arrives as a 1-row broadcast.
+    Per-doc top-k is a window, never a global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(TH.words_expr("text")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tok.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            pround(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("wgt"),
+        )
+    )
+    win = W.partitionBy("doc_id").orderBy(F.col("wgt").desc(), "token")
+    return (
+        w.withColumn("rnk", F.row_number().over(win).cast("int"))
+        .filter(F.col("rnk") <= TFIDF_TOPK)
+        .select("doc_id", "token", "tf", "wgt", "rnk")
+    )

@@ -142,3 +142,68 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
     )
     return pagerank_edges(sym)
+
+
+def _triangles_oracle() -> str:
+    return f"""
+    WITH pairs AS MATERIALIZED (SELECT d1, d2 FROM ({_minhash_oracle()})),
+    tri AS MATERIALIZED (
+      SELECT e1.d1 AS a, e1.d2 AS b, e2.d2 AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.d1 = e1.d2
+      JOIN pairs e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2
+    ),
+    nodes AS (SELECT DISTINCT d1 AS node FROM pairs
+              UNION SELECT DISTINCT d2 FROM pairs),
+    per AS (
+      SELECT node, count(*) AS n_tri FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT n.node, CAST(coalesce(p.n_tri, 0) AS BIGINT) AS n_tri
+    FROM nodes n LEFT JOIN per p USING (node)
+    """
+
+
+@query("graph_triangles", oracle=_triangles_oracle())
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation counts over the verified near-duplicate
+    graph — the local clustering signal that separates tight duplicate
+    cliques (templated/boilerplate families) from chains of borderline
+    matches; pipelines treat high-triangle docs as high-confidence
+    duplicates worth a single representative.
+
+    Scale shape: edges stay oriented d1 < d2, so each triangle
+    {{a<b<c}} is enumerated exactly once as (a,b)⋈(b,c)⋈(a,c) — two
+    equi-joins on the (already-bucketed, vocabulary-small) verified
+    pair set, no symmetrization blow-up, no per-node adjacency
+    materialization. Production graphs order by degree instead of id
+    (the standard compact-forward optimization) — same plan, different
+    orientation key. Both joins broadcast at dedup-graph densities.
+    """
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("d1", "d2")
+        .localCheckpoint()
+    )
+    e1 = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+    e2 = pairs.select(F.col("d1").alias("b"), F.col("d2").alias("c"))
+    e3 = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = (
+        pairs.select(F.col("d1").alias("node"))
+        .union(pairs.select("d2"))
+        .distinct()
+    )
+    per = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select("b"))
+        .unionAll(tri.select("c"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return nodes.join(per, "node", "left").select(
+        "node", F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri")
+    )
