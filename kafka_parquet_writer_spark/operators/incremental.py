@@ -176,3 +176,66 @@ def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="amount",
     )
+
+
+#: "new customer" split for the join-IVM demo (both join sides change)
+IVM_CUST_SPLIT = 1000
+
+
+@query(
+    "join_incremental",
+    oracle=f"""
+    SELECT c_nationkey,
+           count(*) AS n_orders,
+           {sql_pround(f"sum({sql_cents('o_totalprice')}) / 100.0", 2)}
+             AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view: both sides change
+    (orders gain rows after MV_SPLIT_DATE, customers gain keys ≥
+    {IVM_CUST_SPLIT}), and the view refreshes from the delta algebra
+      Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB
+    merged over the old view A₀⋈B₀ — proven equal to a full recompute
+    (the oracle joins and aggregates the whole tables in one pass).
+
+    Scale shape: the three delta joins are each delta-proportional —
+    ΔA prunes to new date partitions before its join (partition
+    pruning, not a full scan), ΔB is a small broadcast side, and
+    ΔA⋈ΔB is tiny×tiny. The old-view term is the already-materialized
+    aggregate (|groups| rows, re-aggregated as mergeable partials like
+    `agg_incremental`). Nothing re-joins the 100 TB history.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    date_split = F.lit(MV_SPLIT_DATE).cast("timestamp")
+    a0 = orders.filter(F.col("o_orderdate") < date_split)
+    da = orders.filter(F.col("o_orderdate") >= date_split)
+    b0 = cust.filter(F.col("c_custkey") < IVM_CUST_SPLIT)
+    db = cust.filter(F.col("c_custkey") >= IVM_CUST_SPLIT)
+
+    def partial(o: DataFrame, c: DataFrame) -> DataFrame:
+        return (
+            o.select("o_custkey", cents(F.col("o_totalprice")).alias("tc"))
+            .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("tc").alias("tc"))
+        )
+
+    merged = (
+        partial(a0, b0)       # the materialized old view's partials
+        .unionByName(partial(da, b0))   # ΔA ⋈ B₀
+        .unionByName(partial(a0, db))   # A₀ ⋈ ΔB
+        .unionByName(partial(da, db))   # ΔA ⋈ ΔB
+        .groupBy("c_nationkey")
+        .agg(F.sum("n").alias("n_orders"), F.sum("tc").alias("tc"))
+    )
+    return merged.select(
+        "c_nationkey",
+        "n_orders",
+        pround(F.col("tc") / 100.0, 2).alias("revenue"),
+    )
