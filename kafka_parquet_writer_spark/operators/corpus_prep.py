@@ -626,3 +626,114 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TFIDF_TOPK)
         .select("doc_id", "token", "tf", "wgt", "rnk")
     )
+
+
+#: referential-integrity audit: (name, child table, fk col, parent
+#: table, pk col) — the fixture schema's full FK graph
+_FK_EDGES = [
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _audit_oracle() -> str:
+    arms = "\n    UNION ALL ".join(
+        f"""SELECT '{name}' AS relation,
+           (SELECT count(*) FROM {child}) AS n_child,
+           (SELECT count(*) FROM {child} c LEFT JOIN {parent} p
+              ON c.{fk} = p.{pk} WHERE p.{pk} IS NULL) AS n_orphans"""
+        for name, child, fk, parent, pk in _FK_EDGES
+    )
+    return arms
+
+
+@query("audit_referential", oracle=_audit_oracle())
+def audit_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: for every foreign-key edge in the
+    schema, the child row count and the orphan count (child keys with
+    no parent) — the pre-shipment contract check a pipeline runs on
+    every landed snapshot, next to `profile_columns`.
+
+    Scale shape: each edge is one count plus one LEFT ANTI join —
+    parent key sets are dimension-sized and broadcast (nation, region,
+    part, supplier, customer); the two fact-fact edges shuffle on the
+    join key like any fact join. The six audits are independent
+    pipelines unioned at one row each (count ⨯ orphan-count, two 1-row
+    aggregates cross-joined — no driver-side action), so they run
+    concurrently within the job. A production audit fuses
+    count+orphans into one pass per child with a conditional
+    aggregate; at fixture scale the clearer two-pass form wins.
+    """
+    parts = []
+    for name, child, fk, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(pk).distinct()
+        totals = c.agg(F.count(F.lit(1)).alias("n_child"))
+        orphans = (
+            c.select(fk)
+            .join(F.broadcast(p), F.col(fk) == F.col(pk), "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        parts.append(
+            totals.crossJoin(orphans).select(
+                F.lit(name).alias("relation"), "n_child", "n_orphans"
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+@query(
+    "spine_gap_fill",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM b
+    ), actual AS (
+      SELECT date_trunc('hour', ts) AS hr, count(*) AS n
+      FROM events GROUP BY hr
+    )
+    SELECT strftime(s.hr, '%Y-%m-%d %H') AS hour_key,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_events
+    FROM spine s LEFT JOIN actual a ON a.hr = s.hr
+    """,
+)
+def spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine densification: an hourly spine from the data's
+    own bounds, left-joined to hourly event counts so silent gaps
+    become explicit zero rows — what monitoring, gap-alerting, and
+    regular-interval models (forecasting, windowed anomaly scores)
+    need before they can trust a time series.
+
+    Scale shape: bounds are a 1-row aggregate; the spine generates as
+    one `sequence()` explode from that row (span-bound, not data-
+    bound); hourly counts partial-aggregate before their shuffle; the
+    spine⋈counts join is on the hour key — hours are few relative to
+    events, so the joined sides are both tiny post-aggregation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = b.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hr")
+    )
+    actual = (
+        ev.select(F.date_trunc("hour", "ts").alias("hr"))
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return spine.join(actual, "hr", "left").select(
+        F.date_format("hr", "yyyy-MM-dd HH").alias("hour_key"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+    )

@@ -331,3 +331,103 @@ def events_pattern_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.regexp_count(seq, F.lit(CEP_PATTERN)).cast("long").alias("n_conv"),
     )
+
+
+#: smoothing: window length (trailing events) and EWMA decay (0.25 is
+#: binary-exact, so the double fold is bit-identical across engines)
+SMOOTH_LAGS = 8
+EWMA_ALPHA = 0.25
+
+
+@query(
+    "window_smooth",
+    oracle=f"""
+    WITH x AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tu,
+             {sql_cents('value')} AS vc
+      FROM events
+    ), lagged AS (
+      SELECT user_id, event_id,
+             list_filter([{", ".join(
+                 f"lag(vc, {SMOOTH_LAGS - 1 - i}) OVER w"
+                 for i in range(SMOOTH_LAGS)
+             )}], v -> v IS NOT NULL) AS win
+      FROM x
+      WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+    ), s AS (
+      SELECT user_id, event_id, win,
+             list_sort(win) AS sw,
+             len(win)       AS n
+      FROM lagged
+    )
+    SELECT user_id, event_id,
+           {sql_pround(
+               "list_reduce(list_transform(win, v -> CAST(v AS DOUBLE)),"
+               f" (acc, v) -> {EWMA_ALPHA} * v + {1 - EWMA_ALPHA} * acc)"
+               " / 100.0", 6)} AS ewma,
+           {sql_pround(
+               "CASE WHEN n % 2 = 1 THEN CAST(sw[(n + 1) // 2] AS DOUBLE)"
+               " ELSE (CAST(sw[n // 2] AS DOUBLE)"
+               "       + CAST(sw[n // 2 + 1] AS DOUBLE)) / 2.0 END"
+               " / 100.0", 6)} AS med
+    FROM s
+    """,
+)
+def window_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series smoothing over each user's event stream: trailing
+    {SMOOTH_LAGS}-event EWMA (α={EWMA_ALPHA}) and exact rolling median
+    — the denoising pass a metrics pipeline applies before anomaly
+    thresholds.
+
+    Scale shape: ONE shuffle on user_id; the trailing window
+    materializes as an explicit oldest→newest lag array (deterministic
+    frame order — never an implementation-ordered collect), and both
+    smoothers are then per-row array folds: the EWMA is a sequential
+    double fold (α binary-exact ⇒ bit-identical across engines), the
+    median an array_sort + middle pick on fixed-point cents. No
+    quadratic re-aggregation per frame, no UDFs.
+    """
+    x = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("tu"),
+        cents(F.col("value")).alias("vc"),
+    )
+    w = W.partitionBy("user_id").orderBy("tu", "event_id")
+    lags = F.array(
+        *[
+            F.lag("vc", SMOOTH_LAGS - 1 - i).over(w)
+            for i in range(SMOOTH_LAGS)
+        ]
+    )
+    staged = x.select(
+        "user_id",
+        "event_id",
+        F.filter(lags, lambda v: v.isNotNull()).alias("win"),
+    )
+    win = F.col("win")
+    sw = F.array_sort(win)
+    n = F.size(win)
+    ewma = F.aggregate(
+        F.transform(win, lambda v: v.cast("double")),
+        F.lit(None).cast("double"),
+        lambda acc, v: F.when(acc.isNull(), v).otherwise(
+            EWMA_ALPHA * v + (1 - EWMA_ALPHA) * acc
+        ),
+    )
+    med = F.when(
+        n % 2 == 1,
+        F.element_at(sw, ((n + 1) / 2).cast("int")).cast("double"),
+    ).otherwise(
+        (
+            F.element_at(sw, (n / 2).cast("int")).cast("double")
+            + F.element_at(sw, (n / 2 + 1).cast("int")).cast("double")
+        )
+        / 2.0
+    )
+    return staged.select(
+        "user_id",
+        "event_id",
+        pround(ewma / 100.0, 6).alias("ewma"),
+        pround(med / 100.0, 6).alias("med"),
+    )
