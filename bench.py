@@ -105,6 +105,7 @@ def main() -> None:
     # cost, robust to CI-machine noise), and any cache a query builds
     # internally is dropped afterwards so queries don't interfere.
     timings: dict[str, float] = {}
+    failed: list[str] = []
     for name in HEADLINE:
         best = float("inf")
         try:
@@ -115,6 +116,7 @@ def main() -> None:
                 best = min(best, time.time() - t0)
         except Exception as e:  # noqa: BLE001 — one broken query must not kill the bench
             print(f"{name}: FAILED ({e})", file=sys.stderr)
+            failed.append(name)
             continue
         finally:
             spark.catalog.clearCache()
@@ -134,6 +136,7 @@ def main() -> None:
                 best = min(best, time.time() - t0)
         except Exception as e:  # noqa: BLE001
             print(f"{name}: FAILED ({e})", file=sys.stderr)
+            failed.append(name)
             continue
         streaming[name] = round(best, 3)
         print(f"{name}: {streaming[name]:.3f}s", file=sys.stderr)
@@ -180,7 +183,7 @@ def main() -> None:
                     source_format="file",
                     source_path=src,
                     source_schema=spark.read.parquet(ev_path).schema,
-                    decoder=normalize_nanos,  # fixture ts is TIMESTAMP(NANOS)
+                    decoder=normalize_nanos,  # total: long-nanos or NTZ ts
                     trigger_seconds=None,
                     **cfg_kw,
                 )
@@ -189,6 +192,7 @@ def main() -> None:
                 best = min(best, time.time() - t0)
         except Exception as e:  # noqa: BLE001
             print(f"{tag}: FAILED ({e})", file=sys.stderr)
+            failed.append(tag)
             return
         timings[tag] = round(best, 3)
         print(
@@ -224,8 +228,11 @@ def main() -> None:
             if k in timings
         },
         "sf": sf_val,
+        "failed": failed,
     }
     print(json.dumps(result))
+    if failed:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -49,15 +49,30 @@ def ensure_nanos_readable(spark: SparkSession) -> None:
 
 
 def normalize_nanos(df: DataFrame) -> DataFrame:
-    """Convert nanosecond-long timestamp columns (read under
-    spark.sql.legacy.parquet.nanosAsLong) to proper microsecond
-    timestamps. Truncating div matches DuckDB's ns→µs read behavior."""
+    """Normalize the ``ts`` column to a proper ``TIMESTAMP`` regardless of
+    how the fixture materializes it:
+
+    - INT64 TIMESTAMP(NANOS) read under ``nanosAsLong`` → LongType; convert
+      with truncating ns→µs division (matches DuckDB's read behavior).
+    - parquet ``timestamp[us]`` without timezone → TimestampNTZType; the
+      session timezone is pinned UTC, so a plain cast to TIMESTAMP preserves
+      the wall-clock values and matches DuckDB.
+
+    The fixture has changed shape between rounds; this normalizer is total
+    over every form observed so downstream ``unix_micros``/``withWatermark``
+    usage never sees a non-TIMESTAMP event-time column.
+    """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     for field in df.schema.fields:
-        if field.name == "ts" and isinstance(field.dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if field.name == "ts":
+            if isinstance(field.dataType, LongType):
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            elif isinstance(field.dataType, TimestampNTZType):
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -141,9 +141,9 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH w AS (
       SELECT l_returnflag,
-             sum({sql_cents('l_quantity')})      AS qty_c,
-             sum({sql_cents('l_extendedprice')}) AS price_c,
-             sum({sql_cents('l_discount')})      AS disc_c
+             CAST(sum({sql_cents('l_quantity')})      AS BIGINT) AS qty_c,
+             CAST(sum({sql_cents('l_extendedprice')}) AS BIGINT) AS price_c,
+             CAST(sum({sql_cents('l_discount')})      AS BIGINT) AS disc_c
       FROM lineitem
       GROUP BY l_returnflag
     )

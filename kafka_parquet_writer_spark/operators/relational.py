@@ -180,15 +180,42 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # approx ≠ exact oracle → rows-only check
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           count(*)                                AS n_events,
+           TRUE                                    AS approx_within_10pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — the 100 TB-scale path for
     count-distinct: constant memory per group, no Expand, mergeable
-    sketches across partitions. rsd=0.01 ⇒ ~1% error bound."""
+    sketches across partitions. rsd=0.01 ⇒ ~1% error bound.
+
+    Oracle form: the sketch value itself is engine-specific, so the
+    checked output carries the exact distinct count plus a boolean
+    asserting the HLL estimate landed within ±10% of it (DuckDB asserts
+    the literal TRUE). A drifting sketch flips the boolean and fails the
+    hash — a real accuracy gate, not a rows-only count.
+    """
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("n_exact"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        "n_exact",
+        "n_events",
+        (
+            (F.col("approx_users") >= 0.9 * F.col("n_exact"))
+            & (F.col("approx_users") <= 1.1 * F.col("n_exact"))
+        ).alias("approx_within_10pct"),
     )
 
 

@@ -12,7 +12,11 @@ import tempfile
 import pytest
 from pyspark.sql import functions as F
 
-from kafka_parquet_writer_spark.catalog import load_table, table_path
+from kafka_parquet_writer_spark.catalog import (
+    load_table,
+    normalize_nanos,
+    table_path,
+)
 from kafka_parquet_writer_spark.sources.decoders import (
     encode_wire_format,
     parse_wire_format,
@@ -74,9 +78,10 @@ def test_partitioned_directory_layout(spark, sf_dir):
         partition_time_column="ts_event",
     )
 
-    # pre-decode step: convert nano-long ts to a timestamp column
+    # pre-decode step: normalize ts (fixture-form-agnostic: long-nanos
+    # or TIMESTAMP_NTZ) and expose it as the partition-time column
     def decode(df):
-        return df.withColumn("ts_event", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_nanos(df).withColumn("ts_event", F.col("ts"))
 
     cfg.decoder = decode
     ingest_once(spark, cfg)
