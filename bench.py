@@ -101,45 +101,52 @@ def main() -> None:
         )
     )
 
-    # Each query is timed independently: best of two runs (steady-state
-    # cost, robust to CI-machine noise), and any cache a query builds
-    # internally is dropped afterwards so queries don't interfere.
+    # Each query is timed as the MIN over two full passes of the list
+    # (not two back-to-back runs): measured noise on shared machines
+    # arrives in multi-second windows that would hit both back-to-back
+    # samples of one query but not the same query in both passes. Any
+    # cache a query builds internally is dropped so queries don't
+    # interfere.
     timings: dict[str, float] = {}
     failed: list[str] = []
-    for name in HEADLINE:
-        best = float("inf")
-        try:
-            for _ in range(2):
+    for _pass in range(2):
+        for name in HEADLINE:
+            if name in failed:
+                continue
+            try:
                 spark.catalog.clearCache()
                 t0 = time.time()
                 run(QUERIES[name](spark, SF_DIR))
-                best = min(best, time.time() - t0)
-        except Exception as e:  # noqa: BLE001 — one broken query must not kill the bench
-            print(f"{name}: FAILED ({e})", file=sys.stderr)
-            failed.append(name)
-            continue
-        finally:
-            spark.catalog.clearCache()
-        timings[name] = round(best, 3)
-        print(f"{name}: {timings[name]:.3f}s", file=sys.stderr)
+                dt = time.time() - t0
+            except Exception as e:  # noqa: BLE001 — one broken query must not kill the bench
+                print(f"{name}: FAILED ({e})", file=sys.stderr)
+                failed.append(name)
+                timings.pop(name, None)
+                continue
+            finally:
+                spark.catalog.clearCache()
+            timings[name] = round(min(timings.get(name, dt), dt), 3)
+            print(f"{name}: {dt:.3f}s (pass {_pass + 1})", file=sys.stderr)
 
     # streaming lane: each query drains the staged events stream through
-    # its windowed/stateful plan into a memory sink; best of two runs
+    # its windowed/stateful plan into a memory sink; min over two passes
     # (fresh checkpoint each — the memory sink name is counter-suffixed)
     streaming: dict[str, float] = {}
-    for name in STREAMING_HEADLINE:
-        best = float("inf")
-        try:
-            for _ in range(2):
+    for _pass in range(2):
+        for name in STREAMING_HEADLINE:
+            if name in failed:
+                continue
+            try:
                 t0 = time.time()
                 run(QUERIES[name](spark, SF_DIR))
-                best = min(best, time.time() - t0)
-        except Exception as e:  # noqa: BLE001
-            print(f"{name}: FAILED ({e})", file=sys.stderr)
-            failed.append(name)
-            continue
-        streaming[name] = round(best, 3)
-        print(f"{name}: {streaming[name]:.3f}s", file=sys.stderr)
+                dt = time.time() - t0
+            except Exception as e:  # noqa: BLE001
+                print(f"{name}: FAILED ({e})", file=sys.stderr)
+                failed.append(name)
+                streaming.pop(name, None)
+                continue
+            streaming[name] = round(min(streaming.get(name, dt), dt), 3)
+            print(f"{name}: {dt:.3f}s (pass {_pass + 1})", file=sys.stderr)
 
     # streaming-ingest throughput: the reference's ONE quantitative
     # design point is 300k records/s per writer instance (BASELINE.md);

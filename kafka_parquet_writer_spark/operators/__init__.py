@@ -19,4 +19,5 @@ from kafka_parquet_writer_spark.operators import (  # noqa: F401
     incremental,
     graph,
     corpus_prep,
+    llm_prep,
 )

@@ -1,0 +1,234 @@
+"""LLM training-data curation operators: benchmark decontamination,
+token-budget mixture sampling, and leakage-free train/val splitting.
+
+These close the loop on the corpus pipeline (dedup → quality → chunk →
+pack, operators/dedup.py / text.py / corpus_prep.py): before a corpus
+ships to training, it must be scrubbed of eval-set overlap
+(decontaminate), re-weighted to a target source/language mixture
+(mixture_sample), and split so that duplicate content never straddles
+train and validation (split_leakage_free). The reference engine stops
+at parquet landing (`KafkaProtoParquetWriter.java:156-380`); this is
+downstream-consumer surface over the landed tables. All three are pure
+JVM expression pipelines with exact DuckDB oracles — sampling and
+splitting use the portable integer-hash family (functions/texthash.py)
+so both engines compute identical membership bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_parquet_writer_spark.catalog import load_table
+from kafka_parquet_writer_spark.functions import texthash as TH
+from kafka_parquet_writer_spark.registry import query
+
+# --- decontamination -------------------------------------------------------
+#: every 50th doc_id plays the held-out benchmark/eval set (2% of corpus)
+DECON_BENCH_MOD = 50
+#: flag a training doc when it shares ≥ this many distinct 3-gram
+#: shingles with the benchmark set (3-grams are distinctive: corpus
+#: median overlap is 1; real n-gram decontamination pipelines use the
+#: same shape with n=8..13 character or word grams)
+DECON_MIN_SHARED = 3
+
+# --- mixture sampling ------------------------------------------------------
+#: target language mixture in basis points (sums to 10000)
+MIX_TARGET_BP = {"en": 4000, "de": 1500, "es": 1500, "fr": 1500, "zh": 1500}
+#: overall token budget as a percent of the corpus' total tokens
+MIX_BUDGET_PCT = 50
+#: fixed affine-permutation coefficients for the keep/drop hash
+#: (embedded as literals in both engines; any (a, b) with a ∈ [1, P))
+MIX_A, MIX_B = 48_271, 11
+
+# --- leakage-free split ----------------------------------------------------
+#: percent of content groups routed to the validation split
+SPLIT_VAL_PCT = 10
+
+
+@query(
+    "decontaminate_ngram",
+    oracle=f"""
+    WITH sh AS ({TH.sql_shingle_cte('documents', 'doc_id', 'text', 3)}),
+    bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc % {DECON_BENCH_MOD} = 0
+    ),
+    hits AS (
+      SELECT s.doc AS doc_id, count(*) AS n_shared
+      FROM sh s JOIN bench USING (shingle)
+      WHERE s.doc % {DECON_BENCH_MOD} <> 0
+      GROUP BY s.doc
+    )
+    SELECT doc_id, n_shared
+    FROM hits
+    WHERE n_shared >= {DECON_MIN_SHARED}
+    """,
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share ≥
+    {DECON_MIN_SHARED} distinct word 3-grams with the held-out
+    benchmark subset (doc_id % {DECON_BENCH_MOD} == 0) — the standard
+    n-gram-overlap test-set-leak scrub an LLM corpus runs before
+    training. Emits the contaminated doc ids with their overlap counts
+    (the anti-join against this set is the "clean corpus").
+
+    Scale shape: eval suites are tiny and fixed-size while the corpus
+    is the 100 TB side, so the benchmark's distinct-shingle set is
+    BROADCAST — the corpus side streams through a map-side hash
+    semi-join with no corpus shuffle; the only shuffle is the per-doc
+    overlap count over rows that actually matched (a tiny fraction).
+    Shingling itself is a zero-shuffle per-row expression
+    (functions/texthash.py word_shingles_expr — slice+zip_with, no
+    explode until after the distinct).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TH.word_shingles_expr("text", 3).alias("sh")
+    )
+    bench_sh = (
+        docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    corpus = docs.filter(F.col("doc_id") % DECON_BENCH_MOD != 0).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    return (
+        corpus.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= DECON_MIN_SHARED)
+    )
+
+
+def _mix_sql_rates() -> str:
+    """DuckDB CTE body computing the per-language keep rate in basis
+    points — ALL integer arithmetic so Spark reproduces it exactly."""
+    target = " ".join(
+        f"WHEN '{lang}' THEN {bp}" for lang, bp in MIX_TARGET_BP.items()
+    )
+    return f"""
+    toks AS (
+      SELECT doc_id, lang,
+             CAST(len({TH.sql_words('text')}) AS BIGINT) AS tok
+      FROM documents
+    ),
+    lang_tot AS (
+      SELECT lang, sum(CAST(tok AS BIGINT)) AS tok_l,
+             CASE lang {target} ELSE 0 END AS target_bp
+      FROM toks GROUP BY lang
+    ),
+    budget AS (
+      SELECT CAST(sum(tok) AS BIGINT) * {MIX_BUDGET_PCT} // 100 AS b
+      FROM toks
+    ),
+    rates AS (
+      SELECT lang,
+             LEAST(10000, (10000 * (b * target_bp // 10000)) // tok_l)
+               AS rate_bp
+      FROM lang_tot, budget
+      WHERE tok_l > 0
+    )
+    """
+
+
+@query(
+    "mixture_sample",
+    oracle=f"""
+    WITH {_mix_sql_rates()}
+    SELECT t.doc_id, t.lang, t.tok, r.rate_bp
+    FROM toks t JOIN rates r USING (lang)
+    WHERE (t.doc_id * {MIX_A} + {MIX_B}) % {TH.MERSENNE_P} % 10000
+          < r.rate_bp
+    """,
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing: deterministically sample documents so each
+    language's token share matches a target mixture
+    ({MIX_TARGET_BP} in basis points) of an overall token budget
+    ({MIX_BUDGET_PCT}% of corpus tokens) — the re-weighting step that
+    turns a crawled corpus into a training mixture. Membership is an
+    affine hash on doc_id against a per-language rate, so the sample is
+    reproducible run-to-run and engine-to-engine (no rand()).
+
+    All rate arithmetic is integer (div, not /): at 100 TB the
+    token-count products exceed float53 precision, and a one-ULP
+    disagreement would flip membership of boundary documents.
+
+    Scale shape: one partial-agg shuffle for per-language token totals
+    (|langs| rows), a broadcast scalar for the global budget, then a
+    broadcast join of the rate table back onto the corpus — the corpus
+    itself is never shuffled; keep/drop is a per-row expression.
+    """
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(TH.words_expr("text")).cast("long").alias("tok"),
+    )
+    target_bp = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(bp))
+            for lang, bp in MIX_TARGET_BP.items()
+        ],
+        F.lit(0),
+    )
+    lang_tot = toks.groupBy("lang").agg(F.sum("tok").alias("tok_l")).withColumn(
+        "target_bp", target_bp
+    )
+    budget = toks.agg(
+        F.expr(f"sum(tok) * {MIX_BUDGET_PCT} div 100").alias("b")
+    )
+    rates = (
+        lang_tot.crossJoin(F.broadcast(budget))
+        .filter(F.col("tok_l") > 0)
+        .select(
+            "lang",
+            F.least(
+                F.lit(10000),
+                F.expr("(10000 * (b * target_bp div 10000)) div tok_l"),
+            ).alias("rate_bp"),
+        )
+    )
+    keep = (
+        F.col("doc_id") * MIX_A + MIX_B
+    ) % TH.MERSENNE_P % 10000 < F.col("rate_bp")
+    return (
+        toks.join(F.broadcast(rates), "lang")
+        .filter(keep)
+        .select("doc_id", "lang", "tok", "rate_bp")
+    )
+
+
+@query(
+    "split_leakage_free",
+    oracle=f"""
+    SELECT doc_id,
+           {TH.sql_portable_hash64('text')} AS content_key,
+           CASE WHEN {TH.sql_portable_hash64('text')} % 100
+                     < {SPLIT_VAL_PCT}
+                THEN 'val' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val split: route documents to splits by a
+    hash of their CONTENT, not their id — exact duplicates (and any
+    docs sharing a canonical form, if the key is computed post-
+    normalization) always land in the same split, so the validation
+    set can't be contaminated by a training-set twin.
+
+    Scale shape: zero shuffles — the split is a stateless per-row
+    expression (portable 60-bit md5 hash → mod-100 bucket), so it
+    parallelizes with the scan and composes with any downstream
+    partitioned write. Group-aware splitting by a heavier key (URL
+    domain, near-dup cluster id from dedup_clusters) is the same
+    expression over that column instead.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = TH.portable_hash64(F.col("text"))
+    return docs.select(
+        "doc_id",
+        key.alias("content_key"),
+        F.when(key % 100 < SPLIT_VAL_PCT, "val")
+        .otherwise("train")
+        .alias("split"),
+    )
