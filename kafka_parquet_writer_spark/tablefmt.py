@@ -90,6 +90,36 @@ def _min_max_stats(path: str, cols: list[str]) -> dict[str, list]:
     return out
 
 
+#: Z-order bucket resolution per column (2^bits equi-depth buckets)
+ZORDER_BITS = 8
+
+
+def _zorder_key(df: DataFrame, cols: list[str], bits: int = ZORDER_BITS):
+    """Morton key column: interleave the bits of each column's
+    equi-depth bucket rank. Equi-depth (quantile) buckets rather than
+    uniform-width: skewed columns otherwise collapse into few buckets
+    and lose their share of key bits.
+
+    Per-row cost is a small fixed expression (array rank + bit
+    shuffles); the only driver-side data is ``2^bits - 1`` boundary
+    values per column from ``approxQuantile``."""
+    n = 1 << bits
+    buckets = []
+    for c in cols:
+        bounds = df.stat.approxQuantile(c, [i / n for i in range(1, n)], 0.01)
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        val = F.col(c).cast("double")
+        buckets.append(
+            F.size(F.filter(arr, lambda b: b <= val)).cast("long")
+        )
+    zkey = F.lit(0).cast("long")
+    for i in range(bits):
+        for ci, b in enumerate(buckets):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            zkey = zkey + F.shiftleft(bit, i * len(cols) + ci)
+    return zkey
+
+
 class TxTable:
     """Handle on a transaction-log table rooted at ``table_dir``."""
 
@@ -517,6 +547,7 @@ class TxTable:
     def compact(
         self, spark: SparkSession, max_file_bytes: int = 64 << 20,
         cluster_by: list[str] | None = None, n_files: int | None = None,
+        zorder: bool = False,
     ) -> int:
         """OPTIMIZE: rewrite files smaller than ``max_file_bytes`` into
         few right-sized ones. Commutes with appends (acts only on files
@@ -528,7 +559,18 @@ class TxTable:
         disjoint min/max ranges, so the SAME stats make `read_where`
         and MERGE prune far more files. Unclustered appends arrive with
         overlapping ranges; periodic clustered compaction is what keeps
-        data skipping effective on a long-lived 100 TB table."""
+        data skipping effective on a long-lived 100 TB table.
+
+        ``zorder=True`` with ≥2 numeric ``cluster_by`` columns replaces
+        linear ordering with a Z-order (Morton) curve over equi-depth
+        bucket ranks: bits of the per-column buckets are interleaved
+        into one key, so EVERY clustered column gets narrow per-file
+        ranges instead of only the leading one. Linear clustering on
+        (x, y) prunes x-predicates but leaves every file spanning all
+        of y; Z-order prunes both — the difference between touching
+        √F and F files on the non-leading dimension of a 100 TB table.
+        Bucket boundaries come from `approxQuantile` (driver receives
+        only the boundary values — bounded, never data-sized)."""
         snap = self._snapshot()
         small = [
             p for p, a in snap["files"].items() if a["bytes"] < max_file_bytes
@@ -540,7 +582,14 @@ class TxTable:
         df = self._read_paths(
             spark, snap, [os.path.join(self.dir, p) for p in small]
         )
-        if cluster_by:
+        if cluster_by and zorder and len(cluster_by) >= 2:
+            df = (
+                df.withColumn("_zkey", _zorder_key(df, cluster_by))
+                .repartitionByRange(int(n_out), "_zkey")
+                .sortWithinPartitions("_zkey")
+                .drop("_zkey")
+            )
+        elif cluster_by:
             # repartitionByRange gives each output file a disjoint key
             # range (sortWithinPartitions alone would leave every file
             # spanning the whole key space)

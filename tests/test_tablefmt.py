@@ -370,6 +370,41 @@ def test_clustered_compaction_tightens_pruning(spark, tmp_path):
     assert sorted(r["k"] for r in got) == list(range(10, 20))
 
 
+def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
+    """Linear clustering on (x, y) gives the leading column disjoint
+    per-file ranges but leaves every file spanning ALL of y; Z-order
+    interleaving gives BOTH columns narrow ranges, so the same footer
+    stats prune on either dimension — the multi-dimensional data-
+    skipping contract of OPTIMIZE ZORDER."""
+    rows = [(i, (i * 37) % 1000, (i * 61) % 1000) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+
+    lin = TxTable(str(tmp_path / "lin"))
+    lin.create(df.coalesce(4), stats_cols=["x", "y"])
+    lin.compact(spark, cluster_by=["x", "y"], n_files=16)
+    zo = TxTable(str(tmp_path / "zo"))
+    zo.create(df.coalesce(4), stats_cols=["x", "y"])
+    zo.compact(spark, cluster_by=["x", "y"], n_files=16, zorder=True)
+
+    ls, zs = lin._snapshot(), zo._snapshot()
+    assert len(ls["files"]) == 16 and len(zs["files"]) == 16
+
+    # leading dimension: both cluster strategies prune
+    assert len(lin.candidate_files(ls, "x", 100, 160)) < 16
+    assert len(zo.candidate_files(zs, "x", 100, 160)) < 16
+    # non-leading dimension: linear can't prune, Z-order can
+    lin_y = len(lin.candidate_files(ls, "y", 100, 160))
+    zo_y = len(zo.candidate_files(zs, "y", 100, 160))
+    assert lin_y == 16
+    assert zo_y < lin_y, (zo_y, lin_y)
+
+    # pruned reads stay exact on both tables
+    for t in (lin, zo):
+        got = sorted(r["id"] for r in t.read_where(spark, "y", 100, 160).collect())
+        want = sorted(i for i, _x, y in rows if 100 <= y <= 160)
+        assert got == want
+
+
 def test_schema_evolution_additive(spark, table):
     wide = spark.createDataFrame(
         [(10, "w", 1, 3.5)], "k int, v string, ts int, score double"
