@@ -20,4 +20,5 @@ from kafka_parquet_writer_spark.operators import (  # noqa: F401
     graph,
     corpus_prep,
     llm_prep,
+    mlfeat,
 )
