@@ -57,6 +57,10 @@ HEADLINE = [
     "rollup_time_hierarchy",
     "text_chunk",
     "pack_sequences",
+    "decontaminate_ngram",
+    "mixture_sample",
+    "anomaly_mad",
+    "feature_binning",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming
