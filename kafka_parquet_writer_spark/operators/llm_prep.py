@@ -46,9 +46,11 @@ MIX_A, MIX_B = 48_271, 11
 SPLIT_VAL_PCT = 10
 
 
-@query(
-    "decontaminate_ngram",
-    oracle=f"""
+def decon_oracle_sql() -> str:
+    """Shared by the batch operator and its streaming re-formulation
+    (`operators/streaming_queries.stream_decontaminate`) — the
+    streaming result is proven equal to this one-shot computation."""
+    return f"""
     WITH sh AS ({TH.sql_shingle_cte('documents', 'doc_id', 'text', 3)}),
     bench AS (
       SELECT DISTINCT shingle FROM sh WHERE doc % {DECON_BENCH_MOD} = 0
@@ -62,8 +64,10 @@ SPLIT_VAL_PCT = 10
     SELECT doc_id, n_shared
     FROM hits
     WHERE n_shared >= {DECON_MIN_SHARED}
-    """,
-)
+    """
+
+
+@query("decontaminate_ngram", oracle=decon_oracle_sql())
 def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents that share ≥
     {DECON_MIN_SHARED} distinct word 3-grams with the held-out

@@ -624,3 +624,101 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(DEDUP_STREAM_BATCHES)
         ]
     ).select("doc_id")
+
+
+# --- streaming benchmark decontamination -----------------------------------
+
+
+def _stream_decon_oracle() -> str:
+    from kafka_parquet_writer_spark.operators.llm_prep import decon_oracle_sql
+
+    return decon_oracle_sql()
+
+
+@query("stream_decontaminate", oracle=_stream_decon_oracle())
+def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming benchmark decontamination: corpus documents arrive in
+    doc_id-ordered micro-batches and each batch is scrubbed against the
+    PRECOMPUTED benchmark shingle index (eval suites are fixed before a
+    crawl starts — the realistic deployment: continuous decontamination
+    of incoming crawl data). Flagged (doc_id, n_shared) rows are written
+    per batch under versioned, overwrite-idempotent paths (replaying a
+    crashed micro-batch rewrites its own output — the foreach_sink.py
+    crash lesson); the final union is proven EQUAL to the one-shot
+    batch computation (`operators/llm_prep.decontaminate_ngram`): same
+    oracle SQL, so the driver's gate checks streaming/batch
+    equivalence, not just row counts.
+
+    Scale shape per batch: the benchmark index is read once and
+    broadcast (bounded by eval-suite size, independent of corpus
+    scale); shingling is per-row; the only shuffle is the per-doc
+    overlap count over rows that matched the broadcast — identical to
+    the batch plan, applied per micro-batch.
+    """
+    import os
+
+    from kafka_parquet_writer_spark.functions import texthash as TH
+    from kafka_parquet_writer_spark.operators.llm_prep import (
+        DECON_BENCH_MOD,
+        DECON_MIN_SHARED,
+    )
+
+    stage = _documents_batched_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="kpws_decon_run_")
+    out_base = os.path.join(work, "flagged")
+    ckpt = os.path.join(work, "ckpt")
+    bench_path = os.path.join(work, "bench_shingles")
+
+    # the fixed benchmark index, built once before the stream starts —
+    # the artifact a production pipeline ships alongside the eval suite
+    ensure_nanos_readable(spark)
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    (
+        docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+        .select(F.explode(TH.word_shingles_expr("text", 3)).alias("shingle"))
+        .distinct()
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(bench_path)
+    )
+
+    def scrub(bdf: DataFrame, bid: int) -> None:
+        sp = bdf.sparkSession
+        bench = sp.read.parquet(bench_path)
+        corpus = bdf.filter(F.col("doc_id") % DECON_BENCH_MOD != 0).select(
+            "doc_id", F.explode(TH.word_shingles_expr("text", 3)).alias("shingle")
+        )
+        flagged = (
+            corpus.join(F.broadcast(bench), "shingle")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= DECON_MIN_SHARED)
+        )
+        flagged.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_base, f"b{bid}")
+        )
+
+    schema = docs.schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            src.writeStream.foreachBatch(scrub)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(
+        *[
+            os.path.join(out_base, f"b{i}")
+            for i in range(DEDUP_STREAM_BATCHES)
+        ]
+    ).select("doc_id", "n_shared")
