@@ -153,3 +153,28 @@ def test_stream_dedup_minhash_kept_set_properties(spark):
     assert kept, "kept set must be non-empty"
     assert kept[0] == 0  # smallest doc can never collide with a smaller one
     assert len(kept) == len(set(kept))  # no doc emitted twice (idempotence)
+
+
+def test_stream_decontaminate_equals_batch(spark):
+    """The streaming scrub over ordered micro-batches must produce
+    exactly the one-shot batch result — the equivalence that makes
+    continuous decontamination trustworthy (same contract the driver's
+    oracle checks, pinned here at smoke scale with direct comparison)."""
+    from kafka_parquet_writer_spark.operators.llm_prep import (
+        decontaminate_ngram,
+    )
+    from kafka_parquet_writer_spark.operators.streaming_queries import (
+        stream_decontaminate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = sorted(
+        (r["doc_id"], r["n_shared"])
+        for r in decontaminate_ngram(spark, sf).collect()
+    )
+    streamed = sorted(
+        (r["doc_id"], r["n_shared"])
+        for r in stream_decontaminate(spark, sf).collect()
+    )
+    assert streamed == batch
+    assert batch, "fixture must produce a non-empty contaminated set"
