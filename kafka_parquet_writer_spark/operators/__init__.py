@@ -21,4 +21,5 @@ from kafka_parquet_writer_spark.operators import (  # noqa: F401
     corpus_prep,
     llm_prep,
     mlfeat,
+    formats,
 )

@@ -1,0 +1,91 @@
+"""Source/sink format round-trips as driver-checkable queries.
+
+The reference writes exactly one at-rest format (parquet,
+`ParquetFile.java:36-62`); a Spark engine speaks every format Spark
+bundles. Each key here writes the events table through a format's full
+serialize→deserialize cycle (a real temp-dir write + schema-explicit
+read back, not a no-op) and aggregates the result; the DuckDB oracle
+computes the same aggregate over the original parquet, so a green row
+proves the round-trip was lossless.
+
+Only integer-exact columns cross the format boundary (`value` is
+fixed-pointed to cents BEFORE the write): CSV/JSON float text
+round-trips are representation-sensitive, and pinning that down is the
+formats' job, not this gate's. Schema-explicit reads everywhere —
+inference costs a full extra pass and types drift (int64 → double in
+JSON) — matching sources/readers.py's contract.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_parquet_writer_spark.catalog import load_table
+from kafka_parquet_writer_spark.functions.portable import cents, sql_cents
+from kafka_parquet_writer_spark.registry import query
+
+#: one aggregate proves the cycle lossless for every carried column
+_ROUNDTRIP_ORACLE = f"""
+SELECT event_type,
+       count(*)                                     AS n,
+       CAST(sum(event_id) AS BIGINT)                AS id_sum,
+       CAST(sum(user_id) AS BIGINT)                 AS uid_sum,
+       CAST(sum({sql_cents('value')}) AS BIGINT)    AS vc_sum
+FROM events
+GROUP BY event_type
+"""
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        cents(F.col("value")).alias("vc"),
+    )
+    d = tempfile.mkdtemp(prefix=f"kpws_fmt_{fmt}_")
+    # header on BOTH sides (csv only; orc/json ignore it) — an
+    # asymmetric header option silently eats one data row per file
+    ev.write.mode("overwrite").format(fmt).option("header", "true").save(d)
+    back = (
+        spark.read.format(fmt)
+        .schema("event_id long, user_id long, event_type string, vc long")
+        .option("header", "true")  # ignored by orc/json
+        .load(d)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("id_sum"),
+        F.sum("user_id").alias("uid_sum"),
+        F.sum("vc").alias("vc_sum"),
+    )
+
+
+@query("source_orc_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write→read→aggregate equals the parquet-side truth. ORC is
+    the columnar alternative Spark bundles (predicate pushdown, stripe
+    stats) — the at-rest choice when the downstream warehouse is
+    Hive/ORC-native."""
+    return _roundtrip(spark, sf_dir, "orc")
+
+
+@query("source_csv_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV (with header) write→read→aggregate equals the parquet-side
+    truth, read schema-explicit — the interchange format every upstream
+    system can produce; scan cost is ~5× parquet at 100 TB (no column
+    pruning, text parse), which is why it's an EDGE format here, never
+    the at-rest one."""
+    return _roundtrip(spark, sf_dir, "csv")
+
+
+@query("source_json_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines write→read→aggregate equals the parquet-side truth,
+    read schema-explicit (inferred JSON widens int64→double — the drift
+    this gate would catch)."""
+    return _roundtrip(spark, sf_dir, "json")
