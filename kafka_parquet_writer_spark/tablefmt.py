@@ -325,8 +325,14 @@ class TxTable:
         shutil.rmtree(stage, ignore_errors=True)
         return adds
 
+    def _abs(self, snap: dict, rel: str) -> str:
+        """Physical location of a live file: its own data/ dir, or the
+        absolute source path recorded by a shallow clone()."""
+        add = snap["files"][rel]
+        return add.get("abs") or os.path.join(self.dir, rel)
+
     def _paths(self, snap: dict) -> list[str]:
-        return [os.path.join(self.dir, p) for p in snap["files"]]
+        return [self._abs(snap, p) for p in snap["files"]]
 
     # ---------- public surface ----------
 
@@ -413,8 +419,27 @@ class TxTable:
             return spark.createDataFrame([], schema)
         reader = spark.read.schema(schema)
         if snap["partition_by"]:
-            # hive layout under data/ reconstructs partition columns
-            reader = reader.option("basePath", self.data_dir)
+            # hive layout under a data/ root reconstructs partition
+            # columns; a shallow clone's files live under the SOURCE
+            # table's data/ root instead of ours, so derive the base
+            # from the paths (Spark accepts exactly one basePath —
+            # mixing cloned and locally-written files in one
+            # partitioned snapshot is rejected rather than misread)
+            sep = os.sep + DATA_SUBDIR + os.sep
+            bases = {
+                p.split(sep)[0] + os.sep + DATA_SUBDIR
+                for p in paths
+                if sep in p
+            }
+            if len(bases) > 1:
+                raise ValueError(
+                    "partitioned snapshot mixes files under multiple "
+                    f"data roots {sorted(bases)} — compact() the clone "
+                    "to localize files before writing to it"
+                )
+            reader = reader.option(
+                "basePath", bases.pop() if bases else self.data_dir
+            )
         return reader.parquet(*paths)
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
@@ -456,7 +481,7 @@ class TxTable:
         snap = self._snapshot(version)
         cand = self.partition_candidates(snap, equals)
         df = self._read_paths(
-            spark, snap, [os.path.join(self.dir, p) for p in cand]
+            spark, snap, [self._abs(snap, p) for p in cand]
         )
         for k, v in equals.items():
             df = df.filter(F.col(k) == v)
@@ -473,7 +498,7 @@ class TxTable:
         snap = self._snapshot(version)
         cand = self.candidate_files(snap, col, lo, hi)
         df = self._read_paths(
-            spark, snap, [os.path.join(self.dir, p) for p in cand]
+            spark, snap, [self._abs(snap, p) for p in cand]
         )
         return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
 
@@ -526,7 +551,7 @@ class TxTable:
         upd = updates.withColumn("_src", F.lit(1))
         if touched:
             old = self._read_paths(
-                spark, snap, [os.path.join(self.dir, p) for p in touched]
+                spark, snap, [self._abs(snap, p) for p in touched]
             ).withColumn("_src", F.lit(0))
             merged = upd.unionByName(old)
         else:
@@ -580,7 +605,7 @@ class TxTable:
         total = sum(snap["files"][p]["bytes"] for p in small)
         n_out = n_files or max(1, total // max_file_bytes)
         df = self._read_paths(
-            spark, snap, [os.path.join(self.dir, p) for p in small]
+            spark, snap, [self._abs(snap, p) for p in small]
         )
         if cluster_by and zorder and len(cluster_by) >= 2:
             df = (
@@ -601,6 +626,34 @@ class TxTable:
         actions = self._stage(df, self._stats_cols(snap), snap["partition_by"])
         actions += [{"remove": {"path": p}} for p in small]
         return self._commit("compact", actions, snap["version"])
+
+    def clone(self, target_dir: str) -> "TxTable":
+        """Shallow (zero-copy) CLONE: create a NEW table whose version-0
+        commit references this table's current live files by absolute
+        path — no data copied, so cloning a 100 TB table is a
+        metadata-only operation. The clone then evolves independently:
+        appends/merges/compactions write under ITS data/ dir and only
+        drop references to source files, never touch them; its vacuum
+        walks only its own data/ dir, so source bytes are never
+        deleted by the clone.
+
+        Hazard (same contract as Delta shallow clones): VACUUM on the
+        SOURCE can delete files the clone still references — pin the
+        source's retention or `compact()` the clone to localize its
+        files when it must outlive the source's horizon. Cloning a
+        clone re-resolves absolute paths, so chains don't deepen.
+        """
+        snap = self._snapshot()
+        t = TxTable(target_dir)
+        if t.exists():
+            raise FileExistsError(f"tx table already exists at {target_dir}")
+        actions: list[dict] = [{"meta": dict(snap["meta"])}]
+        for rel, add in snap["files"].items():
+            a = dict(add)
+            a["abs"] = os.path.abspath(self._abs(snap, rel))
+            actions.append({"add": a})
+        t._commit("clone", actions, base_version=None)
+        return t
 
     def last_txn_batch(self, app: str) -> int | None:
         """Highest batch id committed by ``app`` (idempotence probe)."""

@@ -431,3 +431,56 @@ def test_schema_evolution_additive(spark, table):
     table.append(_df(spark, [(12, "z", 1)]))
     out2 = {r["k"]: r for r in table.read(spark).collect()}
     assert out2[12]["score"] is None
+
+
+def test_shallow_clone_zero_copy_and_independent(spark, table, tmp_path):
+    """clone() copies no data (version-0 references source files by
+    absolute path) and the clone evolves independently of the source."""
+    import glob
+
+    c = table.clone(str(tmp_path / "clone"))
+    assert _data(c, spark) == _data(table, spark)
+    assert not glob.glob(os.path.join(c.data_dir, "*.parquet"))  # zero-copy
+    assert [h["op"] for h in c.history()] == ["clone"]
+
+    # clone-side writes never touch the source
+    src_files = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(table.data_dir, "**", "*.parquet"),
+                           recursive=True)
+    }
+    c.append(_df(spark, [(9, "z", 2)]))
+    c.merge(spark, _df(spark, [(1, "CLONE", 9)]), keys=["k"])
+    assert _data(table, spark) == [(1, "a", 1), (2, "b", 1), (3, "c", 1)]
+    got = dict((r[0], r[1]) for r in _data(c, spark))
+    assert got[1] == "CLONE" and got[9] == "z"
+    for p, mt in src_files.items():
+        assert os.path.exists(p) and os.path.getmtime(p) == mt
+
+    # clone vacuum must never delete source bytes
+    c.overwrite(_df(spark, [(7, "q", 1)]))
+    c.vacuum(retain_versions=1)
+    for p in src_files:
+        assert os.path.exists(p)
+    assert _data(table, spark) == [(1, "a", 1), (2, "b", 1), (3, "c", 1)]
+
+
+def test_clone_partitioned_reads_and_rejects_mixed_bases(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c")],
+        "k int, dt string, v string",
+    )
+    src = TxTable(str(tmp_path / "psrc"))
+    src.create(df, partition_by=["dt"])
+    c = src.clone(str(tmp_path / "pclone"))
+    assert sorted(r["k"] for r in c.read(spark).collect()) == [1, 2, 3]
+    # log-level partition pruning works through the clone
+    snap = c._snapshot()
+    assert len(c.partition_candidates(snap, {"dt": "d1"})) < len(snap["files"])
+    # mixing cloned and local files in one partitioned snapshot is
+    # rejected (Spark accepts a single basePath), with a clear remedy
+    c.append(
+        spark.createDataFrame([(4, "d1", "x")], "k int, dt string, v string")
+    )
+    with pytest.raises(ValueError, match="compact"):
+        c.read(spark).collect()
