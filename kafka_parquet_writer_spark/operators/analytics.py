@@ -558,3 +558,95 @@ def agg_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("hi").cast("long").alias("hi_cents"),
         pround(F.sum("cw") / 100.0 / F.max("n"), 2).alias("win_avg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-touch attribution
+# ---------------------------------------------------------------------------
+
+#: attribution lookback window (µs) — clicks this long before a
+#: purchase share its credit
+ATTR_WINDOW_US = 10 * 60 * 1_000_000
+
+
+@query(
+    "events_attribution",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT p.event_id AS purchase_id,
+             c.event_id AS click_id,
+             p.value    AS pv,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts, c.event_id)      AS rn,
+             count(*)   OVER (PARTITION BY p.event_id)          AS n
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = p.user_id
+       AND c.ts <= p.ts
+       AND epoch_us(p.ts) - epoch_us(c.ts) <= {ATTR_WINDOW_US}
+    )
+    SELECT purchase_id, click_id,
+           {sql_pround(f'''CASE WHEN n = 1 THEN 1.0
+                 WHEN n = 2 THEN 0.5
+                 WHEN rn = 1 OR rn = n THEN 0.4
+                 ELSE 0.2 / (n - 2) END''', 6)} AS weight,
+           {sql_pround(f'''pv * (CASE WHEN n = 1 THEN 1.0
+                      WHEN n = 2 THEN 0.5
+                      WHEN rn = 1 OR rn = n THEN 0.4
+                      ELSE 0.2 / (n - 2) END)''', 4)} AS credit
+    FROM pairs
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: every click
+    within the lookback window before a purchase earns a share of its
+    value — 40% to the first touch, 40% to the last, the middle 20%
+    split evenly (1.0 / 0.5-0.5 for one- and two-click paths). The
+    step past `join_asof`'s last-touch-only credit, and the query
+    marketing analytics actually runs.
+
+    Scale shape: one shuffle joins clicks to purchases on user_id with
+    the time-band predicate bounding the pair fan-out (the
+    `stream_stream_join` interval shape, batch-side); the position
+    ranks are one window pass keyed by purchase_id. Weights are exact
+    rational expressions of (rn, n) — no floating accumulation order
+    to drift between engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("pv"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    pairs = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (
+            F.unix_micros("p_ts") - F.unix_micros("c_ts")
+            <= ATTR_WINDOW_US
+        ),
+    )
+    w = W.partitionBy("purchase_id")
+    pairs = pairs.withColumn(
+        "rn",
+        F.row_number().over(w.orderBy(F.col("c_ts"), F.col("click_id"))),
+    ).withColumn("n", F.count(F.lit(1)).over(w))
+    weight = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    return pairs.select(
+        "purchase_id",
+        "click_id",
+        pround(weight, 6).alias("weight"),
+        pround(F.col("pv") * weight, 4).alias("credit"),
+    )

@@ -239,3 +239,89 @@ def join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         pround(F.col("tc") / 100.0, 2).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff (CDC extraction between two table versions)
+# ---------------------------------------------------------------------------
+
+#: deterministic derivation of two "versions" of orders from the fixture:
+#: rows missing from the OLD snapshot (arrived later), rows missing from
+#: the NEW one (deleted), and a price bump marking updated rows
+DIFF_OLD_SKIP_MOD = 11   # o_orderkey % 11 == 0 → absent from old
+DIFF_NEW_SKIP_MOD = 13   # o_orderkey % 13 == 0 → absent from new
+DIFF_BUMP_MOD = 5        # o_orderkey % 5  == 0 → price +10% in new
+
+
+@query(
+    "snapshot_diff",
+    oracle=f"""
+    WITH old AS (
+      SELECT o_orderkey, {sql_cents('o_totalprice')} AS vc
+      FROM orders WHERE o_orderkey % {DIFF_OLD_SKIP_MOD} <> 0
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % {DIFF_BUMP_MOD} = 0
+                  THEN {sql_cents('o_totalprice')} * 110 // 100
+                  ELSE {sql_cents('o_totalprice')} END AS vc
+      FROM orders WHERE o_orderkey % {DIFF_NEW_SKIP_MOD} <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change,
+           o.vc AS old_vc,
+           n.vc AS new_vc
+    FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL OR o.vc <> n.vc
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture extraction between two snapshots of a table:
+    full-outer join on the primary key, classify each divergence as
+    insert / delete / update, drop unchanged rows — the diff feed that
+    turns periodic full snapshots into an incremental downstream (the
+    consumer-side inverse of tablefmt.merge). Snapshots are derived
+    deterministically from the fixture (modular row skips + an integer
+    price bump) so both engines diff identical inputs.
+
+    Scale shape: ONE shuffle join on the key — the irreducible cost of
+    diffing unordered snapshots; unchanged rows (the overwhelming
+    majority at 100 TB) are filtered before projection, so the output
+    is change-sized, not table-sized. With both snapshots bucketed on
+    the key (sources/bucketed.py) the exchange disappears entirely;
+    cents fixed-point keeps the update test exact.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents(F.col("o_totalprice")).alias("vc")
+    )
+    old = o.filter(F.col("o_orderkey") % DIFF_OLD_SKIP_MOD != 0).select(
+        F.col("o_orderkey").alias("ok"), F.col("vc").alias("old_vc")
+    )
+    new = o.filter(F.col("o_orderkey") % DIFF_NEW_SKIP_MOD != 0).select(
+        F.col("o_orderkey").alias("nk"),
+        F.when(
+            F.col("o_orderkey") % DIFF_BUMP_MOD == 0,
+            F.expr("vc * 110 div 100"),
+        )
+        .otherwise(F.col("vc"))
+        .alias("new_vc"),
+    )
+    joined = old.join(new, F.col("ok") == F.col("nk"), "full_outer")
+    return (
+        joined.filter(
+            F.col("ok").isNull()
+            | F.col("nk").isNull()
+            | (F.col("old_vc") != F.col("new_vc"))
+        )
+        .select(
+            F.coalesce(F.col("ok"), F.col("nk")).alias("o_orderkey"),
+            F.when(F.col("ok").isNull(), "insert")
+            .when(F.col("nk").isNull(), "delete")
+            .otherwise("update")
+            .alias("change"),
+            "old_vc",
+            "new_vc",
+        )
+    )
