@@ -126,9 +126,14 @@ def _mix_sql_rates() -> str:
       FROM toks
     ),
     rates AS (
+      -- CAST: sum() is HUGEINT in DuckDB and propagates through the
+      -- // and LEAST chain into rate_bp; the driver's value hash is
+      -- dtype-sensitive (HUGEINT != Spark bigint even for equal
+      -- values), so pin the output column to BIGINT explicitly.
       SELECT lang,
-             LEAST(10000, (10000 * (b * target_bp // 10000)) // tok_l)
-               AS rate_bp
+             CAST(LEAST(10000,
+                        (10000 * (b * target_bp // 10000)) // tok_l)
+                  AS BIGINT) AS rate_bp
       FROM lang_tot, budget
       WHERE tok_l > 0
     )

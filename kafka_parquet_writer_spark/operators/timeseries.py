@@ -156,7 +156,10 @@ def _bands_values_sql() -> str:
 @query(
     "join_range_band",
     oracle=f"""
-    SELECT band, lo,
+    SELECT band,
+           -- VALUES literals like 10.5 type as DECIMAL(4,1) in DuckDB;
+           -- pin to DOUBLE to match the Spark column dtype exactly.
+           CAST(lo AS DOUBLE) AS lo,
            count(*) AS n_parts,
            {sql_pround(f"sum({sql_cents('p_retailprice')})"
                        " / (100.0 * count(*))", 2)} AS avg_price
