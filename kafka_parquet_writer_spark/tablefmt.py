@@ -417,30 +417,52 @@ class TxTable:
         schema = StructType.fromJson(json.loads(snap["schema"]))
         if not paths:
             return spark.createDataFrame([], schema)
-        reader = spark.read.schema(schema)
+        # shallow-clone hazard check: absolute references into another
+        # table's data/ dir can dangle if the SOURCE was vacuum()ed past
+        # the clone point — fail with the contract message instead of
+        # Spark's generic path error (or, worse, a partial read). Only
+        # foreign paths pay the existence probe; own-dir files are
+        # governed by our own log.
+        own_prefix = self.dir + os.sep
+        dangling = [
+            p for p in paths
+            if not p.startswith(own_prefix) and not os.path.exists(p)
+        ]
+        if dangling:
+            raise FileNotFoundError(
+                f"{len(dangling)} cloned file reference(s) missing "
+                f"(first: {dangling[0]}) — the source table was likely "
+                "vacuum()ed past the clone point; re-clone, or compact() "
+                "the clone before the source's retention horizon passes"
+            )
         if snap["partition_by"]:
             # hive layout under a data/ root reconstructs partition
-            # columns; a shallow clone's files live under the SOURCE
-            # table's data/ root instead of ours, so derive the base
-            # from the paths (Spark accepts exactly one basePath —
-            # mixing cloned and locally-written files in one
-            # partitioned snapshot is rejected rather than misread)
+            # columns. A shallow clone's files live under the SOURCE
+            # table's data/ root, and a clone that has been appended to
+            # mixes that root with its own — Spark accepts exactly one
+            # basePath per read, so group paths by data root and union
+            # the per-root reads (schemas are identical by construction;
+            # partition columns reconstruct per-root). rsplit: below a
+            # table's data/ root only key=value segments exist, so the
+            # LAST '/data/' is always the table's own data dir even when
+            # an ancestor directory is itself named data/.
             sep = os.sep + DATA_SUBDIR + os.sep
-            bases = {
-                p.split(sep)[0] + os.sep + DATA_SUBDIR
-                for p in paths
-                if sep in p
-            }
-            if len(bases) > 1:
-                raise ValueError(
-                    "partitioned snapshot mixes files under multiple "
-                    f"data roots {sorted(bases)} — compact() the clone "
-                    "to localize files before writing to it"
+            groups: dict[str, list[str]] = {}
+            for p in paths:
+                base = (
+                    p.rsplit(sep, 1)[0] + os.sep + DATA_SUBDIR
+                    if sep in p else self.data_dir
                 )
-            reader = reader.option(
-                "basePath", bases.pop() if bases else self.data_dir
-            )
-        return reader.parquet(*paths)
+                groups.setdefault(base, []).append(p)
+            parts = [
+                spark.read.schema(schema).option("basePath", b).parquet(*ps)
+                for b, ps in sorted(groups.items())
+            ]
+            df = parts[0]
+            for extra in parts[1:]:
+                df = df.unionByName(extra)
+            return df
+        return spark.read.schema(schema).parquet(*paths)
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Snapshot read; ``version`` = time travel (VERSION AS OF)."""

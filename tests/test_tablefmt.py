@@ -465,7 +465,11 @@ def test_shallow_clone_zero_copy_and_independent(spark, table, tmp_path):
     assert _data(table, spark) == [(1, "a", 1), (2, "b", 1), (3, "c", 1)]
 
 
-def test_clone_partitioned_reads_and_rejects_mixed_bases(spark, tmp_path):
+def test_clone_partitioned_survives_append_merge_compact(spark, tmp_path):
+    """A partitioned shallow clone stays fully usable after local
+    writes: its snapshot then mixes files under the SOURCE's data/ root
+    and its own, and read/merge/compact must union the per-root reads
+    (one basePath per root) rather than reject the state."""
     df = spark.createDataFrame(
         [(1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c")],
         "k int, dt string, v string",
@@ -477,10 +481,62 @@ def test_clone_partitioned_reads_and_rejects_mixed_bases(spark, tmp_path):
     # log-level partition pruning works through the clone
     snap = c._snapshot()
     assert len(c.partition_candidates(snap, {"dt": "d1"})) < len(snap["files"])
-    # mixing cloned and local files in one partitioned snapshot is
-    # rejected (Spark accepts a single basePath), with a clear remedy
+    # append puts local files next to cloned refs — read unions roots,
+    # with partition columns reconstructed per-root
     c.append(
         spark.createDataFrame([(4, "d1", "x")], "k int, dt string, v string")
     )
-    with pytest.raises(ValueError, match="compact"):
+    got = {(r["k"], r["dt"]) for r in c.read(spark).collect()}
+    assert got == {(1, "d1"), (2, "d1"), (3, "d2"), (4, "d1")}
+    # merge and compact route through the same mixed-root read
+    c.merge(spark, spark.createDataFrame(
+        [(2, "d1", "UPD")], "k int, dt string, v string"), keys=["k"])
+    vals = {r["k"]: r["v"] for r in c.read(spark).collect()}
+    assert vals[2] == "UPD" and vals[4] == "x"
+    c.compact(spark, max_file_bytes=1 << 30)
+    vals = {r["k"]: r["v"] for r in c.read(spark).collect()}
+    assert vals == {1: "a", 2: "UPD", 3: "c", 4: "x"}
+    # source untouched throughout
+    assert sorted(r["k"] for r in src.read(spark).collect()) == [1, 2, 3]
+
+
+def test_clone_detects_source_vacuum_dangling_refs(spark, table, tmp_path):
+    """The documented shallow-clone hazard must fail LOUDLY: after the
+    source overwrites and vacuums past the clone point, the clone's
+    absolute references dangle — read() raises with the remedy, never
+    returns a partial/empty result."""
+    c = table.clone(str(tmp_path / "clone"))
+    table.overwrite(_df(spark, [(9, "z", 9)]))
+    table.vacuum(retain_versions=1)
+    with pytest.raises(FileNotFoundError, match="vacuum"):
         c.read(spark).collect()
+    # a compacted clone localized its files before the horizon passed,
+    # so the same source vacuum is harmless
+    t2 = TxTable(str(tmp_path / "src2"))
+    t2.create(_df(spark, [(1, "a", 1)]))
+    c2 = t2.clone(str(tmp_path / "clone2"))
+    c2.append(_df(spark, [(2, "b", 2)]))  # 2 files so compact rewrites
+    c2.compact(spark, max_file_bytes=1 << 30)
+    assert not any(
+        a.get("abs") for a in c2._snapshot()["files"].values()
+    ), "compact must localize cloned references"
+    t2.overwrite(_df(spark, [(5, "e", 5)]))
+    t2.vacuum(retain_versions=1)
+    assert _data(c2, spark) == [(1, "a", 1), (2, "b", 2)]
+
+
+def test_partitioned_basepath_with_data_ancestor_dir(spark, tmp_path):
+    """A table rooted under an ancestor directory itself named data/
+    (e.g. /mnt/data/tables/t) must derive basePath from the LAST
+    /data/ segment, or Spark parses unrelated intermediate dirs as
+    partition values."""
+    root = tmp_path / "data" / "tables" / "t"
+    df = spark.createDataFrame(
+        [(1, "d1", "a"), (2, "d2", "b")], "k int, dt string, v string"
+    )
+    t = TxTable(str(root))
+    t.create(df, partition_by=["dt"])
+    got = {(r["k"], r["dt"]) for r in t.read(spark).collect()}
+    assert got == {(1, "d1"), (2, "d2")}
+    pruned = t.read_partition(spark, {"dt": "d2"}).collect()
+    assert [(r["k"], r["dt"]) for r in pruned] == [(2, "d2")]
