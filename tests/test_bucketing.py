@@ -155,3 +155,42 @@ def test_suggest_bucket_count_power_of_two(spark):
     assert n >= 2 and (n & (n - 1)) == 0
     # huge target collapses to a single bucket
     assert suggest_bucket_count(li, target_bucket_bytes=1 << 40) == 1
+
+
+def test_snapshot_diff_bucketed_no_exchange(spark, bucketed_tables):
+    """snapshot_diff's docstring claim, proven: with both snapshots
+    derived from a table bucketed on the diff key, the full-outer
+    join's exchange disappears — a daily 100 TB snapshot diff becomes
+    shuffle-free when snapshots land bucketed."""
+    from kafka_parquet_writer_spark.operators.incremental import (
+        DIFF_BUMP_MOD,
+        DIFF_NEW_SKIP_MOD,
+        DIFF_OLD_SKIP_MOD,
+    )
+
+    b_orders, _ = bucketed_tables
+    o = spark.table(b_orders).select(
+        "o_orderkey", (F.col("o_totalprice") * 100).cast("long").alias("vc")
+    )
+    old = o.filter(F.col("o_orderkey") % DIFF_OLD_SKIP_MOD != 0).select(
+        F.col("o_orderkey").alias("ok"), F.col("vc").alias("old_vc")
+    )
+    new = o.filter(F.col("o_orderkey") % DIFF_NEW_SKIP_MOD != 0).select(
+        F.col("o_orderkey").alias("nk"),
+        F.when(
+            F.col("o_orderkey") % DIFF_BUMP_MOD == 0,
+            F.expr("vc * 110 div 100"),
+        )
+        .otherwise(F.col("vc"))
+        .alias("new_vc"),
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        diff = old.join(new, F.col("ok") == F.col("nk"), "full_outer").filter(
+            F.col("ok").isNull()
+            | F.col("nk").isNull()
+            | (F.col("old_vc") != F.col("new_vc"))
+        )
+        assert count_exchanges(diff) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")

@@ -225,3 +225,35 @@ def test_docs_ngram_lm_no_cartesian(spark, sf_dir):
     scalar-subquery pattern) — a real cartesian would be a bug."""
     plan = formatted_plan(E.queries()["docs_ngram_lm"](spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_attribution_one_join_one_window(spark, sf_dir):
+    """U-shaped attribution: ONE equi-join (user_id) carrying the
+    time-band as a residual predicate — never a nested-loop over the
+    band — plus one window pass keyed by purchase_id for (rn, n)."""
+    df = E.queries()["events_attribution"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    # at small sf the click side broadcasts; at scale it shuffle-joins —
+    # either way exactly one equi-join node (tree + detail = ≤2 mentions)
+    n_joins = sum(
+        plan.count(j)
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert 1 <= n_joins <= 2, plan
+
+
+def test_format_roundtrips_scan_written_dir(spark, sf_dir):
+    """The round-trip queries must aggregate the READ-BACK files in the
+    target format — a plan that scans the source parquet would prove
+    nothing about the serialize→deserialize cycle."""
+    for key, fmt in (
+        ("source_orc_roundtrip", "orc"),
+        ("source_csv_roundtrip", "csv"),
+        ("source_json_roundtrip", "json"),
+    ):
+        plan = formatted_plan(E.queries()[key](spark, sf_dir))
+        assert f"Scan {fmt}" in plan, (key, plan)
+        assert "Scan parquet" not in plan, (key, plan)
