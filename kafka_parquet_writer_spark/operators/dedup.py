@@ -22,7 +22,7 @@ is exposed as library functions with the same shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -614,15 +614,23 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_DEDUP_SEED = 404
+#: floor on active cells (the original fixed-cell configuration)
 ANN_DEDUP_CELLS = 16
+#: seeded centroid bank; the ACTIVE prefix grows with corpus size
+ANN_DEDUP_BANK = 64
+#: target vectors per cell — active cells m = clip(n/TARGET, 16, BANK)
+ANN_DEDUP_TARGET_PER_CELL = 125
 ANN_DEDUP_PROBE = 4
 
 
 def _dedup_centroids() -> list[list[float]]:
     import numpy as np
 
+    # randn fills row-major, so the first 16 rows of the 64-row bank
+    # are bit-identical to the original randn(16, 64) draw — small
+    # corpora (m = 16) produce exactly the pre-bank results
     rng = np.random.RandomState(ANN_DEDUP_SEED)
-    cs = rng.randn(ANN_DEDUP_CELLS, 64)
+    cs = rng.randn(ANN_DEDUP_BANK, 64)
     cs = cs / np.linalg.norm(cs, axis=1, keepdims=True)
     return [[round(float(x), 6) for x in c] for c in cs]
 
@@ -645,8 +653,18 @@ def _ann_dedup_oracle() -> str:
                                    CAST(embedding AS DOUBLE[]))) AS nrm
       FROM embeddings
     ),
+    act AS (
+      SELECT LEAST({ANN_DEDUP_BANK},
+                   GREATEST({ANN_DEDUP_CELLS},
+                            count(*) // {ANN_DEDUP_TARGET_PER_CELL})) AS m
+      FROM n
+    ),
     e AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n),
-    cells AS (SELECT vec_id, u, list_sort([{cell_structs}]) AS cl FROM e),
+    cells AS (
+      SELECT vec_id, u,
+             list_sort(list_filter([{cell_structs}], x -> x.c < m)) AS cl
+      FROM e CROSS JOIN act
+    ),
     probes AS (
       SELECT vec_id, u, p.c AS cell
       FROM (SELECT vec_id, u, unnest(cl[1:{ANN_DEDUP_PROBE}]) AS p FROM cells)
@@ -664,16 +682,22 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via spherical-IVF candidate buckets +
     exact cosine verify — the 100 TB scale path.
 
-    Each unit vector probes its ``ANN_DEDUP_PROBE`` nearest of
-    ``ANN_DEDUP_CELLS`` seeded unit centroids (max cosine ≡ spherical
-    k-means assignment; raw-L2 assignment degenerates when vector norms
-    vary). Candidates are same-cell pairs — an **equi-join on cell id**,
-    cost ∝ Σ cell², never |corpus|² — then exact-cosine verified at the
-    threshold. On real corpora (clustered: crawl snapshots, version
-    families) Σ cell² ≪ n²; on this isotropic synthetic fixture recall
-    is 59/59 @ sf0.01 and ~95% @ sf0.1 (measured vs the exact operator)
-    — the no-free-lunch cost of sub-quadratic candidates at a weak 0.4
-    threshold. In production: k-means-sampled centroids, cells ∝ √n.
+    Each unit vector probes its ``ANN_DEDUP_PROBE`` nearest of the
+    first m centroids of a seeded bank, where m = clip(n / target,
+    16, bank) scales WITH the corpus (max cosine ≡ spherical k-means
+    assignment; raw-L2 assignment degenerates when vector norms vary).
+    Candidates are same-cell pairs — an **equi-join on cell id**, cost
+    ∝ Σ cell² — then exact-cosine verified at the threshold. Fixing
+    the cell count would make per-cell population grow ∝ n and the
+    verify quadratic again (bench_scale.py measured exactly that at
+    ×8 before cells became adaptive); holding per-cell population at
+    ``ANN_DEDUP_TARGET_PER_CELL`` keeps the verify ~linear until the
+    bank cap, and at 100 TB the bank is generated larger (more seeded
+    draws — same construction), not redesigned. On real corpora
+    (clustered: crawl snapshots, version families) Σ cell² ≪ n²; on
+    this isotropic synthetic fixture recall is 59/59 @ sf0.01 and
+    ~95% @ sf0.1 (measured vs the exact operator) — the no-free-lunch
+    cost of sub-quadratic candidates at a weak 0.4 threshold.
 
     The oracle runs the identical algorithm (same seeded centroid
     literals, same probe count), so results value-hash-match exactly.
@@ -681,17 +705,64 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_parquet_writer_spark.functions import vector as V
 
     emb = _unit_vectors(spark, sf_dir)
-    cells = []
-    for j, c in enumerate(DEDUP_CENTROIDS):
-        score = -V.dot_expr(F.col("u"), V.lit_vector(c))
-        cells.append(F.struct(score.alias("s"), F.lit(j).alias("c")))
-    probes = emb.select(
-        "vec_id",
-        "u",
-        F.explode(
-            F.slice(F.array_sort(F.array(*cells)), 1, ANN_DEDUP_PROBE)
-        ).alias("p"),
-    ).select("vec_id", "u", F.col("p.c").alias("cell"))
+    # active-cell count m = clip(n / target, floor, bank): cells scale
+    # WITH the corpus so per-cell population — and the quadratic
+    # verify within each cell — stays bounded (measured: the fixed-16
+    # configuration went super-linear in bench_scale.py at ×8)
+    # count over the raw table (not the normalized projection): the
+    # scan satisfies count(*) from parquet row-group metadata
+    act = load_table(spark, sf_dir, "embeddings").agg(
+        F.least(
+            F.lit(ANN_DEDUP_BANK),
+            F.greatest(
+                F.lit(ANN_DEDUP_CELLS),
+                F.expr(
+                    f"count(*) div {ANN_DEDUP_TARGET_PER_CELL}"
+                ),
+            ),
+        ).alias("m")
+    )
+    # ONE 2-D centroid literal + an indexed transform lambda: a
+    # per-centroid expression tree (bank × dot_expr nodes) made
+    # analysis/codegen time the dominant cost once the bank grew to 64.
+    # The tail beyond the 16-cell floor is scored behind a lazy
+    # CaseWhen: when m == 16 (small corpora) the per-row work is
+    # exactly the pre-bank 16 dots.
+    def _score(cs: list[list[float]], base: int) -> Column:
+        return F.transform(
+            F.array(*[F.lit(c) for c in cs]),
+            lambda c, j: F.struct(
+                (-V.dot_expr(F.col("u"), c)).alias("s"),
+                (j + base).cast("int").alias("c"),
+            ),
+        )
+
+    scored = F.concat(
+        _score(DEDUP_CENTROIDS[:ANN_DEDUP_CELLS], 0),
+        F.when(
+            F.col("m") > ANN_DEDUP_CELLS,
+            _score(DEDUP_CENTROIDS[ANN_DEDUP_CELLS:], ANN_DEDUP_CELLS),
+        ).otherwise(
+            F.array().cast("array<struct<s:double,c:int>>")
+        ),
+    )
+    probes = (
+        emb.crossJoin(F.broadcast(act))
+        .select(
+            "vec_id",
+            "u",
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.filter(scored, lambda x: x["c"] < F.col("m"))
+                    ),
+                    1,
+                    ANN_DEDUP_PROBE,
+                )
+            ).alias("p"),
+        )
+        .select("vec_id", "u", F.col("p.c").alias("cell"))
+    )
     from kafka_parquet_writer_spark.session import repartition_for_compute
 
     a = probes.select(
