@@ -1,0 +1,185 @@
+"""Scale-evidence lane: does each headline curation operator's runtime
+grow the way its design claims when the corpus grows ×K?
+
+The 100 TB argument for the bucketed paths (LSH dedup, IVF ANN dedup,
+broadcast decontamination) is that cost grows ~linearly in corpus
+size, while the exact all-pairs forms are Ω(n²) by definition. This
+lane measures it instead of asserting it: the sf0.1 documents and
+embeddings tables are blown up ×1/×2/×4 (×8 for the linear paths)
+with per-copy DECORRELATED content — every word of copy i is prefixed
+with a copy tag (so cross-copy shingles never collide) and embedding
+arrays are rotated by i components (so cross-copy cosine ≈ 0). That
+keeps the *duplicate structure per unit of data constant*: a blow-up
+that copied text verbatim would grow near-dup cluster sizes with K and
+measure cluster blow-up, not corpus scaling.
+
+For each operator a power law t = c·K^e is fitted (least squares on
+log t vs log K); the exponent e is the measured scaling. Fixed
+per-query overhead (session, listing, codegen) biases e DOWNWARD at
+this size, so linear-path exponents comfortably below ~1.3 and a clear
+gap to the exact forms' exponents is the pass condition — exact values
+are reported, not thresholded.
+
+Writes ONE JSON line and BENCH_SCALE.json:
+  {"metric": "scale_exponents", "exponents": {q: e}, "timings":
+   {q: {K: sec}}, "ks": [...], "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: keys whose design claims ~linear growth in corpus size
+LINEAR = [
+    "dedup_minhash_lsh",
+    "dedup_embedding_ann",
+    "decontaminate_ngram",
+    "similarity_ivf",
+    "text_quality",
+]
+#: exact all-pairs forms — Ω(n²) by nature; measured as the contrast
+QUADRATIC = ["dedup_embedding"]
+
+KS_LINEAR = (1, 2, 4, 8)
+KS_QUADRATIC = (1, 2, 4)
+
+#: doc_id / vec_id offset between copies — far above any fixture id
+COPY_STRIDE = 100_000_000
+
+
+def build_blowup(spark, k: int) -> str:
+    """Materialize an sf-dir with documents/embeddings blown up ×k
+    (decorrelated per copy), all other tables symlinked."""
+    from pyspark.sql import functions as F
+
+    from kafka_parquet_writer_spark.catalog import (
+        TABLES,
+        load_table,
+        table_path,
+    )
+
+    out = tempfile.mkdtemp(prefix=f"kpws_scale_x{k}_")
+    for t in TABLES:
+        if t in ("documents", "embeddings"):
+            continue
+        os.symlink(table_path(SF_DIR, t), table_path(out, t))
+
+    docs = load_table(spark, SF_DIR, "documents")
+    copies = []
+    for i in range(k):
+        c = docs.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(i * COPY_STRIDE)
+        )
+        if i > 0:
+            # tag every word: shingles of copy i never collide with
+            # copy j's, so the near-dup structure per copy is the
+            # fixture's own, K times over
+            c = c.withColumn(
+                "text", F.regexp_replace("text", r"(\w+)", f"x{i}$1")
+            )
+        copies.append(c)
+    blown = copies[0]
+    for c in copies[1:]:
+        blown = blown.unionByName(c)
+    blown.write.mode("overwrite").parquet(table_path(out, "documents"))
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    copies = []
+    for i in range(k):
+        c = emb.withColumn(
+            "vec_id", F.col("vec_id") + F.lit(i * COPY_STRIDE)
+        )
+        if i > 0:
+            # rotate components: same norm, cross-copy cosine ≈ 0 for
+            # the synthetic vectors — IVF cell sizes stay uniform
+            r = i % 64
+            c = c.withColumn(
+                "embedding",
+                F.expr(
+                    f"concat(slice(embedding, {r + 1}, 64 - {r}), "
+                    f"slice(embedding, 1, {r}))"
+                ),
+            )
+        copies.append(c)
+    blown = copies[0]
+    for c in copies[1:]:
+        blown = blown.unionByName(c)
+    blown.write.mode("overwrite").parquet(table_path(out, "embeddings"))
+    return out
+
+
+def fit_exponent(points: dict[int, float]) -> float:
+    xs = [math.log(k) for k in sorted(points)]
+    ys = [math.log(points[k]) for k in sorted(points)]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    num = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    den = sum((x - mx) ** 2 for x in xs)
+    return round(num / den, 3)
+
+
+def main() -> None:
+    from kafka_parquet_writer_spark import get_spark
+    from kafka_parquet_writer_spark.registry import (
+        QUERIES,
+        load_all_operators,
+    )
+
+    load_all_operators()
+    spark = get_spark("bench_scale")
+
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    ks = sorted(set(KS_LINEAR) | set(KS_QUADRATIC))
+    dirs = {k: build_blowup(spark, k) for k in ks}
+    # warm up codegen + python workers on the smallest blow-up
+    run(QUERIES["text_quality"](spark, dirs[1]))
+
+    timings: dict[str, dict[int, float]] = {}
+    for _pass in range(2):
+        for name in LINEAR + QUADRATIC:
+            for k in KS_LINEAR if name in LINEAR else KS_QUADRATIC:
+                spark.catalog.clearCache()
+                t0 = time.time()
+                run(QUERIES[name](spark, dirs[k]))
+                dt = time.time() - t0
+                spark.catalog.clearCache()
+                cur = timings.setdefault(name, {})
+                cur[k] = round(min(cur.get(k, dt), dt), 3)
+                print(
+                    f"{name} x{k}: {dt:.3f}s (pass {_pass + 1})",
+                    file=sys.stderr,
+                )
+
+    result = {
+        "metric": "scale_exponents",
+        "exponents": {q: fit_exponent(t) for q, t in timings.items()},
+        "timings": {
+            q: {str(k): v for k, v in t.items()} for q, t in timings.items()
+        },
+        "ks_linear": list(KS_LINEAR),
+        "ks_quadratic": list(KS_QUADRATIC),
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+    }
+    line = json.dumps(result)
+    print(line)
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_SCALE.json"),
+        "w",
+    ) as f:
+        f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
