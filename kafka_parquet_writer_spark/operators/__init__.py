@@ -22,4 +22,6 @@ from kafka_parquet_writer_spark.operators import (  # noqa: F401
     llm_prep,
     mlfeat,
     formats,
+    governance,
+    web_curation,
 )

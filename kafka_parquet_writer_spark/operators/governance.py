@@ -1,0 +1,211 @@
+"""Data-governance operators: declarative quality-rule sweeps, OLAP
+cube summaries, and deterministic weighted sampling.
+
+The reference lands records in parquet and stops
+(`KafkaProtoParquetWriter.java:156-380`); a production lake needs a
+verification pass over what landed (dq_rules — the expectations gate
+run before a partition is published), rollup summaries for monitoring
+(agg_cube), and weighted down-sampling for manual audit / labeling
+queues (sample_weighted). All three are single-pass, shuffle-light,
+and exactly DuckDB-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_parquet_writer_spark.catalog import load_table
+from kafka_parquet_writer_spark.functions import texthash as TH
+from kafka_parquet_writer_spark.functions.portable import cents, sql_cents
+from kafka_parquet_writer_spark.registry import query
+
+# --- dq_rules --------------------------------------------------------------
+#: (rule name, SQL boolean over lineitem that flags a VIOLATION)
+#: one conditional-agg pass computes all of them; adding a rule is one
+#: tuple, not one job
+DQ_LINEITEM_RULES = [
+    ("l_quantity_in_range", "l_quantity < 1 OR l_quantity > 50"),
+    ("l_extendedprice_positive", "l_extendedprice <= 0"),
+    (
+        "l_shipdate_in_era",
+        "l_shipdate < DATE '1992-01-01' OR l_shipdate > DATE '1998-12-31'",
+    ),
+    ("l_returnflag_enum", "l_returnflag NOT IN ('A', 'N', 'R')"),
+    ("l_discount_in_range", "l_discount < 0 OR l_discount > 0.11"),
+]
+DQ_ORDERS_RULES = [
+    ("o_totalprice_positive", "o_totalprice <= 0"),
+    ("o_orderstatus_enum", "o_orderstatus NOT IN ('O', 'F', 'P')"),
+]
+
+
+@query(
+    "dq_rules",
+    oracle=f"""
+    SELECT rule, n_checked, n_violations FROM (
+      SELECT rule, n_checked, n_violations FROM (
+        SELECT count(*) AS n_checked,
+               {', '.join(f'''CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END)
+                     AS BIGINT) AS "{name}"''' for name, pred in DQ_LINEITEM_RULES)}
+        FROM lineitem
+      ) UNPIVOT (n_violations FOR rule IN (
+        {', '.join(f'"{name}"' for name, _ in DQ_LINEITEM_RULES)}))
+      UNION ALL
+      SELECT rule, n_checked, n_violations FROM (
+        SELECT count(*) AS n_checked,
+               {', '.join(f'''CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END)
+                     AS BIGINT) AS "{name}"''' for name, pred in DQ_ORDERS_RULES)}
+        FROM orders
+      ) UNPIVOT (n_violations FOR rule IN (
+        {', '.join(f'"{name}"' for name, _ in DQ_ORDERS_RULES)}))
+      UNION ALL
+      SELECT 'o_orderkey_unique' AS rule, count(*) AS n_checked,
+             count(*) - count(DISTINCT o_orderkey) AS n_violations
+      FROM orders
+    )
+    """,
+)
+def dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations, evaluated as ONE
+    conditional-aggregation pass per table: range checks, enum checks,
+    cross-field ordering, and key uniqueness, reported as
+    (rule, n_checked, n_violations). This is the publish gate a lake
+    runs after every ingest batch — violations > 0 holds the partition
+    back.
+
+    Scale shape: each table is scanned once; every rule is a partial
+    sum inside the same hash aggregate, so 10 rules cost the same
+    shuffle as 1 (a rules-as-joins design would scan per rule). The
+    uniqueness rule is the only distinct aggregation; Spark plans it as
+    an expand + two-phase agg on the key — still one scan.
+    """
+
+    def sweep(df: DataFrame, rules: list[tuple[str, str]]) -> DataFrame:
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            *[
+                F.sum(F.when(F.expr(pred), 1).otherwise(0)).alias(name)
+                for name, pred in rules
+            ],
+        )
+        stack = ", ".join(f"'{name}', `{name}`" for name, _ in rules)
+        return agg.selectExpr(
+            f"stack({len(rules)}, {stack}) AS (rule, n_violations)",
+            "n_checked",
+        ).select("rule", "n_checked", "n_violations")
+
+    li = sweep(load_table(spark, sf_dir, "lineitem"), DQ_LINEITEM_RULES)
+    orders = load_table(spark, sf_dir, "orders")
+    o = sweep(orders, DQ_ORDERS_RULES)
+    uniq = orders.agg(
+        F.lit("o_orderkey_unique").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey"))).alias(
+            "n_violations"
+        ),
+    ).select("rule", "n_checked", "n_violations")
+    return li.unionByName(o).unionByName(uniq)
+
+
+# --- agg_cube --------------------------------------------------------------
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+                ELSE o_orderstatus END AS status,
+           CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+                ELSE o_orderpriority END AS priority,
+           count(*) AS n,
+           CAST(sum({sql_cents('o_totalprice')}) AS BIGINT) AS total_vc
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE lattice over (status, priority): every combination of
+    subtotal levels in one statement, with GROUPING() markers rewritten
+    to 'ALL' labels (portable across engines; a NULL marker would be
+    ambiguous against genuinely-NULL dimension values). The dashboard
+    rollup companion to grouping_sets' hand-picked levels.
+
+    Scale shape: Spark plans CUBE as an Expand (4 replicas of each row
+    at 2 dims) feeding ONE two-phase hash aggregate — cost is
+    2^dims × scan, never 2^dims separate jobs. Keep dims small; at
+    100 TB a 2-3 dimension cube is one shuffle of modest expansion.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    # grouping() is only defined inside the agg of a cube/rollup —
+    # surface the markers there, rewrite to labels in the projection
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("o_totalprice"))).alias("total_vc"),
+            F.grouping("o_orderstatus").alias("g_s"),
+            F.grouping("o_orderpriority").alias("g_p"),
+        )
+        .select(
+            F.when(F.col("g_s") == 1, "ALL")
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status"),
+            F.when(F.col("g_p") == 1, "ALL")
+            .otherwise(F.col("o_orderpriority"))
+            .alias("priority"),
+            "n",
+            "total_vc",
+        )
+    )
+
+
+# --- sample_weighted -------------------------------------------------------
+#: sample size and the fixed-point scale for the priority ratio
+SAMPLE_K = 200
+PRIORITY_SCALE = 1_000_000
+#: affine coefficients for the per-row uniform hash (any a ∈ [1, P))
+SW_A, SW_B = 16_807, 7
+
+
+@query(
+    "sample_weighted",
+    oracle=f"""
+    SELECT o_orderkey, w_cents,
+           {TH.sql_affine('o_orderkey', SW_A, SW_B)} * {PRIORITY_SCALE}
+             // w_cents AS priority
+    FROM (SELECT o_orderkey, {sql_cents('o_totalprice')} AS w_cents
+          FROM orders)
+    ORDER BY priority, o_orderkey
+    LIMIT {SAMPLE_K}
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement: each row
+    draws a pseudo-uniform integer from an affine hash of its key and
+    competes with priority u·SCALE/weight — the integer-arithmetic
+    analogue of the Efraimidis-Spirakis u^(1/w) exponential-key scheme.
+    Higher weight ⇒ stochastically smaller priority ⇒ more likely
+    sampled; the same K rows come out on every engine and every run
+    (audit queues and labeling batches must be reproducible).
+
+    All-integer priorities: u < 2^31 and SCALE = 10^6 keep the product
+    under 2^51, and integer division can't drift a boundary row the
+    way float u^(1/w) would between engines.
+
+    Scale shape: TakeOrderedAndProject — per-partition top-K then a
+    K-sized merge on the driver; no global sort, no full shuffle
+    (the same plan gate as sort_limit_topk).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents(F.col("o_totalprice")).alias("w_cents")
+    )
+    priority = F.expr(
+        f"(o_orderkey * {SW_A} + {SW_B}) % {TH.MERSENNE_P}"
+        f" * {PRIORITY_SCALE} div w_cents"
+    )
+    return (
+        o.withColumn("priority", priority)
+        .orderBy("priority", "o_orderkey")
+        .limit(SAMPLE_K)
+    )

@@ -434,3 +434,110 @@ def window_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(ewma / 100.0, 6).alias("ewma"),
         pround(med / 100.0, 6).alias("med"),
     )
+
+
+# ---------------------------------------------------------------------------
+# interval × interval overlap join (binned)
+# ---------------------------------------------------------------------------
+
+#: only high-quantity shipments carry an interval (bounds the output)
+IOV_MIN_QTY = 46
+#: synthetic duration (days): 1..14, deterministic per line
+IOV_DUR_MOD = 14
+#: bin width in days — any width ≥ max duration caps the explode at 2
+#: bins per interval
+IOV_BIN_DAYS = 16
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH iv AS (
+      SELECT l_suppkey,
+             l_orderkey * 10 + l_linenumber AS iid,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(l_shipdate AS DATE)) AS s,
+             date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               + (l_orderkey * 7 + l_linenumber) % {IOV_DUR_MOD} + 1 AS e
+      FROM lineitem WHERE l_quantity >= {IOV_MIN_QTY}
+    )
+    SELECT a.l_suppkey, a.iid AS id1, b.iid AS id2,
+           LEAST(a.e, b.e) - GREATEST(a.s, b.s) + 1 AS overlap_days
+    FROM iv a JOIN iv b
+      ON a.l_suppkey = b.l_suppkey AND a.iid < b.iid
+     AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join: find pairs of same-supplier
+    shipment windows (synthetic [ship, ship+1..14 d] intervals over
+    high-quantity lines) that overlap in time — the "concurrent
+    activity" join behind conflict detection, double-booking audits,
+    and co-occurring-session analysis. The step past
+    `join_range_binned`'s point-in-band shape: BOTH sides are
+    intervals.
+
+    Scale shape: each interval is exploded to its covering
+    IOV_BIN_DAYS-day bins (≤ 2, since bin width ≥ max duration) and
+    candidates meet in an **equi-join on (supplier, bin)** — never a
+    non-equi nested loop, which is what Spark plans for a raw overlap
+    predicate. Duplicate hits (pairs sharing 2 bins) collapse in one
+    distinct. Output is pair-bounded per (supplier, bin) cell; skewed
+    cells split with bin refinement the same way the range join bins.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= IOV_MIN_QTY
+    )
+    day = F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01").cast("date"))
+    iv = li.select(
+        "l_suppkey",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("iid"),
+        day.alias("s"),
+        (
+            day
+            + (F.col("l_orderkey") * 7 + F.col("l_linenumber"))
+            % IOV_DUR_MOD
+            + 1
+        ).alias("e"),
+    )
+    binned = iv.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {IOV_BIN_DAYS}"), F.expr(f"e div {IOV_BIN_DAYS}")
+            )
+        ),
+    )
+    a = binned.select(
+        F.col("bin").alias("bin_a"),
+        F.col("l_suppkey").alias("supp_a"),
+        F.col("iid").alias("id1"),
+        F.col("s").alias("s1"),
+        F.col("e").alias("e1"),
+    )
+    b = binned.select(
+        F.col("bin").alias("bin_b"),
+        F.col("l_suppkey").alias("supp_b"),
+        F.col("iid").alias("id2"),
+        F.col("s").alias("s2"),
+        F.col("e").alias("e2"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("bin_a") == F.col("bin_b"))
+            & (F.col("supp_a") == F.col("supp_b"))
+            & (F.col("id1") < F.col("id2"))
+            & (F.col("s1") <= F.col("e2"))
+            & (F.col("s2") <= F.col("e1")),
+        )
+        .select(
+            F.col("supp_a").alias("l_suppkey"),
+            "id1",
+            "id2",
+            (
+                F.least("e1", "e2") - F.greatest("s1", "s2") + 1
+            ).alias("overlap_days"),
+        )
+        .distinct()
+    )
