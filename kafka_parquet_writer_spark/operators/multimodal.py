@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_parquet_writer_spark.catalog import load_table
+from kafka_parquet_writer_spark.functions import texthash as TH
 from kafka_parquet_writer_spark.functions.portable import pround
 from kafka_parquet_writer_spark.registry import query
 
@@ -335,4 +336,148 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = sample_video_frames(pack_blobs(docs), frame_bytes=64, every_n=2)
     return frames.select(
         "doc_id", "frame_idx", "n_bytes", F.md5("frame").alias("frame_md5")
+    )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-dup (banded hamming join over blob fingerprints)
+# ---------------------------------------------------------------------------
+
+#: fingerprint bits (shift stays inside signed int64)
+PHASH_BITS = 60
+#: banding: 6 bands × 10 bits; a candidate pair must agree on ≥1 band
+PHASH_BANDS = 6
+PHASH_BAND_BITS = 10
+#: near-dup verify threshold — measured on the fixture: true near-dup
+#: pairs sit at hamming 0-2 while the unrelated-pair background ramps
+#: from ~5 (word-level features; the char-level variant collapsed to
+#: language clusters and matched everything)
+PHASH_MAX_HAMMING = 2
+
+
+def _phash_sig_sql() -> str:
+    """DuckDB CTE body computing (doc, sig): the perceptual hash."""
+    return f"""
+    feats AS (
+      SELECT doc_id AS doc,
+             unnest(list_transform(
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> ''),
+               w -> CAST({TH.sql_portable_tid('w')} % {PHASH_BITS}
+                         AS INTEGER))) AS bucket
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc, bucket, count(*) AS cnt FROM feats GROUP BY doc, bucket
+    ),
+    tot AS (
+      SELECT doc, bucket, cnt, sum(cnt) OVER (PARTITION BY doc) AS n
+      FROM counts
+    ),
+    sigs AS (
+      SELECT doc,
+             CAST(sum(CASE WHEN {PHASH_BITS} * cnt > n
+                           THEN (CAST(1 AS BIGINT) << bucket)
+                           ELSE 0 END) AS BIGINT) AS sig
+      FROM tot GROUP BY doc
+    )
+    """
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle=f"""
+    WITH {_phash_sig_sql()},
+    banded AS (
+      SELECT doc, sig, b AS band,
+             (sig >> ({PHASH_BAND_BITS} * b)) & {2**PHASH_BAND_BITS - 1}
+               AS bval
+      FROM sigs, range({PHASH_BANDS}) r(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS d1, a.sig AS sig1, b.doc AS d2, b.sig AS sig2
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bval = b.bval AND a.doc < b.doc
+    )
+    SELECT d1, d2,
+           CAST(bit_count(xor(sig1, sig2)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig1, sig2)) <= {PHASH_MAX_HAMMING}
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup detection over media blobs — the
+    aHash/pHash pipeline shape: per-blob feature vector → above-mean
+    thresholding → fixed-width bit fingerprint → banded hamming join.
+    The feature extractor here is a deterministic stand-in (hashed
+    token histogram over the payload, PHASH_BITS buckets — a
+    char-level histogram was tried first and collapsed into language
+    clusters, the classic under-discriminative-features failure)
+    because the container has no image codecs; a real DCT/aHash
+    extractor plugs into the same (doc, sig) contract via the
+    mapInPandas decode path (decode_image_meta above) without touching
+    the join.
+
+    Scale shape: fingerprints are built with explode + two-phase hash
+    aggregation (map-side combine on (doc, bucket) — never a per-row
+    interpreted histogram loop); the signature table is one row per
+    blob. Candidates meet in an equi-join on (band, band-value) —
+    pigeonhole banding like dedup_simhash, cost ∝ Σ bucket², with the
+    exact hamming verify (xor + bit_count, JVM) after. Fingerprints
+    of 100 TB of media are ~8 bytes/blob — the join input is tiny
+    relative to the corpus, which is the entire point of pHash dedup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(
+            F.transform(
+                TH.words_expr("text"),
+                lambda w: (TH.portable_tid(w) % PHASH_BITS).cast("int"),
+            )
+        ).alias("bucket"),
+    )
+    counts = feats.groupBy("doc", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql.window import Window as W
+
+    tot = counts.withColumn("n", F.sum("cnt").over(W.partitionBy("doc")))
+    sigs = tot.groupBy("doc").agg(
+        F.sum(
+            F.when(
+                F.lit(PHASH_BITS) * F.col("cnt") > F.col("n"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), bucket)"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("sig")
+    ).cache()
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("sig"), PHASH_BAND_BITS * b)
+            .bitwiseAND(F.lit(2**PHASH_BAND_BITS - 1))
+            .alias("bval"),
+        )
+        for b in range(PHASH_BANDS)
+    ]
+    banded = sigs.select(
+        "doc", "sig", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc", "sig", F.col("bs.band").alias("band"), F.col("bs.bval").alias("bval"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("d1"),
+            F.col("a.sig").alias("sig1"),
+            F.col("b.doc").alias("d2"),
+            F.col("b.sig").alias("sig2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2")))
+    return cand.filter(hamming <= PHASH_MAX_HAMMING).select(
+        "d1", "d2", hamming.cast("int").alias("hamming")
     )
