@@ -722,3 +722,47 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(DEDUP_STREAM_BATCHES)
         ]
     ).select("doc_id", "n_shared")
+
+
+# ---------------------------------------------------------------------------
+# streaming quality gate (stateless at-ingest curation)
+# ---------------------------------------------------------------------------
+
+#: documents below this composite score never land in the corpus
+STREAM_QUALITY_MIN = 0.55
+
+
+def _quality_filter_oracle() -> str:
+    from kafka_parquet_writer_spark.operators.text import _quality_oracle
+
+    return f"""
+    SELECT doc_id, quality FROM ({_quality_oracle()})
+    WHERE quality >= {STREAM_QUALITY_MIN}
+    """
+
+
+@query("stream_quality_filter", oracle=_quality_filter_oracle())
+def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gating applied AT INGEST: the text_quality scorer runs
+    per micro-batch over a documents stream and only rows at or above
+    the threshold are emitted — the curation step moved from the
+    nightly batch into the landing pipeline, so low-quality content
+    never costs storage or downstream passes. Being stateless, the
+    operator is watermark-free and its streaming output provably
+    equals the batch filter (the oracle IS the batch formulation).
+
+    Scale shape: pure per-row expressions (token stats via array ops,
+    no explode, no state store) — parallelizes with the source and
+    adds zero shuffles to the ingest plan.
+    """
+    from kafka_parquet_writer_spark.operators.text import quality_frame
+
+    path = table_path(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    docs = spark.readStream.schema(schema).parquet(_staged_dir(path))
+    gated = (
+        quality_frame(docs)
+        .filter(F.col("quality") >= STREAM_QUALITY_MIN)
+        .select("doc_id", "quality")
+    )
+    return _run_to_memory(gated, "append")

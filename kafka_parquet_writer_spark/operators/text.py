@@ -147,7 +147,14 @@ def _quality_oracle() -> str:
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length stats, stopword ratio, uniqueness ratio,
     composite score — the standard pre-training corpus filters."""
-    docs = load_table(spark, sf_dir, "documents")
+    return quality_frame(load_table(spark, sf_dir, "documents"))
+
+
+def quality_frame(docs: DataFrame) -> DataFrame:
+    """The text_quality transformation over any (doc_id, text, n_chars)
+    frame — batch or streaming (stateless, so it applies unchanged to a
+    readStream source; `stream_quality_filter` runs it per micro-batch
+    as the at-ingest curation gate)."""
     w = TH.words_expr("text")
     base = docs.select(
         "doc_id",
