@@ -917,3 +917,105 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pairs = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
     return connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# n-gram containment (excerpt / doc-in-doc detection)
+# ---------------------------------------------------------------------------
+
+#: flag when the smaller doc's shingle set is ≥ this contained in the
+#: larger's (fixture measures a clean bimodal split: 25 pairs ≥ 0.9,
+#: none in [0.6, 0.9))
+CONTAIN_T = 0.8
+#: ignore trivially small shingle sets
+CONTAIN_MIN_SHINGLES = 5
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS ({TH.sql_shingle_cte('documents', 'doc_id', 'text', SHINGLE_N)}),
+    st AS (SELECT doc, {TH.sql_portable_tid('shingle')} AS tid FROM sh),
+    sizes AS (SELECT doc, count(*) AS n FROM st GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS d1, b.doc AS d2, count(*) AS i
+      FROM st a JOIN st b ON a.tid = b.tid
+      JOIN sizes sa ON sa.doc = a.doc
+      JOIN sizes sb ON sb.doc = b.doc
+      WHERE sa.n < sb.n OR (sa.n = sb.n AND a.doc < b.doc)
+      GROUP BY a.doc, b.doc
+    )
+    SELECT d1, d2,
+           (floor((CAST(i AS DOUBLE) / sa.n) * 1e6 + 0.5) / 1e6) AS cont
+    FROM inter JOIN sizes sa ON sa.doc = inter.d1
+    WHERE sa.n >= {CONTAIN_MIN_SHINGLES}
+      AND CAST(i AS DOUBLE) / sa.n >= {CONTAIN_T}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram containment ≥ {CONTAIN_T}: |A∩B| / |A| with A the
+    smaller shingle set — the doc-in-doc test that catches excerpts,
+    quotes, and page-in-crawl duplication that Jaccard misses whenever
+    |B| ≫ |A| (jac = i/(nA+nB−i) vanishes while i/nA stays 1.0).
+
+    Prefix filter, containment form: if i ≥ t·nA then under one global
+    rarest-first token order A must collide with B inside its first
+    nA − ⌈t·nA⌉ + 1 tokens (missing all of them caps i at ⌈t·nA⌉ − 1).
+    Only the SMALLER side can be prefix-pruned — containment puts no
+    lower bound on the larger side's overlap fraction — so candidates
+    are prefix(A) ⋈ full-index(B), biased to low-df tokens by the
+    rarest-first order exactly like dedup_ngram_jaccard's PPJoin.
+    Verify is one array_intersect pass over the pair's token sets.
+
+    Scale shape: the prefix join is the only pair-producing shuffle;
+    the B-side full index is the same (doc, tid) table every text
+    operator shares. At 100 TB the candidate count is governed by rare
+    tokens' df² — the same budget as the Jaccard join — and the
+    min-side orientation halves the pair space.
+    """
+    from kafka_parquet_writer_spark.session import repartition_for_compute
+
+    t = CONTAIN_T
+    st = _token_ids(_shingle_pairs(spark, sf_dir)).cache()
+    docsets = st.groupBy("doc").agg(
+        F.collect_set("tid").alias("ss"), F.count(F.lit(1)).alias("n")
+    ).cache()
+    sizes = docsets.select("doc", "n")
+    dfreq = st.groupBy("tid").agg(F.count(F.lit(1)).alias("df"))
+    w = W.partitionBy("doc").orderBy("df", "tid")
+    ranked = (
+        st.join(dfreq, "tid")
+        .join(sizes, "doc")
+        .withColumn("r", F.row_number().over(w))
+    )
+    prefix = repartition_for_compute(
+        ranked.filter(
+            (F.col("n") >= CONTAIN_MIN_SHINGLES)
+            & (F.col("r") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+        ).select("doc", "tid", "n"),
+        F.col("tid"),
+    )
+    full = st.join(sizes, "doc").select(
+        F.col("doc").alias("doc_b"), "tid", F.col("n").alias("n_b")
+    )
+    cand = (
+        prefix.join(full, "tid")
+        .filter(
+            (F.col("n") < F.col("n_b"))
+            | ((F.col("n") == F.col("n_b")) & (F.col("doc") < F.col("doc_b")))
+        )
+        .select(F.col("doc").alias("d1"), F.col("doc_b").alias("d2"))
+        .distinct()
+    )
+    a = docsets.select(
+        F.col("doc").alias("d1"), F.col("ss").alias("ss1"), F.col("n").alias("n1")
+    )
+    b = docsets.select(F.col("doc").alias("d2"), F.col("ss").alias("ss2"))
+    i = F.size(F.array_intersect("ss1", "ss2"))
+    cont = i.cast("double") / F.col("n1")
+    return (
+        cand.join(a, "d1")
+        .join(b, "d2")
+        .filter(cont >= t)
+        .select("d1", "d2", pround(cont, 6).alias("cont"))
+    )
