@@ -264,3 +264,43 @@ def test_format_roundtrips_scan_written_dir(spark, sf_dir):
         plan = formatted_plan(E.queries()[key](spark, sf_dir))
         assert f"Scan {fmt}" in plan, (key, plan)
         assert "Scan parquet" not in plan, (key, plan)
+
+
+def test_sample_weighted_topk_pushdown(spark, sf_dir):
+    """Weighted sampling must plan per-partition top-K + driver merge
+    (TakeOrderedAndProject), never a global sort of the corpus."""
+    plan = formatted_plan(E.queries()["sample_weighted"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_interval_overlap_equi_join(spark, sf_dir):
+    """The binned interval join must be an equi-join on (supplier, bin)
+    with the overlap predicate residual — a raw overlap predicate would
+    plan a nested loop."""
+    plan = formatted_plan(E.queries()["join_interval_overlap"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_phash_never_cartesian(spark, sf_dir):
+    for name in ("dedup_containment", "multimodal_phash_dedup", "dedup_url"):
+        plan = formatted_plan(E.queries()[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_cube_single_expand_aggregate(spark, sf_dir):
+    """CUBE must plan as ONE Expand feeding one two-phase aggregate —
+    never 2^dims separate scans."""
+    df = E.queries()["agg_cube"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("Scan parquet") <= 2  # tree + detail
+    assert "Expand" in plan
+
+
+def test_dq_rules_one_scan_per_table(spark, sf_dir):
+    """All conditional-agg rules for a table must share one scan; the
+    uniqueness rule adds its own scan of orders (distinct agg) — 3
+    scans total (lineitem + orders + orders), each listed twice."""
+    plan = formatted_plan(E.queries()["dq_rules"](spark, sf_dir))
+    assert plan.count("Scan parquet") <= 6
