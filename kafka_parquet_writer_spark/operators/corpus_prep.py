@@ -138,14 +138,18 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark plan never materializes a 1-partition window over the
     corpus — the classic parallel scan decomposition.
     """
-    toks = (
-        load_table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            F.size(TH.words_expr("text")).cast("long").alias("t"),
-        )
-        .withColumn("shard", F.floor(F.col("doc_id") / PACK_BLOCK))
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(TH.words_expr("text")).cast("long").alias("t"),
     )
+    return pack_bins(toks)
+
+
+def pack_bins(toks: DataFrame) -> DataFrame:
+    """The distributed-prefix-sum packing over any (doc_id, t) frame —
+    shared by pack_sequences and the end-to-end training-corpus
+    pipeline (which packs only the curation survivors)."""
+    toks = toks.withColumn("shard", F.floor(F.col("doc_id") / PACK_BLOCK))
     shard_tot = toks.groupBy("shard").agg(F.sum("t").alias("st"))
     w_shard = W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
     offsets = shard_tot.select(

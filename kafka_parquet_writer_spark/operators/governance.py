@@ -209,3 +209,52 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("priority", "o_orderkey")
         .limit(SAMPLE_K)
     )
+
+
+# --- agg_approx_quantile ---------------------------------------------------
+
+
+@query(
+    "agg_approx_quantile",
+    oracle="""
+    SELECT event_type,
+           (floor((quantile_cont(value, 0.50)) * 1e6 + 0.5) / 1e6) AS p50_exact,
+           (floor((quantile_cont(value, 0.95)) * 1e6 + 0.5) / 1e6) AS p95_exact,
+           TRUE AS approx_within_2pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna/t-digest family via
+    `approx_percentile`) with an in-query accuracy gate — the 100 TB
+    path for percentile dashboards: mergeable constant-memory sketches
+    per group instead of a per-group sort buffer (agg_percentiles is
+    the exact twin).
+
+    Oracle form (the agg_approx_distinct pattern): the sketch value is
+    engine-specific, so the checked output carries the exact
+    interpolated percentiles plus a boolean asserting the sketch
+    landed within ±2% (relative) of each — DuckDB asserts the literal
+    TRUE, so sketch drift flips the hash. A real accuracy gate, not a
+    rows-only count.
+    """
+    from kafka_parquet_writer_spark.functions.portable import pround
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.50).alias("e50"),
+        F.percentile("value", 0.95).alias("e95"),
+        F.approx_percentile("value", 0.50, 10_000).alias("a50"),
+        F.approx_percentile("value", 0.95, 10_000).alias("a95"),
+    )
+    ok = (
+        (F.abs(F.col("a50") - F.col("e50")) <= 0.02 * F.abs(F.col("e50")))
+        & (F.abs(F.col("a95") - F.col("e95")) <= 0.02 * F.abs(F.col("e95")))
+    )
+    return agg.select(
+        "event_type",
+        pround(F.col("e50"), 6).alias("p50_exact"),
+        pround(F.col("e95"), 6).alias("p95_exact"),
+        ok.alias("approx_within_2pct"),
+    )

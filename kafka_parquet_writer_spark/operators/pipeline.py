@@ -74,3 +74,85 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dropped), "doc_id", "left_anti")
         .select("doc_id", "pred_lang", "quality", "n_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# training-corpus assembly: decontaminate → mixture-sample → pack
+# ---------------------------------------------------------------------------
+
+
+def _train_corpus_oracle() -> str:
+    from kafka_parquet_writer_spark.operators.corpus_prep import PACK_BUDGET
+    from kafka_parquet_writer_spark.operators.llm_prep import (
+        DECON_BENCH_MOD,
+        MIX_A,
+        MIX_B,
+        _mix_sql_rates,
+        decon_oracle_sql,
+    )
+    from kafka_parquet_writer_spark.functions import texthash as TH
+    from kafka_parquet_writer_spark.functions.portable import sql_pround
+
+    return f"""
+    WITH {_mix_sql_rates()},
+    mix AS (
+      SELECT t.doc_id, t.tok
+      FROM toks t JOIN rates r USING (lang)
+      WHERE (t.doc_id * {MIX_A} + {MIX_B}) % {TH.MERSENNE_P} % 10000
+            < r.rate_bp
+    ),
+    contaminated AS (SELECT doc_id FROM ({decon_oracle_sql()})),
+    surv AS (
+      SELECT doc_id, tok FROM mix
+      WHERE doc_id % {DECON_BENCH_MOD} <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    c AS (
+      SELECT doc_id, tok,
+             COALESCE(sum(tok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM surv
+    )
+    SELECT CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS bin_id,
+           count(*)                                    AS n_docs,
+           min(doc_id)                                 AS first_doc,
+           max(doc_id)                                 AS last_doc,
+           CAST(sum(tok) AS BIGINT)                    AS tok_sum,
+           {sql_pround(f'sum(tok) * 100.0 / {PACK_BUDGET}', 2)} AS fill_pct
+    FROM c
+    GROUP BY bin_id
+    """
+
+
+@query("pipeline_train_corpus", oracle=_train_corpus_oracle())
+def pipeline_train_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus assembly, end-to-end: sample the corpus to the
+    target language mixture (mixture_sample), drop benchmark documents
+    and anything sharing ≥3 distinct 3-grams with them
+    (decontaminate_ngram), then pack the survivors into
+    token-budget bins (pack_sequences' distributed prefix sum) — the
+    manifest a trainer consumes. Every stage is the SAME operator
+    already verified individually; the composed oracle nests their SQL
+    so the whole chain is value-checked end-to-end.
+
+    Scale shape: mixture membership is a per-row hash against a
+    broadcast rate table; decontamination is a broadcast semi-join of
+    a tiny flagged list; packing is the sharded prefix sum — the
+    corpus is never shuffled except the final per-bin aggregate.
+    """
+    from kafka_parquet_writer_spark.operators.corpus_prep import pack_bins
+    from kafka_parquet_writer_spark.operators.llm_prep import (
+        DECON_BENCH_MOD,
+        decontaminate_ngram,
+        mixture_sample,
+    )
+
+    mix = mixture_sample(spark, sf_dir).select("doc_id", "tok")
+    flagged = decontaminate_ngram(spark, sf_dir).select("doc_id")
+    surv = (
+        mix.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+        .join(F.broadcast(flagged), "doc_id", "left_anti")
+        .select("doc_id", F.col("tok").alias("t"))
+    )
+    return pack_bins(surv)
