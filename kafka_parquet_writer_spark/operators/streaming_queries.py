@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from kafka_parquet_writer_spark.catalog import (
     ensure_nanos_readable,
+    load_table,
     normalize_nanos,
     table_path,
 )
@@ -766,3 +767,157 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "quality")
     )
     return _run_to_memory(gated, "append")
+
+
+# ---------------------------------------------------------------------------
+# streaming CDC apply (upsert/delete feed → materialized current state)
+# ---------------------------------------------------------------------------
+
+#: micro-batches the CDC feed is split into
+CDC_STREAM_BATCHES = 4
+#: event_type treated as a DELETE tombstone; everything else upserts
+CDC_DELETE_TYPE = "error"
+
+_cdc_stage_cache: dict[str, str] = {}
+
+
+def _events_batched_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Split events into CDC_STREAM_BATCHES event_id-ranged parquet
+    files with strictly increasing mtimes (oldest-first admission) —
+    the staged CDC feed. Files are written from the normalized table so
+    the streaming schema is plain TIMESTAMP, not raw long-nanos."""
+    import glob
+    import os
+    import shutil
+
+    key = f"{sf_dir}|{CDC_STREAM_BATCHES}"
+    if key in _cdc_stage_cache:
+        return _cdc_stage_cache[key]
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    span = (hi - lo + CDC_STREAM_BATCHES) // CDC_STREAM_BATCHES
+    stage = tempfile.mkdtemp(prefix="kpws_cdc_src_")
+    base_t = 1_600_000_000
+    for i in range(CDC_STREAM_BATCHES):
+        part_dir = os.path.join(stage, f"_tmp{i}")
+        ev.filter(
+            (F.col("event_id") >= lo + i * span)
+            & (F.col("event_id") < lo + (i + 1) * span)
+        ).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        [part] = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dst = os.path.join(stage, f"{i:03d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(part_dir)
+        os.utime(dst, (base_t + i * 10, base_t + i * 10))
+    _cdc_stage_cache[key] = stage
+    return stage
+
+
+@query(
+    "stream_cdc_apply",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor((value) * 1e2 + 0.5) AS BIGINT) AS vc,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_ops
+      FROM events
+    )
+    SELECT user_id, event_id AS last_event_id, vc AS value_c, n_ops
+    FROM ranked
+    WHERE rn = 1 AND event_type <> '{CDC_DELETE_TYPE}'
+    """,
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: a change feed (upserts keyed by user_id;
+    '{CDC_DELETE_TYPE}' rows are delete tombstones) streams in
+    micro-batches and is folded into a materialized current-state
+    table via foreachBatch — last writer by (ts, event_id) wins, a
+    per-key op counter accumulates across batches, and tombstoned keys
+    disappear from the final read. The oracle is the batch
+    formulation over the full feed, so the green row proves
+    incremental apply ≡ one-shot apply.
+
+    Scale shape: each batch folds into the state with one window over
+    state ∪ batch — O(state) per batch here, versioned like the
+    minhash bucket state. In production the state table is
+    tablefmt.merge's file-pruned MERGE (only files containing touched
+    keys rewrite); the fold logic (latest-by-version, counter
+    accumulation, tombstone semantics) is exactly what's proven here.
+    """
+    import os
+
+    src = _events_batched_dir(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(src, "000.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state_base = tempfile.mkdtemp(prefix="kpws_cdc_state_")
+    holder: dict[str, str | None] = {"state": None}
+
+    from pyspark.sql.window import Window as W
+
+    def apply_batch(bdf: DataFrame, bid: int) -> None:
+        b = bdf.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            cents(F.col("value")).alias("vc"),
+        ).withColumn("n_ops", F.lit(1).cast("long"))
+        prev = holder["state"]
+        cur = (
+            b.unionByName(bdf.sparkSession.read.parquet(prev))
+            if prev
+            else b
+        )
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            cur.withColumn("rn", F.row_number().over(w))
+            .withColumn(
+                "tot", F.sum("n_ops").over(W.partitionBy("user_id"))
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                "ts",
+                "event_id",
+                "event_type",
+                "vc",
+                F.col("tot").alias("n_ops"),
+            )
+        )
+        out = os.path.join(state_base, f"state_b{bid}")
+        latest.write.mode("overwrite").parquet(out)
+        holder["state"] = out
+
+    ckpt = tempfile.mkdtemp(prefix="kpws_cdc_ckpt_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+    )
+    try:
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.read.parquet(holder["state"])
+        .filter(F.col("event_type") != CDC_DELETE_TYPE)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("vc").alias("value_c"),
+            "n_ops",
+        )
+    )
