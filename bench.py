@@ -61,6 +61,15 @@ HEADLINE = [
     "mixture_sample",
     "anomaly_mad",
     "feature_binning",
+    # round 4
+    "dedup_url",
+    "dedup_containment",
+    "multimodal_phash_dedup",
+    "join_interval_overlap",
+    "agg_cube",
+    "dq_rules",
+    "sample_weighted",
+    "pipeline_train_corpus",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming
@@ -73,6 +82,8 @@ STREAMING_HEADLINE = [
     "stream_stream_join",
     "stream_dedup",
     "stream_session_window",
+    "stream_quality_filter",
+    "stream_cdc_apply",
 ]
 
 
