@@ -46,6 +46,16 @@ LINEAR = [
     "similarity_ivf",
     "text_quality",
 ]
+#: prefix-filter / banded joins: cost ∝ Σ df² over colliding tokens;
+#: the decorrelated blow-up keeps per-token df constant, so these
+#: should also measure ~linear — run at the shorter K ladder because
+#: their absolute cost is higher
+LINEAR_SHORT = [
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_simhash",
+    "multimodal_phash_dedup",
+]
 #: exact all-pairs forms — Ω(n²) by nature; measured as the contrast
 QUADRATIC = ["dedup_embedding"]
 
@@ -147,7 +157,7 @@ def main() -> None:
 
     timings: dict[str, dict[int, float]] = {}
     for _pass in range(2):
-        for name in LINEAR + QUADRATIC:
+        for name in LINEAR + LINEAR_SHORT + QUADRATIC:
             for k in KS_LINEAR if name in LINEAR else KS_QUADRATIC:
                 spark.catalog.clearCache()
                 t0 = time.time()
@@ -169,6 +179,7 @@ def main() -> None:
         },
         "ks_linear": list(KS_LINEAR),
         "ks_quadratic": list(KS_QUADRATIC),
+        "linear_short_keys": LINEAR_SHORT,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
     }
     line = json.dumps(result)

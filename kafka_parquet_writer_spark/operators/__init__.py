@@ -24,4 +24,5 @@ from kafka_parquet_writer_spark.operators import (  # noqa: F401
     formats,
     governance,
     web_curation,
+    table_queries,
 )

@@ -1,0 +1,127 @@
+"""Transaction-log table format (tablefmt.TxTable) as driver-checked
+queries.
+
+The table format — O_EXCL commits, file-pruned MERGE, time travel —
+was previously pytest-only surface; these keys run its real write
+paths (create → merge) inside a query and value-check the resulting
+table states against DuckDB computing the same states relationally.
+A green row proves the format's MERGE semantics (update + insert +
+survivor-by-reference) and version isolation, not just that a read
+returns rows.
+
+Scale notes live with the format (`tablefmt.py`): MERGE rewrites only
+files whose key range overlaps the batch; time travel is metadata-only
+(a snapshot is a file list, so reading v0 after N merges costs the
+same scan it always did).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_parquet_writer_spark.catalog import load_table
+from kafka_parquet_writer_spark.functions.portable import cents, sql_cents
+from kafka_parquet_writer_spark.registry import query
+from kafka_parquet_writer_spark.tablefmt import TxTable
+
+#: merge batch: bump every 7th key, insert new rows for every 13th
+MERGE_BUMP_MOD = 7
+MERGE_INSERT_MOD = 13
+MERGE_INSERT_OFFSET = 10_000_000
+
+
+def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents(F.col("o_totalprice")).alias("vc")
+    )
+
+
+def _delta(base: DataFrame) -> DataFrame:
+    bump = base.filter(F.col("o_orderkey") % MERGE_BUMP_MOD == 0).select(
+        "o_orderkey", F.expr("vc * 110 div 100").alias("vc")
+    )
+    ins = base.filter(F.col("o_orderkey") % MERGE_INSERT_MOD == 0).select(
+        (F.col("o_orderkey") + MERGE_INSERT_OFFSET).alias("o_orderkey"),
+        F.expr("vc div 2").alias("vc"),
+    )
+    return bump.unionByName(ins)
+
+
+@query(
+    "table_merge_upsert",
+    oracle=f"""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % {MERGE_BUMP_MOD} = 0
+                THEN {sql_cents('o_totalprice')} * 110 // 100
+                ELSE {sql_cents('o_totalprice')} END AS vc
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey + {MERGE_INSERT_OFFSET} AS o_orderkey,
+           {sql_cents('o_totalprice')} // 2 AS vc
+    FROM orders WHERE o_orderkey % {MERGE_INSERT_MOD} = 0
+    """,
+)
+def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE through the transaction-log table format, value-checked:
+    create a table from orders, merge a batch that updates every
+    {MERGE_BUMP_MOD}th key (+10% price) and inserts brand-new keys,
+    read the resulting state. The oracle computes the same final state
+    relationally — matching values prove the upsert path end to end:
+    updated rows rewritten, untouched files surviving by reference,
+    inserts landing once.
+
+    Scale shape: the merge prunes by footer min/max on the leading
+    key — a batch touching one key range rewrites only the files
+    overlapping it. (Here the bump batch spans the full range, so the
+    demo rewrites the table; test_tablefmt pins the pruning counts.)
+    """
+    base = _base(spark, sf_dir)
+    t = TxTable(tempfile.mkdtemp(prefix="kpws_tq_merge_"))
+    t.create(base)
+    t.merge(spark, _delta(base), keys=["o_orderkey"])
+    return t.read(spark)
+
+
+@query(
+    "table_time_travel",
+    oracle=f"""
+    SELECT o_orderkey,
+           {sql_cents('o_totalprice')} AS vc_v0,
+           {sql_cents('o_totalprice')} * 110 // 100 AS vc_now
+    FROM orders
+    WHERE o_orderkey % {MERGE_BUMP_MOD} = 0
+    """,
+)
+def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel through the transaction log: after a merge bumps
+    every {MERGE_BUMP_MOD}th key, read version 0 AND the current
+    version and join them on the key — emitting (key, value-then,
+    value-now) for the changed rows. The oracle derives both states
+    from the source table, so a green row proves version isolation:
+    the old snapshot still reads its original bytes after the merge
+    rewrote the live state.
+
+    Scale shape: a snapshot is a file list in the log — time travel
+    adds zero storage and the v0 read costs what it always did;
+    VACUUM is the explicit trade of old-version readability for space.
+    """
+    base = _base(spark, sf_dir)
+    t = TxTable(tempfile.mkdtemp(prefix="kpws_tq_tt_"))
+    t.create(base)
+    bump = base.filter(F.col("o_orderkey") % MERGE_BUMP_MOD == 0).select(
+        "o_orderkey", F.expr("vc * 110 div 100").alias("vc")
+    )
+    t.merge(spark, bump, keys=["o_orderkey"])
+    v0 = t.read(spark, version=0).select(
+        "o_orderkey", F.col("vc").alias("vc_v0")
+    )
+    now = t.read(spark).select("o_orderkey", F.col("vc").alias("vc_now"))
+    # no changed-only filter: emit every bumped key, exactly as the
+    # oracle derives it (a vc < 10 row would make +10% the identity
+    # and a changed-filter would silently drop it on one side)
+    return v0.join(now, "o_orderkey").filter(
+        F.col("o_orderkey") % MERGE_BUMP_MOD == 0
+    ).select("o_orderkey", "vc_v0", "vc_now")
