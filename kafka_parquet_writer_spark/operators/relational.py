@@ -932,3 +932,52 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "join_lateral_topk",
+    oracle=f"""
+    SELECT c.c_custkey, o.o_orderkey, o.vc
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, {sql_cents('o_totalprice')} AS vc
+      FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY vc DESC, o_orderkey
+      LIMIT 2
+    ) o
+    WHERE c.c_custkey % 10 = 0
+    """,
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — each customer's top-2 orders by
+    value, written the way an analyst writes it (per-row dependent
+    subquery with ORDER BY + LIMIT) rather than the window
+    formulation. Catalyst decorrelates the lateral into a join +
+    per-key limit, so the declarative form costs the same as
+    window_rank's rank()<=k — this key pins that the decorrelation
+    path exists and stays value-correct.
+
+    Scale shape: after decorrelation the plan is one shuffle on the
+    correlation key with a per-group top-k — no per-customer query
+    execution, which is what LATERAL naively implies and what a
+    100 TB plan must never do.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "v_lat_customer"
+    )
+    load_table(spark, sf_dir, "orders").selectExpr(
+        "o_custkey", "o_orderkey", "CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT) AS vc"
+    ).createOrReplaceTempView("v_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.vc
+        FROM v_lat_customer c, LATERAL (
+          SELECT o_orderkey, vc
+          FROM v_lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY vc DESC, o_orderkey
+          LIMIT 2
+        ) o
+        WHERE c.c_custkey % 10 = 0
+        """
+    )

@@ -296,3 +296,41 @@ def scalar_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         nested["a"]["k"].alias("nested_k"),
         nested["b"].alias("is_big"),
     )
+
+
+@query(
+    "scalar_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_sum,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_max,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured data through Spark 4's VARIANT type:
+    `parse_json` turns the JSON payload column into a binary variant
+    once, then typed `try_variant_get` path extraction feeds ordinary
+    aggregation. The step past scalar_json's per-access string
+    parsing: at 100 TB the variant encodes once at ingest (and shreds
+    into columnar storage where the format supports it) while
+    `get_json_object` re-parses text on every access of every query.
+    The DuckDB oracle extracts the same paths from the JSON text, so
+    the value hash proves the variant path semantics-identical.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
