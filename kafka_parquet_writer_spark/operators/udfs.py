@@ -161,3 +161,50 @@ def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(
         explode_tokens, schema="doc long, token string, pos int"
     )
+
+
+@query(
+    "udtf_lateral_native",
+    oracle="""
+    SELECT doc, u.token AS token, CAST(u.pos AS INTEGER) AS pos
+    FROM (
+      SELECT doc_id AS doc,
+             unnest(list_transform(range(1, len(w) + 1),
+                    i -> struct_pack(token := w[i], pos := i - 1))) AS u
+      FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           t -> t <> '') AS w
+        FROM documents
+        WHERE doc_id < 50
+      )
+    )
+    """,
+)
+def udtf_lateral_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE Python UDTF API (pyspark 4 `@udtf` class), registered
+    for SQL and invoked through LATERAL — the user-facing table-function
+    surface, complementing udtf_tokens' mapInPandas execution shape
+    (same semantics, same oracle). Arrow transfer is enabled
+    per-session (`spark.sql.execution.pythonUDTF.arrow.enabled`);
+    UDTFs remain the convenience path — bulk tokenization at 100 TB
+    stays on the JVM split/explode expressions (text.py).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string, pos: int")
+    class Tokens:
+        def eval(self, text: str):
+            for i, t in enumerate(x for x in text.lower().split() if x):
+                yield (t, i)
+
+    spark.udtf.register("kpws_tokens_udtf", Tokens)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 50
+    ).createOrReplaceTempView("v_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id AS doc, t.token, t.pos
+        FROM v_udtf_docs d, LATERAL kpws_tokens_udtf(d.text) t
+        """
+    )
