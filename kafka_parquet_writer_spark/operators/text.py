@@ -552,3 +552,108 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     for name, tag in (("email", "<EMAIL>"), ("ipv4", "<IP>"), ("phone", "<PHONE>")):
         scrubbed = F.regexp_replace(scrubbed, PII_PATTERNS[name], tag)
     return out.withColumn(f"{text_col}_scrubbed", scrubbed)
+
+
+# ---------------------------------------------------------------------------
+# boilerplate stripping (per-source template removal)
+# ---------------------------------------------------------------------------
+
+#: a token present in ≥ this % of a source's documents is template
+#: boilerplate for that source
+BOILER_DF_PCT = 90
+
+
+@query(
+    "text_boilerplate_strip",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, {TH.sql_words('text')} AS w FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, source, u.pos AS pos, u.w AS w
+      FROM (
+        SELECT doc_id, source,
+               list_transform(range(1, len(w) + 1),
+                              i -> struct_pack(pos := i, w := w[i])) AS ws
+        FROM base
+      ), unnest(ws) AS t(u)
+    ),
+    src_docs AS (
+      SELECT source, count(DISTINCT doc_id) AS nd FROM base GROUP BY source
+    ),
+    boiler AS (
+      SELECT t.source, t.w
+      FROM (SELECT source, w, count(DISTINCT doc_id) AS d
+            FROM toks GROUP BY source, w) t
+      JOIN src_docs USING (source)
+      WHERE t.d * 100 >= {BOILER_DF_PCT} * nd
+    ),
+    kept AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(w, ' ' ORDER BY pos) AS cleaned
+      FROM toks ANTI JOIN boiler USING (source, w)
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.w) AS BIGINT) AS n_orig,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           {TH.sql_portable_hash64("COALESCE(k.cleaned, '')")} AS clean_hash
+    FROM base b LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate removal: tokens appearing in ≥
+    {BOILER_DF_PCT}% of a source's documents are that source's
+    boilerplate (nav bars, footers, licence blurbs in a real crawl)
+    and are stripped position-aware, preserving the order of what
+    remains. Output carries the cleaned-text hash so the oracle
+    verifies the reconstruction byte-for-byte, not just counts.
+
+    Scale shape: boilerplate vocabularies are per-source and tiny, so
+    the strip join broadcasts them; the heavy side is one
+    posexplode + per-source df aggregation (two-phase, map-side
+    combined) and one groupBy(doc) to reassemble — the same
+    shuffle budget as the tf·idf pass. No driver-side anything.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "source", TH.words_expr("text").alias("w"))
+    toks = base.select(
+        "doc_id", "source", F.posexplode("w").alias("pos", "tok")
+    )
+    src_docs = base.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    boiler = (
+        toks.groupBy("source", "tok")
+        .agg(F.countDistinct("doc_id").alias("d"))
+        .join(src_docs, "source")
+        .filter(F.col("d") * 100 >= BOILER_DF_PCT * F.col("nd"))
+        .select("source", "tok")
+    )
+    kept = (
+        toks.join(F.broadcast(boiler), ["source", "tok"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("cleaned"),
+        )
+    )
+    return (
+        base.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("w").cast("long").alias("n_orig"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            TH.portable_hash64(F.coalesce(F.col("cleaned"), F.lit(""))).alias(
+                "clean_hash"
+            ),
+        )
+    )
