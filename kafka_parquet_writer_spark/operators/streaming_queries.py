@@ -921,3 +921,64 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ops",
         )
     )
+
+
+#: trending: top event types per window
+TREND_TOPK = 3
+
+
+@query(
+    "stream_topk_trending",
+    oracle=f"""
+    WITH counts AS (
+      SELECT strftime(time_bucket(INTERVAL '5 minutes', ts),
+                      '%Y-%m-%d %H:%M:%S') AS win_start,
+             event_type,
+             count(*) AS n
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT win_start, event_type, n,
+           CAST(row_number() OVER (PARTITION BY win_start
+                                   ORDER BY n DESC, event_type)
+                AS INTEGER) AS rnk
+    FROM counts
+    QUALIFY row_number() OVER (PARTITION BY win_start
+                               ORDER BY n DESC, event_type) <= {TREND_TOPK}
+    """,
+)
+def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending dashboard: the top-{TREND_TOPK} event types per
+    5-minute window. The HEAVY aggregation (per-window per-type
+    counts over the full stream) runs as a real streaming query —
+    watermark + tumbling window into the state store; the rank is a
+    batch epilogue over the streamed aggregate, which is how trending
+    is served in production (ranking inside append-mode streaming is
+    unsupported by design: a rank can change until the window closes).
+
+    Scale shape: streaming side is one keyed state store
+    (|windows|×|types| rows); the epilogue windows over that tiny
+    aggregate, never over events.
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_to_memory(agg, "complete")
+    from pyspark.sql.window import Window as W
+
+    counts = out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "win_start"
+        ),
+        "event_type",
+        "n",
+    )
+    w = W.partitionBy("win_start").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TREND_TOPK)
+        .select("win_start", "event_type", "n", F.col("rnk").cast("int"))
+    )
