@@ -70,6 +70,11 @@ HEADLINE = [
     "dq_rules",
     "sample_weighted",
     "pipeline_train_corpus",
+    "text_boilerplate_strip",
+    "scalar_variant",
+    "join_lateral_topk",
+    "table_merge_upsert",
+    "similarity_topk_blas",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming
@@ -84,6 +89,7 @@ STREAMING_HEADLINE = [
     "stream_session_window",
     "stream_quality_filter",
     "stream_cdc_apply",
+    "stream_topk_trending",
 ]
 
 
