@@ -89,3 +89,120 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     read schema-explicit (inferred JSON widens int64→double — the drift
     this gate would catch)."""
     return _roundtrip(spark, sf_dir, "json")
+
+
+#: schema-evolution split: even event_ids land in the v1 files (no
+#: event_type column), odd in the v2 files (with it)
+EVO_MOD = 2
+
+
+@query(
+    "source_schema_evolution",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT event_id, user_id, {sql_cents('value')} AS vc,
+             CAST(NULL AS VARCHAR) AS event_type
+      FROM events WHERE event_id % {EVO_MOD} = 0
+    ),
+    v2 AS (
+      SELECT event_id, user_id, {sql_cents('value')} AS vc, event_type
+      FROM events WHERE event_id % {EVO_MOD} = 1
+    ),
+    u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT COALESCE(event_type, '<absent>') AS etype,
+           count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           CAST(sum(vc) AS BIGINT) AS vc_sum
+    FROM u
+    GROUP BY 1
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift across a table's files, handled at read time: the
+    v1 files lack a column later files carry (the lake reality when a
+    producer upgrades mid-stream), and a ``mergeSchema`` read unifies
+    them — absent columns surface as NULLs, aggregated here into
+    per-type counts the oracle reproduces with an explicit NULL union.
+
+    Scale shape: mergeSchema's cost is footer-reading breadth at
+    planning time (bounded by file count, mitigated by compaction);
+    the scan itself stays columnar with NULL fill — no row-level
+    rewrite of old files. Schema evolution policy beyond additive
+    columns (renames, type changes) belongs in the table format's
+    metadata, not in the reader.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", cents(F.col("value")).alias("vc"), "event_type"
+    )
+    d = tempfile.mkdtemp(prefix="kpws_evo_")
+    ev.filter(F.col("event_id") % EVO_MOD == 0).drop("event_type").write.parquet(
+        f"{d}/g=0"
+    )
+    ev.filter(F.col("event_id") % EVO_MOD == 1).write.parquet(f"{d}/g=1")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{d}/g=0", f"{d}/g=1"
+    )
+    return (
+        back.select(
+            F.coalesce(F.col("event_type"), F.lit("<absent>")).alias("etype"),
+            "event_id",
+            "vc",
+        )
+        .groupBy("etype")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("id_sum"),
+            F.sum("vc").alias("vc_sum"),
+        )
+    )
+
+
+@query(
+    "maintenance_compact",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           CAST(sum({sql_cents('value')}) AS BIGINT) AS vc_sum,
+           TRUE AS fewer_files
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction as a driver-checked query: fragment the
+    events table into many tiny files (the streaming-sink pathology
+    the reference's size rotation exists to prevent,
+    `KafkaProtoParquetWriter.java:282-310`), compact into target-sized
+    files, and aggregate the result — with an in-query boolean
+    asserting the rewrite actually reduced the file count. The oracle
+    aggregates the original table, so a green row proves the compactor
+    is content-lossless AND effective.
+
+    Scale shape: compaction is one round-robin repartition write —
+    shuffle sized by at-rest bytes, file count planned from measured
+    bytes / target (streaming/maintenance.py); Hive-partitioned
+    layouts compact per-partition.
+    """
+    import glob as _glob
+
+    from kafka_parquet_writer_spark.streaming.maintenance import (
+        compact_parquet_dir,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", cents(F.col("value")).alias("vc")
+    )
+    frag = tempfile.mkdtemp(prefix="kpws_frag_")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    dst = tempfile.mkdtemp(prefix="kpws_compacted_")
+    compact_parquet_dir(spark, frag, dst, target_file_bytes=32 << 20)
+    n_before = len(_glob.glob(f"{frag}/part-*.parquet"))
+    n_after = len(_glob.glob(f"{dst}/part-*.parquet"))
+    back = spark.read.parquet(dst)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("id_sum"),
+        F.sum("vc").alias("vc_sum"),
+        F.lit(n_after < n_before).alias("fewer_files"),
+    )
