@@ -304,3 +304,26 @@ def test_dq_rules_one_scan_per_table(spark, sf_dir):
     scans total (lineitem + orders + orders), each listed twice."""
     plan = formatted_plan(E.queries()["dq_rules"](spark, sf_dir))
     assert plan.count("Scan parquet") <= 6
+
+
+def test_lateral_topk_decorrelates_to_window_limit(spark, sf_dir):
+    """The correlated LATERAL (ORDER BY + LIMIT per customer) must
+    decorrelate into the window top-k shape — WindowGroupLimit with a
+    map-side partial BEFORE the exchange — joined back broadcast/hash.
+    A plan that kept per-row subquery semantics would show a nested
+    loop."""
+    plan = formatted_plan(E.queries()["join_lateral_topk"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_variant_stays_jvm_side(spark, sf_dir):
+    """VARIANT parse + typed extraction are JVM expressions — the plan
+    must contain no Python evaluation nodes."""
+    df = E.queries()["scalar_variant"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # column pruning: only the two consumed columns reach the scan
+    assert set(read_schema_columns(df)) == {"event_type", "props"}
