@@ -741,3 +741,56 @@ def spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("hr", "yyyy-MM-dd HH").alias("hour_key"),
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# entity clusters (connected components over the fuzzy-match graph)
+# ---------------------------------------------------------------------------
+
+
+def _er_clusters_oracle() -> str:
+    from kafka_parquet_writer_spark.registry import ORACLES
+
+    pairs_sql = ORACLES["er_fuzzy_name_match"]
+    return f"""
+    WITH RECURSIVE
+    pairs AS ({pairs_sql}),
+    sym AS (
+      SELECT name_a AS a, name_b AS b FROM pairs
+      UNION
+      SELECT name_b, name_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS v FROM sym),
+    reach(v, r) AS (
+      SELECT v, v FROM nodes
+      UNION
+      SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.v
+    )
+    SELECT v AS name, min(r) AS canonical FROM reach GROUP BY v
+    """
+
+
+@query("er_cluster_entities", oracle=_er_clusters_oracle())
+def er_cluster_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity CLUSTERS: connected components over the blocked
+    fuzzy-match pair graph (er_fuzzy_name_match), labeling every
+    matched name with its lexicographic-min reachable name as the
+    canonical entity — the step that turns pairwise record linkage
+    into a merge decision (rewrite every variant to its canonical).
+
+    Scale shape: the same alternating large-star/small-star CC engine
+    as dedup_clusters (O(log n) rounds regardless of chain length —
+    name-variant chains are exactly the long-diameter case label
+    propagation loses on), running on STRING node ids: the algorithm
+    is pure comparisons, so no integer re-keying pass is needed.
+    """
+    from kafka_parquet_writer_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = er_fuzzy_name_match(spark, sf_dir).select(
+        F.col("name_a").alias("d1"), F.col("name_b").alias("d2")
+    )
+    return connected_components(pairs).select(
+        F.col("doc").alias("name"), F.col("comp").alias("canonical")
+    )
