@@ -152,6 +152,11 @@ def main() -> None:
 
     ks = sorted(set(KS_LINEAR) | set(KS_QUADRATIC))
     dirs = {k: build_blowup(spark, k) for k in ks}
+    import atexit
+    import shutil
+
+    for d in dirs.values():  # ~15x the fixture per run otherwise
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
     # warm up codegen + python workers on the smallest blow-up
     run(QUERIES["text_quality"](spark, dirs[1]))
 

@@ -749,25 +749,13 @@ def spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _er_clusters_oracle() -> str:
+    from kafka_parquet_writer_spark.operators.dedup import sql_cc_oracle
     from kafka_parquet_writer_spark.registry import ORACLES
 
-    pairs_sql = ORACLES["er_fuzzy_name_match"]
-    return f"""
-    WITH RECURSIVE
-    pairs AS ({pairs_sql}),
-    sym AS (
-      SELECT name_a AS a, name_b AS b FROM pairs
-      UNION
-      SELECT name_b, name_a FROM pairs
-    ),
-    nodes AS (SELECT DISTINCT a AS v FROM sym),
-    reach(v, r) AS (
-      SELECT v, v FROM nodes
-      UNION
-      SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.v
+    return sql_cc_oracle(
+        ORACLES["er_fuzzy_name_match"], "name_a", "name_b",
+        "name", "canonical",
     )
-    SELECT v AS name, min(r) AS canonical FROM reach GROUP BY v
-    """
 
 
 @query("er_cluster_entities", oracle=_er_clusters_oracle())

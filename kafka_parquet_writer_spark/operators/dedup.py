@@ -392,7 +392,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH sh AS ({TH.sql_shingle_cte('documents', 'doc_id', 'text', SHINGLE_N)}),
-    st AS (SELECT doc, {TH.sql_portable_tid('shingle')} AS tid FROM sh),
+    st AS (SELECT DISTINCT doc, {TH.sql_portable_tid('shingle')} AS tid FROM sh),
     sizes AS (SELECT doc, count(*) AS n FROM st GROUP BY doc),
     inter AS (
       SELECT t1.doc AS d1, t2.doc AS d2, count(*) AS i
@@ -429,11 +429,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering alone is weak). Candidates are exact-verified with one
     array_intersect pass over 8-byte token hashes (per-row JVM op).
     """
-    # work on 60-bit token hashes, not shingle strings: 8-byte join
-    # keys and long-array docsets instead of ~20-char strings (the
-    # oracle computes the identical tids, so exactness is preserved up
-    # to 2^-60 hash collisions — the standard hashed-shingle tradeoff)
-    st = _token_ids(_shingle_pairs(spark, sf_dir)).cache()
+    # work on hashed token ids, not shingle strings: 8-byte join keys
+    # and long-array docsets instead of ~20-char strings. tids live in
+    # [0, 2^31): a collision conflates two shingles IDENTICALLY on
+    # both engines (st is DISTINCT (doc, tid) on both sides), so
+    # engine-equality always holds; only the hashed-shingle Jaccard
+    # itself drifts from the string-level value, with per-doc
+    # probability ~m²/2^32 — the standard tradeoff
+    st = _token_ids(_shingle_pairs(spark, sf_dir)).distinct().cache()
     t = JACCARD_THRESHOLD
     dfreq = st.groupBy("tid").agg(F.count(F.lit(1)).alias("df"))
     # one groupBy(doc) yields both the ranking's size column and the
@@ -880,18 +883,20 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     )
 
 
-def _clusters_oracle() -> str:
-    """Recursive-CTE connected components over the SAME verified
-    MinHash pair set the Spark side uses (pairs CTE = _minhash_oracle's
-    final SELECT, minus the rounded jac column)."""
-    pairs_sql = _minhash_oracle()
+def sql_cc_oracle(
+    pairs_sql: str, col_a: str, col_b: str, out_node: str, out_comp: str
+) -> str:
+    """Recursive-CTE connected components over an arbitrary pair
+    query — ONE template serving every CC-shaped oracle
+    (dedup_clusters, er_cluster_entities), so a fix to the reach
+    recursion or min-label rule can never leave a twin stale."""
     return f"""
     WITH RECURSIVE
     pairs AS ({pairs_sql}),
     sym AS (
-      SELECT d1 AS a, d2 AS b FROM pairs
+      SELECT {col_a} AS a, {col_b} AS b FROM pairs
       UNION
-      SELECT d2, d1 FROM pairs
+      SELECT {col_b}, {col_a} FROM pairs
     ),
     nodes AS (SELECT DISTINCT a AS v FROM sym),
     reach(v, r) AS (
@@ -899,8 +904,14 @@ def _clusters_oracle() -> str:
       UNION
       SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.v
     )
-    SELECT v AS doc, min(r) AS comp FROM reach GROUP BY v
+    SELECT v AS {out_node}, min(r) AS {out_comp} FROM reach GROUP BY v
     """
+
+
+def _clusters_oracle() -> str:
+    """CC over the SAME verified MinHash pair set the Spark side uses
+    (pairs CTE = _minhash_oracle's final SELECT)."""
+    return sql_cc_oracle(_minhash_oracle(), "d1", "d2", "doc", "comp")
 
 
 @query("dedup_clusters", oracle=_clusters_oracle())
@@ -935,7 +946,7 @@ CONTAIN_MIN_SHINGLES = 5
     "dedup_containment",
     oracle=f"""
     WITH sh AS ({TH.sql_shingle_cte('documents', 'doc_id', 'text', SHINGLE_N)}),
-    st AS (SELECT doc, {TH.sql_portable_tid('shingle')} AS tid FROM sh),
+    st AS (SELECT DISTINCT doc, {TH.sql_portable_tid('shingle')} AS tid FROM sh),
     sizes AS (SELECT doc, count(*) AS n FROM st GROUP BY doc),
     inter AS (
       SELECT a.doc AS d1, b.doc AS d2, count(*) AS i
@@ -976,7 +987,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_parquet_writer_spark.session import repartition_for_compute
 
     t = CONTAIN_T
-    st = _token_ids(_shingle_pairs(spark, sf_dir)).cache()
+    st = _token_ids(_shingle_pairs(spark, sf_dir)).distinct().cache()
     docsets = st.groupBy("doc").agg(
         F.collect_set("tid").alias("ss"), F.count(F.lit(1)).alias("n")
     ).cache()

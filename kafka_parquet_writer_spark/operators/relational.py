@@ -966,7 +966,7 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_lat_customer"
     )
     load_table(spark, sf_dir, "orders").selectExpr(
-        "o_custkey", "o_orderkey", "CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT) AS vc"
+        "o_custkey", "o_orderkey", f"{sql_cents('o_totalprice')} AS vc"
     ).createOrReplaceTempView("v_lat_orders")
     return spark.sql(
         """

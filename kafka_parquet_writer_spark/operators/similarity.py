@@ -46,9 +46,10 @@ def _ann_planes() -> list[list[float]]:
 ANN_PLANES = _ann_planes()
 
 
-@query(
-    "similarity_topk",
-    oracle=f"""
+#: shared by similarity_topk (expression path) and
+#: similarity_topk_blas (numpy/Arrow path) — one string, so the
+#: "same oracle proves the fast path exact" claim can't drift
+_TOPK_ORACLE = f"""
     WITH e AS (
       SELECT vec_id,
              CAST(embedding AS DOUBLE[]) AS v,
@@ -66,7 +67,12 @@ ANN_PLANES = _ann_planes()
                                    ORDER BY cos DESC, n_id) AS INTEGER) AS rnk
     FROM scored
     QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) <= {TOPK}
-    """,
+    """
+
+
+@query(
+    "similarity_topk",
+    oracle=_TOPK_ORACLE,
 )
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: each query vector's 5 nearest neighbors.
@@ -364,6 +370,12 @@ def brute_force_topk_matrix(
             norms = np.linalg.norm(c_mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             sims = (c_mat / norms) @ q_mat.T  # (batch, nq)
+            # round to the module's 6-decimal contract BEFORE any
+            # selection: ranking raw BLAS doubles would make rank
+            # order (and top-k membership at the boundary) depend on
+            # last-ulp summation-order differences vs the oracle's
+            # sequential fold whenever two cosines round equal
+            sims = np.floor(sims * 1e6 + 0.5) / 1e6
             ids = pdf["vec_id"].values
             n = len(pdf)
             top = min(k, n)
@@ -372,8 +384,10 @@ def brute_force_topk_matrix(
                 # operator's convention; rank-shifts everything if kept)
                 col = sims[:, qi].copy()
                 col[ids == q_ids[qi]] = -np.inf
-                idx = np.argpartition(-col, top - 1)[:top]
-                idx = idx[np.isfinite(col[idx])]
+                # per-batch top by (cos desc, n_id asc) — the same
+                # total order the global window applies
+                order = np.lexsort((ids, -col))[:top]
+                idx = order[np.isfinite(col[order])]
                 yield pd.DataFrame(
                     {
                         "q_id": q_ids[qi],
@@ -484,25 +498,7 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_topk_blas",
-    oracle=f"""
-    WITH e AS (
-      SELECT vec_id,
-             CAST(embedding AS DOUBLE[]) AS v,
-             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                   CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings
-    ),
-    scored AS (
-      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-             (floor((list_dot_product(q.v, c.v) / (q.nrm * c.nrm)) * 1e6 + 0.5) / 1e6) AS cos
-      FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
-    )
-    SELECT q_id, n_id, cos,
-           CAST(row_number() OVER (PARTITION BY q_id
-                                   ORDER BY cos DESC, n_id) AS INTEGER) AS rnk
-    FROM scored
-    QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) <= {TOPK}
-    """,
+    oracle=_TOPK_ORACLE,
 )
 def similarity_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The vectorized brute-force scan (brute_force_topk_matrix), put

@@ -23,7 +23,7 @@ from kafka_parquet_writer_spark.catalog import (
     normalize_nanos,
     table_path,
 )
-from kafka_parquet_writer_spark.functions.portable import cents, pround
+from kafka_parquet_writer_spark.functions.portable import cents, pround, sql_cents
 from kafka_parquet_writer_spark.registry import query
 
 _counter = itertools.count()
@@ -818,7 +818,7 @@ def _events_batched_dir(spark: SparkSession, sf_dir: str) -> str:
     oracle=f"""
     WITH ranked AS (
       SELECT user_id, event_id, event_type,
-             CAST(floor((value) * 1e2 + 0.5) AS BIGINT) AS vc,
+             {sql_cents('value')} AS vc,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts DESC, event_id DESC) AS rn,
              count(*) OVER (PARTITION BY user_id) AS n_ops

@@ -39,10 +39,16 @@ def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _delta(base: DataFrame) -> DataFrame:
-    bump = base.filter(F.col("o_orderkey") % MERGE_BUMP_MOD == 0).select(
+def _bump(base: DataFrame) -> DataFrame:
+    """The +10% price update batch — shared by both table queries and
+    mirrored by the '* 110 // 100' in both oracles."""
+    return base.filter(F.col("o_orderkey") % MERGE_BUMP_MOD == 0).select(
         "o_orderkey", F.expr("vc * 110 div 100").alias("vc")
     )
+
+
+def _delta(base: DataFrame) -> DataFrame:
+    bump = _bump(base)
     ins = base.filter(F.col("o_orderkey") % MERGE_INSERT_MOD == 0).select(
         (F.col("o_orderkey") + MERGE_INSERT_OFFSET).alias("o_orderkey"),
         F.expr("vc div 2").alias("vc"),
@@ -111,10 +117,7 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _base(spark, sf_dir)
     t = TxTable(tempfile.mkdtemp(prefix="kpws_tq_tt_"))
     t.create(base)
-    bump = base.filter(F.col("o_orderkey") % MERGE_BUMP_MOD == 0).select(
-        "o_orderkey", F.expr("vc * 110 div 100").alias("vc")
-    )
-    t.merge(spark, bump, keys=["o_orderkey"])
+    t.merge(spark, _bump(base), keys=["o_orderkey"])
     v0 = t.read(spark, version=0).select(
         "o_orderkey", F.col("vc").alias("vc_v0")
     )

@@ -123,9 +123,9 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "udtf_tokens",
-    oracle="""
+#: one oracle for both UDTF surfaces (mapInPandas shape and the
+#: native @udtf) — same semantics, one string, no drift
+_TOKENS_ORACLE = """
     SELECT doc, u.token AS token, CAST(u.pos AS INTEGER) AS pos
     FROM (
       SELECT doc_id AS doc,
@@ -139,7 +139,12 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE doc_id < 50
       )
     )
-    """,
+    """
+
+
+@query(
+    "udtf_tokens",
+    oracle=_TOKENS_ORACLE,
 )
 def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDTF-shaped table function: one input row → N output rows
@@ -165,21 +170,7 @@ def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "udtf_lateral_native",
-    oracle="""
-    SELECT doc, u.token AS token, CAST(u.pos AS INTEGER) AS pos
-    FROM (
-      SELECT doc_id AS doc,
-             unnest(list_transform(range(1, len(w) + 1),
-                    i -> struct_pack(token := w[i], pos := i - 1))) AS u
-      FROM (
-        SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                           t -> t <> '') AS w
-        FROM documents
-        WHERE doc_id < 50
-      )
-    )
-    """,
+    oracle=_TOKENS_ORACLE,
 )
 def udtf_lateral_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The NATIVE Python UDTF API (pyspark 4 `@udtf` class), registered
