@@ -115,6 +115,29 @@ def _token_ids(sh: DataFrame, use_xxhash: bool = False) -> DataFrame:
     return sh.select("doc", tid.alias("tid"))
 
 
+def _tid_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc, tid) with tids DISTINCT per doc, deduplicated in the
+    ARRAY domain before the explode (array_distinct over the per-row
+    shingle array) — set semantics with zero extra shuffle. The
+    jaccard/containment operators need sets because their oracles are
+    set-formulated; a 31-bit tid collision inside one doc must
+    conflate shingles identically on both engines."""
+    from kafka_parquet_writer_spark.session import repartition_for_compute
+
+    docs = repartition_for_compute(
+        load_table(spark, sf_dir, "documents"), F.col("doc_id")
+    )
+    tids = F.array_distinct(
+        F.transform(
+            TH.word_shingles_expr("text", SHINGLE_N),
+            lambda s: TH.portable_tid(s),
+        )
+    )
+    return docs.select(
+        F.col("doc_id").alias("doc"), F.explode(tids).alias("tid")
+    )
+
+
 def minhash_signatures(
     sh: DataFrame, coeffs: list[tuple[int, int]], use_xxhash: bool = False
 ) -> DataFrame:
@@ -436,7 +459,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engine-equality always holds; only the hashed-shingle Jaccard
     # itself drifts from the string-level value, with per-doc
     # probability ~m²/2^32 — the standard tradeoff
-    st = _token_ids(_shingle_pairs(spark, sf_dir)).distinct().cache()
+    st = _tid_sets(spark, sf_dir).cache()
     t = JACCARD_THRESHOLD
     dfreq = st.groupBy("tid").agg(F.count(F.lit(1)).alias("df"))
     # one groupBy(doc) yields both the ranking's size column and the
@@ -987,7 +1010,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_parquet_writer_spark.session import repartition_for_compute
 
     t = CONTAIN_T
-    st = _token_ids(_shingle_pairs(spark, sf_dir)).distinct().cache()
+    st = _tid_sets(spark, sf_dir).cache()
     docsets = st.groupBy("doc").agg(
         F.collect_set("tid").alias("ss"), F.count(F.lit(1)).alias("n")
     ).cache()
