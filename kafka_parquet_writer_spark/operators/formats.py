@@ -206,3 +206,64 @@ def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("vc").alias("vc_sum"),
         F.lit(n_after < n_before).alias("fewer_files"),
     )
+
+
+#: every Nth event is written as a deliberately malformed JSON line
+DLQ_CORRUPT_MOD = 17
+
+
+@query(
+    "source_json_dlq",
+    oracle=f"""
+    SELECT 'valid' AS kind,
+           count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM events WHERE event_id % {DLQ_CORRUPT_MOD} <> 0
+    UNION ALL
+    SELECT 'corrupt' AS kind,
+           count(*) AS n,
+           CAST(0 AS BIGINT) AS id_sum
+    FROM events WHERE event_id % {DLQ_CORRUPT_MOD} = 0
+    """,
+)
+def source_json_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing for malformed records — the capability the
+    reference explicitly lacks (a malformed protobuf CRASHES its
+    worker thread, with an acknowledged TODO for a DLQ callback,
+    `KafkaProtoParquetWriter.java:272-277`). Every {DLQ_CORRUPT_MOD}th
+    event is serialized as a deliberately broken JSON line; the
+    schema-explicit PERMISSIVE read (sources/readers.py) routes those
+    rows to the `_corrupt_record` column instead of failing the job,
+    and the query reports both sides of the split. The oracle derives
+    the same split from the source table, so a green row proves no
+    record is lost OR silently misparsed in either direction.
+
+    Scale shape: corruption handling is per-row inside the scan —
+    zero extra passes; the DLQ view is a filter on the same cached
+    parse.
+    """
+    from kafka_parquet_writer_spark.sources.readers import (
+        corrupt_records,
+        read_json,
+        valid_records,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    line = F.when(
+        F.col("event_id") % DLQ_CORRUPT_MOD == 0,
+        F.concat(F.lit('{"broken '), F.col("event_id").cast("string")),
+    ).otherwise(F.to_json(F.struct("event_id", "user_id")))
+    d = tempfile.mkdtemp(prefix="kpws_dlq_")
+    ev.select(line.alias("value")).write.mode("overwrite").text(d)
+    back = read_json(spark, d, schema="event_id long, user_id long").cache()
+    good = valid_records(back).agg(
+        F.lit("valid").alias("kind"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("id_sum"),
+    )
+    bad = corrupt_records(back).agg(
+        F.lit("corrupt").alias("kind"),
+        F.count(F.lit(1)).alias("n"),
+        F.lit(0).cast("long").alias("id_sum"),
+    )
+    return good.unionByName(bad)

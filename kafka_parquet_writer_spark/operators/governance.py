@@ -258,3 +258,54 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.col("e95"), 6).alias("p95_exact"),
         ok.alias("approx_within_2pct"),
     )
+
+
+# --- agg_mode ---------------------------------------------------------------
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus AS modal_status, n
+    FROM (
+      SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY count(*) DESC, o_orderstatus)
+               AS rnk
+      FROM orders
+      GROUP BY o_orderpriority, o_orderstatus
+    )
+    WHERE rnk = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MODE (most frequent value) with a deterministic
+    tiebreak — the argmax-over-counts pattern behind 'typical value'
+    dashboards and categorical imputation. Built-in `mode()` breaks
+    ties arbitrarily (engine- and partition-order-dependent), so the
+    declared form is count + rank with an explicit (count DESC, value)
+    order both engines reproduce exactly.
+
+    Scale shape: one two-phase aggregate over (group, value) —
+    map-side combine shrinks the shuffle to distinct pairs — then a
+    window over the aggregate, whose size is |groups|×|values|, not
+    the table. The mode never touches raw rows twice.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window as W
+
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("n").desc(), "o_orderstatus"
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("modal_status"),
+            "n",
+        )
+    )

@@ -541,3 +541,134 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# running distinct count (cumulative cardinality per entity)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_running_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(sum(first_seen) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS n_types_so_far
+    FROM flagged
+    """,
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative DISTINCT count per entity over time — how many
+    distinct event types each user has touched as of each event (the
+    breadth-of-engagement curve). Running count-distinct has no
+    streaming-friendly aggregate; the standard exact decomposition is
+    a first-seen flag (row_number = 1 within (user, type)) followed by
+    a running sum of flags — two window passes over ONE user_id
+    shuffle, no per-row set state.
+
+    Scale shape: both windows partition by user_id (the second adds
+    event_type to the key of the first — same exchange, Spark plans
+    one shuffle); state per row is a single int, vs the naive
+    collect_set-over-window which buffers a growing set per row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_first = W.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        ev.withColumn(
+            "first_seen",
+            F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("first_seen").over(w_run).alias("n_types_so_far"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average (TWAP over irregular samples)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_time_weighted_avg",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id,
+             CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS vc,
+             epoch_us(ts) AS t,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+      FROM events
+    )
+    SELECT user_id,
+           (floor((CAST(sum((t_next - t) * vc) AS DOUBLE)
+                   / (100.0 * (max(t_next) - min(t)))) * 1e6 + 0.5) / 1e6)
+             AS twap,
+           CAST(count(*) AS BIGINT) AS n_segments
+    FROM seg
+    WHERE t_next IS NOT NULL
+    GROUP BY user_id
+    HAVING max(t_next) > min(t)
+    """,
+)
+def agg_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user over IRREGULAR samples —
+    each observation holds until the next one, so its weight is the
+    duration it was current (the metering/pricing TWAP, where a plain
+    avg() over-weights bursts). Value is held step-wise: segment
+    weight = micros to the next event; the last observation carries no
+    segment (open-ended) and is excluded symmetric with the oracle.
+
+    All weights are integer microseconds and values integer cents —
+    the sum is exact; ONE division at the end produces the float.
+
+    Scale shape: one user_id shuffle serving both the lead() window
+    and the aggregate (same key, one exchange); no self-join of
+    consecutive rows, which is the naive formulation's extra shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        cents(F.col("value")).alias("vc"),
+        F.unix_micros("ts").alias("t"),
+        F.lead(F.unix_micros("ts")).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum((F.col("t_next") - F.col("t")) * F.col("vc")).alias("num"),
+            F.max("t_next").alias("t_hi"),
+            F.min("t").alias("t_lo"),
+            F.count(F.lit(1)).alias("n_segments"),
+        )
+        .filter(F.col("t_hi") > F.col("t_lo"))
+        .select(
+            "user_id",
+            pround(
+                F.col("num").cast("double")
+                / (100.0 * (F.col("t_hi") - F.col("t_lo"))),
+                6,
+            ).alias("twap"),
+            "n_segments",
+        )
+    )
