@@ -75,6 +75,10 @@ HEADLINE = [
     "join_lateral_topk",
     "table_merge_upsert",
     "similarity_topk_blas",
+    "source_json_dlq",
+    "window_running_distinct",
+    "agg_time_weighted_avg",
+    "agg_mode",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming
