@@ -650,3 +650,116 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(weight, 6).alias("weight"),
         pround(F.col("pv") * weight, 4).alias("credit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# first-order behavior transitions (Markov chain estimation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    c AS (
+      SELECT src, dst, count(*) AS n FROM seq
+      WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n,
+           (floor((CAST(n AS DOUBLE)
+                   / sum(n) OVER (PARTITION BY src)) * 1e6 + 0.5) / 1e6)
+             AS p
+    FROM c
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior transition matrix: for each consecutive
+    event pair within a user's timeline, count src→dst transitions and
+    normalize per source state — the empirical Markov chain behind
+    next-action prediction, funnel leak analysis, and session
+    simulation.
+
+    Scale shape: lead() and the (src, dst) aggregate are the whole
+    plan — one user_id shuffle for the sequence, one |states|²-sized
+    aggregate (map-side combined); the per-src normalization windows
+    over the tiny transition matrix, never the events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    c = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    w_src = W.partitionBy("src")
+    return c.select(
+        "src",
+        "dst",
+        "n",
+        pround(
+            F.col("n").cast("double") / F.sum("n").over(w_src), 6
+        ).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# concentration metrics (Gini over a grouped value distribution)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_gini",
+    oracle=f"""
+    WITH v AS (
+      SELECT o_orderpriority AS grp,
+             {sql_cents('o_totalprice')} AS x,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY {sql_cents('o_totalprice')},
+                                         o_orderkey) AS i
+      FROM orders
+    )
+    SELECT grp,
+           CAST(count(*) AS BIGINT) AS n,
+           (floor((CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)
+                   / (count(*) * sum(x))) * 1e6 + 0.5) / 1e6) AS gini
+    FROM v
+    GROUP BY grp
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of order value per priority
+    class — the inequality metric behind revenue-concentration and
+    data-source-balance dashboards (a corpus mixture with gini → 1 is
+    dominated by a few sources). Computed by the rank formulation
+    G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending ranks — exact,
+    no quantile binning.
+
+    All sums are integer (cents × rank < 2^63 at any realistic scale);
+    ONE division produces the float. Scale shape: one window pass for
+    ranks + one aggregate, both on the same group key — one shuffle;
+    the deterministic (value, key) rank order makes the result
+    engine-identical despite duplicate values.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        cents(F.col("o_totalprice")).alias("x"),
+        "o_orderkey",
+    )
+    w = W.partitionBy("grp").orderBy("x", "o_orderkey")
+    v = o.withColumn("i", F.row_number().over(w))
+    return v.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        pround(
+            (
+                2 * F.sum(F.col("i") * F.col("x"))
+                - (F.count(F.lit(1)) + 1) * F.sum("x")
+            ).cast("double")
+            / (F.count(F.lit(1)) * F.sum("x")),
+            6,
+        ).alias("gini"),
+    )

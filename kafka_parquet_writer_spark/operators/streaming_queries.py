@@ -982,3 +982,137 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TREND_TOPK)
         .select("win_start", "event_type", "n", F.col("rnk").cast("int"))
     )
+
+
+# ---------------------------------------------------------------------------
+# watermark late-data policy, proven (checkpointed watermark drops late rows)
+# ---------------------------------------------------------------------------
+
+#: the on-time stream races ahead of this split point; everything
+#: before it arrives in a LATER RUN - uniformly late
+LATE_SPLIT_TS = "2024-01-16 00:00:00"
+#: watermark delay
+LATE_WM_MIN = 10
+
+_late_stage_cache: dict[str, tuple[str, str]] = {}
+
+
+def _late_staged_files(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """(on_time_file, late_file): the NEWER half of events and the
+    OLDER half, as standalone parquet files ready to be staged."""
+    import glob
+    import os
+    import shutil
+
+    if sf_dir in _late_stage_cache:
+        return _late_stage_cache[sf_dir]
+    ev = load_table(spark, sf_dir, "events")
+    hold = tempfile.mkdtemp(prefix="kpws_late_files_")
+    out = []
+    preds = [
+        ("on_time", F.col("ts") >= F.lit(LATE_SPLIT_TS).cast("timestamp")),
+        ("late", F.col("ts") < F.lit(LATE_SPLIT_TS).cast("timestamp")),
+    ]
+    for name, pred in preds:
+        part_dir = os.path.join(hold, f"_tmp_{name}")
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        [part] = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dst = os.path.join(hold, f"{name}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(part_dir)
+        out.append(dst)
+    _late_stage_cache[sf_dir] = (out[0], out[1])
+    return _late_stage_cache[sf_dir]
+
+
+@query(
+    "stream_late_data_drop",
+    oracle=f"""
+    WITH wm AS (
+      SELECT max(ts) - INTERVAL '{LATE_WM_MIN} minutes' AS w FROM events
+    ),
+    on_time AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS b, count(*) AS n
+      FROM events
+      WHERE ts >= TIMESTAMP '{LATE_SPLIT_TS}'
+      GROUP BY 1
+    )
+    SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS win_start, n
+    FROM on_time, wm
+    WHERE b + INTERVAL '5 minutes' <= w
+    """,
+)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark's late-data POLICY, proven across a restart: run 1
+    drains the newer half of the stream and checkpoints a watermark
+    weeks past the older half; run 2 RESUMES from that checkpoint and
+    receives the older half - every row targets a window already
+    finalized, so the restored watermark must drop them all and emit
+    nothing new. The oracle constructs the expected final emission
+    relationally (on-time rows, windows ending at or before
+    max(ts) - {LATE_WM_MIN} min), so a green row proves three things
+    at once: late rows dropped, open windows withheld, and the
+    watermark SURVIVING checkpoint recovery (within one fresh run
+    Spark's availableNow filters with the run-start watermark, so a
+    single-run formulation would silently not exercise the drop path
+    at all - measured, not assumed).
+
+    Boundary determinism: window ends are 5-minute-aligned while the
+    watermark inherits the max event time's sub-second offset - the
+    two can never be equal, so emit/withhold can't flip on an
+    engine-precision tie.
+
+    Scale shape: the same single keyed state store as any windowed
+    count; late-row filtering is a per-row predicate before state
+    lookup, which is why watermarks bound state size at 100 TB -
+    closed windows cost nothing, late floods touch no state.
+    """
+    import os
+    import shutil
+
+    on_time_f, late_f = _late_staged_files(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="kpws_late_src_")
+    ckpt = tempfile.mkdtemp(prefix="kpws_late_ckpt_")
+    out_dir = tempfile.mkdtemp(prefix="kpws_late_out_")
+    schema = spark.read.parquet(on_time_f).schema
+
+    def run_once() -> None:
+        ev = spark.readStream.schema(schema).parquet(src)
+        agg = (
+            ev.withWatermark("ts", f"{LATE_WM_MIN} minutes")
+            .groupBy(F.window("ts", "5 minutes"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        flat = agg.select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "n",
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+        )
+        try:
+            q = (
+                flat.writeStream.outputMode("append")
+                .foreachBatch(
+                    lambda df, bid: df.write.mode("append").parquet(out_dir)
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    # run 1: only the on-time half exists; its no-data final batch
+    # emits every window the advanced watermark closes
+    shutil.copy(on_time_f, os.path.join(src, "000.parquet"))
+    run_once()
+    # run 2: the older half arrives after a restart; the checkpointed
+    # watermark must drop all of it
+    shutil.copy(late_f, os.path.join(src, "001.parquet"))
+    run_once()
+    return spark.read.parquet(out_dir)
