@@ -79,6 +79,8 @@ HEADLINE = [
     "window_running_distinct",
     "agg_time_weighted_avg",
     "agg_mode",
+    "events_markov_transitions",
+    "agg_gini",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming
