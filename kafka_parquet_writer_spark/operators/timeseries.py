@@ -576,12 +576,18 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     a running sum of flags — two window passes over ONE user_id
     shuffle, no per-row set state.
 
-    Scale shape: both windows partition by user_id (the second adds
-    event_type to the key of the first — same exchange, Spark plans
-    one shuffle); state per row is a single int, vs the naive
-    collect_set-over-window which buffers a growing set per row.
+    Scale shape: ONE explicit user_id exchange serves both windows —
+    hash(user_id) partitioning satisfies the (user_id, event_type)
+    clustering the first window requires, so Spark inserts only sorts
+    between them (left implicit, the planner adds a second exchange
+    for the narrower key); state per row is a single int, vs the
+    naive collect_set-over-window which buffers a growing set per row.
     """
-    ev = load_table(spark, sf_dir, "events")
+    from kafka_parquet_writer_spark.session import repartition_for_compute
+
+    ev = repartition_for_compute(
+        load_table(spark, sf_dir, "events"), F.col("user_id")
+    )
     w_first = W.partitionBy("user_id", "event_type").orderBy(
         "ts", "event_id"
     )

@@ -327,3 +327,19 @@ def test_variant_stays_jvm_side(spark, sf_dir):
     assert "ArrowEvalPython" not in plan
     # column pruning: only the two consumed columns reach the scan
     assert set(read_schema_columns(df)) == {"event_type", "props"}
+
+
+def test_markov_gini_twap_single_shuffle_family(spark, sf_dir):
+    """The lead()/rank() window and the downstream aggregate must share
+    one exchange on the same key — the single-shuffle pattern every
+    sequence operator here follows."""
+    for name, max_exchanges in (
+        ("events_markov_transitions", 3),  # seq + (src,dst) agg + norm
+        ("agg_gini", 2),                   # rank window + group agg
+        ("agg_time_weighted_avg", 1),      # lead + agg share user_id
+        ("window_running_distinct", 1),    # both windows share user_id
+    ):
+        df = E.queries()[name](spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert count_exchanges(df) <= max_exchanges, name
