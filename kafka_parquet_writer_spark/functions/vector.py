@@ -63,3 +63,17 @@ def sql_norm(a_expr: str) -> str:
 def sql_lit_vector(values: list[float]) -> str:
     body = ", ".join(repr(float(v)) for v in values)
     return f"CAST([{body}] AS DOUBLE[])"
+
+
+def lit_matrix(rows: list[list[float]]) -> Column:
+    """2-D literal array<array<double>> built as ONE parsed SQL
+    expression. The obvious `F.array(*[F.lit(row) ...])` costs one
+    py4j round-trip per row (~3.5 s for a 64×64 bank, measured);
+    parsing a single generated string is milliseconds. The `E0`
+    exponent suffix forces DOUBLE literals — a bare decimal literal
+    parses as DECIMAL in Spark SQL and would change the arithmetic.
+    """
+    body = ",".join(
+        "array(" + ",".join(f"{x:.6f}E0" for x in r) + ")" for r in rows
+    )
+    return F.expr(f"array({body})")

@@ -755,8 +755,11 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CaseWhen: when m == 16 (small corpora) the per-row work is
     # exactly the pre-bank 16 dots.
     def _score(cs: list[list[float]], base: int) -> Column:
+        # lit_matrix: one parsed SQL literal — per-row F.lit calls
+        # cost a py4j round-trip each (~3.5 s of pure build time for
+        # the 64-row bank, measured)
         return F.transform(
-            F.array(*[F.lit(c) for c in cs]),
+            V.lit_matrix(cs),
             lambda c, j: F.struct(
                 (-V.dot_expr(F.col("u"), c)).alias("s"),
                 (j + base).cast("int").alias("c"),
