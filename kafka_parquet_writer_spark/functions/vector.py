@@ -43,8 +43,14 @@ def cosine_expr(a: Column, b: Column) -> Column:
 
 
 def lit_vector(values: list[float]) -> Column:
-    """A literal double array column (for broadcast-free plane constants)."""
-    return F.array(*[F.lit(float(v)) for v in values])
+    """A literal double array column (for broadcast-free plane
+    constants), built as ONE parsed SQL expression — the obvious
+    `F.array(*[F.lit(v) ...])` costs a py4j round-trip per ELEMENT
+    (measured: seconds of pure build time for a 64-entry codebook of
+    64-dim vectors). String-cast literals round-trip any double
+    exactly (Python repr guarantees it) and parse as DOUBLE."""
+    body = ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in values)
+    return F.expr(f"array({body})")
 
 
 # --- SQL fragment generators (DuckDB oracle side) --------------------------
