@@ -309,3 +309,72 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# --- agg_hll_partitioned ----------------------------------------------------
+
+
+@query(
+    "agg_hll_partitioned",
+    oracle="""
+    SELECT strftime(to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 604800) * 604800),
+                    '%Y-%m-%d') AS wk,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS merged_within_5pct
+    FROM events
+    GROUP BY 1
+    """,
+)
+def agg_hll_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches ACROSS partitions — the
+    incremental-analytics pattern: per-DAY HLL sketches (Datasketches
+    via `hll_sketch_agg`, the thing a daily job would persist beside
+    each partition) are UNIONED into weekly estimates with
+    `hll_union_agg`, so the weekly answer never rescans the raw days.
+    The in-query gate asserts the merged estimate lands within ±5% of
+    the exact weekly distinct (the agg_approx_distinct oracle
+    pattern: DuckDB asserts the literal TRUE, so union drift flips
+    the value hash).
+
+    Scale shape: raw data is touched once at daily grain; weekly /
+    monthly / arbitrary re-slices merge fixed-size sketch blobs —
+    at 100 TB that is the difference between a distinct query per
+    dashboard tile and a byte-sized fold. This is the read-side twin
+    of the reference's write-side partitioning (#6): day files carry
+    their own mergeable summaries.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # derive each day's week bucket from the day window start
+    daily = ev.groupBy(F.window("ts", "1 day").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    ).select(
+        F.date_format(
+            F.timestamp_seconds(
+                F.floor(
+                    F.unix_timestamp(F.col("day.start")) / (7 * 86400)
+                )
+                * (7 * 86400)
+            ),
+            "yyyy-MM-dd",
+        ).alias("wk"),
+        "sk",
+    )
+    weekly = daily.groupBy("wk").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx")
+    )
+    exact = ev.groupBy(
+        F.date_format(
+            F.timestamp_seconds(
+                F.floor(F.unix_timestamp("ts") / (7 * 86400)) * (7 * 86400)
+            ),
+            "yyyy-MM-dd",
+        ).alias("wk")
+    ).agg(F.countDistinct("user_id").alias("n_exact"))
+    return exact.join(weekly, "wk").select(
+        "wk",
+        "n_exact",
+        (
+            (F.col("approx") >= 0.95 * F.col("n_exact"))
+            & (F.col("approx") <= 1.05 * F.col("n_exact"))
+        ).alias("merged_within_5pct"),
+    )
