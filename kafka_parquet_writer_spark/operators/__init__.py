@@ -25,4 +25,5 @@ from kafka_parquet_writer_spark.operators import (  # noqa: F401
     governance,
     web_curation,
     table_queries,
+    geo,
 )
