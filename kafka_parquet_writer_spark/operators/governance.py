@@ -378,3 +378,118 @@ def agg_hll_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("approx") <= 1.05 * F.col("n_exact"))
         ).alias("merged_within_5pct"),
     )
+
+
+# --- agg_countmin -----------------------------------------------------------
+
+CM_SEED = 777
+CM_D = 3      #: hash rows
+CM_W = 64     #: counters per row — 192 ints total; production: 4×2^18
+CM_COEFFS = TH.minhash_coeffs(CM_D, seed=CM_SEED)
+CM_HH_FRAC = 200  #: evaluate tokens holding ≥ 1/200 of the stream
+
+
+def _cm_probes_sql(tid_expr: str) -> str:
+    structs = ", ".join(
+        f"struct_pack(m := {m}, b := ({TH.sql_affine(tid_expr, a, b)} % {CM_W}))"
+        for m, (a, b) in enumerate(CM_COEFFS)
+    )
+    return f"[{structs}]"
+
+
+def _cm_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT unnest({TH.sql_words('text')}) AS token FROM documents
+    ),
+    tids AS (
+      SELECT token, {TH.sql_portable_tid('token')} AS tid FROM toks
+    ),
+    tot AS (SELECT count(*) AS n FROM toks),
+    cm AS (
+      SELECT u.m AS m, u.b AS bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT {_cm_probes_sql('tid')} AS pb FROM tids), unnest(pb) AS t(u)
+      GROUP BY u.m, u.b
+    ),
+    exact AS (
+      SELECT token, tid, CAST(count(*) AS BIGINT) AS n_exact
+      FROM tids GROUP BY token, tid
+      HAVING count(*) * {CM_HH_FRAC} >= (SELECT n FROM tot)
+    ),
+    probes AS (
+      SELECT token, n_exact, u.m AS m, u.b AS bucket
+      FROM (SELECT token, n_exact, {_cm_probes_sql('tid')} AS pb FROM exact),
+           unnest(pb) AS t(u)
+    )
+    SELECT p.token AS token, p.n_exact AS n_exact,
+           CAST(min(cm.cnt) AS BIGINT) AS est_cm,
+           (min(cm.cnt) >= p.n_exact) AS no_underestimate
+    FROM probes p JOIN cm ON cm.m = p.m AND cm.bucket = p.bucket
+    GROUP BY p.token, p.n_exact
+    """
+
+
+def _cm_probes_expr(tid_col):
+    return F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                (TH.affine_hash(tid_col, a, b) % CM_W).alias("b"),
+            )
+            for m, (a, b) in enumerate(CM_COEFFS)
+        ]
+    )
+
+
+@query("agg_countmin", oracle=_cm_oracle())
+def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream: 3 seeded hash rows × 64
+    counters; a token's estimate is the MIN of its 3 counters. The
+    heavy-hitter set (≥ 1/200 of the stream) is then read back out of
+    the sketch and compared against exact counts — the oracle builds
+    the IDENTICAL sketch in DuckDB (same portable hashes, same affine
+    rows), so the estimates are value-hash-verified, not just bounded;
+    `no_underestimate` additionally pins CM's one-sided-error
+    guarantee.
+
+    Scale shape (the point of the operator): the sketch build is a
+    groupBy on (row, bucket) — D·W=192 distinct keys, so map-side
+    partial aggregation collapses each partition to ≤192 rows before
+    the shuffle, regardless of corpus size. Sketches from different
+    partitions/days MERGE by cell-wise addition (same mergeable-
+    summary family as `agg_hll_partitioned`); reading an estimate
+    touches D counters. Production sizing: W = ⌈e/ε⌉, D = ⌈ln 1/δ⌉.
+    The probe join broadcasts the 192-row sketch.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TH.words_expr("text")).alias("token"))
+    tids = toks.withColumn("tid", TH.portable_tid(F.col("token")))
+    tot = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    cm = (
+        tids.select(F.explode(_cm_probes_expr(F.col("tid"))).alias("u"))
+        .groupBy(F.col("u.m").alias("m"), F.col("u.b").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = (
+        tids.groupBy("token", "tid")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(F.broadcast(tot))
+        .filter(F.col("n_exact") * CM_HH_FRAC >= F.col("n_total"))
+    )
+    probes = exact.select(
+        "token", "n_exact", F.explode(_cm_probes_expr(F.col("tid"))).alias("u")
+    )
+    return (
+        probes.join(
+            F.broadcast(cm),
+            (F.col("u.m") == F.col("m")) & (F.col("u.b") == F.col("bucket")),
+        )
+        .groupBy("token", "n_exact")
+        .agg(F.min("cnt").alias("est_cm"))
+        .select(
+            "token",
+            "n_exact",
+            "est_cm",
+            (F.col("est_cm") >= F.col("n_exact")).alias("no_underestimate"),
+        )
+    )

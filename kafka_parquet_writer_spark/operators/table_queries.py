@@ -128,3 +128,68 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v0.join(now, "o_orderkey").filter(
         F.col("o_orderkey") % MERGE_BUMP_MOD == 0
     ).select("o_orderkey", "vc_v0", "vc_now")
+
+
+# --- table_zorder_compact ---------------------------------------------------
+
+#: the two-dimensional audit slice (absolute constants valid at every
+#: fixture SF: user_id spans ≥0..14, value cents span ≥3..32753)
+ZC_U_LO, ZC_U_HI = 3, 7
+ZC_V_LO, ZC_V_HI = 5_000, 15_000
+
+
+@query(
+    "table_zorder_compact",
+    oracle=f"""
+    SELECT count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           CAST(sum({sql_cents('value')}) AS BIGINT) AS vc_sum,
+           TRUE AS pruned_both_dims
+    FROM events
+    WHERE user_id BETWEEN {ZC_U_LO} AND {ZC_U_HI}
+      AND {sql_cents('value')} BETWEEN {ZC_V_LO} AND {ZC_V_HI}
+    """,
+)
+def table_zorder_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering as a driver-checked query: events land
+    FRAGMENTED (16 unclustered files, every file spanning the whole
+    (user_id, value) space — the shape a streaming sink leaves behind,
+    `KafkaProtoParquetWriter.java:282-310`), then OPTIMIZE ZORDER
+    rewrites them along a Morton curve over equi-depth bucket ranks of
+    BOTH columns. The query then runs a 2-dimensional range slice
+    through the log's file-skipping path and returns its aggregate,
+    with an in-query boolean asserting the post-compaction stats prune
+    files on BOTH dimensions (linear clustering can only ever prune
+    the leading one). The oracle computes the slice from the raw
+    table, so a green row proves the rewrite is content-lossless AND
+    that data skipping engaged on each dimension.
+
+    Scale shape: the rewrite is one repartitionByRange on the
+    interleaved key (driver sees only ~quantile boundary values); the
+    slice read is log-pruned BEFORE Spark sees a path — at 100 TB the
+    difference between touching ~√F and F files per non-leading-
+    dimension predicate.
+    """
+    import tempfile as _tf
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", cents(F.col("value")).alias("vc")
+    )
+    t = TxTable(_tf.mkdtemp(prefix="kpws_zorder_"))
+    t.create(ev.repartition(16), stats_cols=["user_id", "vc"])
+    t.compact(spark, cluster_by=["user_id", "vc"], n_files=16, zorder=True)
+    snap = t._snapshot()
+    total = len(snap["files"])
+    pruned = (
+        len(t.candidate_files(snap, "user_id", ZC_U_LO, ZC_U_HI)) < total
+        and len(t.candidate_files(snap, "vc", ZC_V_LO, ZC_V_HI)) < total
+    )
+    sl = t.read_where(spark, "user_id", ZC_U_LO, ZC_U_HI).filter(
+        F.col("vc").between(ZC_V_LO, ZC_V_HI)
+    )
+    return sl.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("id_sum"),
+        F.sum("vc").alias("vc_sum"),
+        F.lit(bool(pruned)).alias("pruned_both_dims"),
+    )
