@@ -532,3 +532,192 @@ def similarity_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.col("cos"), 6).alias("cos"),
         F.col("rnk").cast("int").alias("rnk"),
     )
+
+
+# --- IVF-PQ fusion ----------------------------------------------------------
+
+IVFPQ_N_QUERIES = 20
+IVFPQ_PROBE = 2
+IVFPQ_RERANK = 10   #: ADC shortlist size per query
+IVFPQ_TOPK = 3
+
+
+def _pq_sub_sql(vec_expr: str, m: int) -> str:
+    return f"list_slice({vec_expr}, {m * PQ_SUBDIM + 1}, {(m + 1) * PQ_SUBDIM})"
+
+
+def _ivfpq_oracle() -> str:
+    # corpus side: cell (nearest IVF centroid) + per-subspace PQ codes
+    cell_structs = ", ".join(
+        f"struct_pack(s := CAST({sum(x*x for x in c)!r} AS DOUBLE)"
+        f" - 2.0 * list_dot_product(v, {V.sql_lit_vector(c)}), c := {j})"
+        for j, c in enumerate(IVF_CENTROIDS)
+    )
+    codes = []
+    for m, book in enumerate(PQ_CODEBOOKS):
+        sub = _pq_sub_sql("v", m)
+        structs = ", ".join(
+            f"struct_pack(s := CAST({sum(x * x for x in c)!r} AS DOUBLE)"
+            f" - 2.0 * list_dot_product({sub}, {V.sql_lit_vector(c)}),"
+            f" c := {k})"
+            for k, c in enumerate(book)
+        )
+        codes.append(f"(list_sort([{structs}])[1]).c AS c{m}")
+    # query side: per-subspace ADC lookup table, indexed by the
+    # candidate's code — identical expression tree to the Spark plan
+    terms = []
+    for m, book in enumerate(PQ_CODEBOOKS):
+        qsub = _pq_sub_sql("qv", m)
+        lut = ", ".join(
+            f"CAST({sum(x * x for x in c)!r} AS DOUBLE)"
+            f" - 2.0 * list_dot_product({qsub}, {V.sql_lit_vector(c)})"
+            for c in book
+        )
+        terms.append(
+            f"([{lut}][c{m} + 1] + list_dot_product({qsub}, {qsub}))"
+        )
+    adc = " + ".join(terms)
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    cells AS (SELECT vec_id, v, nrm, list_sort([{cell_structs}]) AS cl FROM e),
+    corpus AS (
+      SELECT vec_id, (cl[1]).c AS cell, {", ".join(codes)}
+      FROM cells
+    ),
+    probes AS (
+      SELECT vec_id, v AS qv, nrm AS qnrm, u.c AS cell
+      FROM (SELECT vec_id, v, nrm, unnest(cl[1:{IVFPQ_PROBE}]) AS u
+            FROM cells WHERE vec_id < {IVFPQ_N_QUERIES})
+    ),
+    adc AS (
+      SELECT q.vec_id AS q_id, q.qv AS qv, q.qnrm AS qnrm,
+             c.vec_id AS n_id,
+             {sql_pround(adc, 6)} AS adc6
+      FROM probes q JOIN corpus c
+        ON q.cell = c.cell AND c.vec_id <> q.vec_id
+    ),
+    short AS (
+      SELECT q_id, qv, qnrm, n_id, adc6
+      FROM adc
+      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc6, n_id)
+              <= {IVFPQ_RERANK}
+    ),
+    rer AS (
+      SELECT s.q_id, s.n_id,
+             {sql_pround("list_dot_product(s.qv, e.v) / (s.qnrm * e.nrm)", 6)}
+               AS cos
+      FROM short s JOIN e ON e.vec_id = s.n_id
+    )
+    SELECT q_id, n_id, cos,
+           CAST(row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos DESC, n_id) AS INTEGER) AS rnk
+    FROM rer
+    QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
+            <= {IVFPQ_TOPK}
+    """
+
+
+@query("similarity_ivf_pq", oracle=_ivfpq_oracle())
+def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ ANN pipeline — the two halves the repo already
+    proves separately (`similarity_ivf` cells, `embedding_pq` codes)
+    FUSED into the index structure real vector stores run at 100 TB:
+    corpus vectors carry only (cell, 4×4-bit PQ code); a query probes
+    its 2 nearest cells, scores candidates by ASYMMETRIC DISTANCE
+    (per-subspace lookup table built from the query vector, indexed by
+    the candidate's code — no candidate embedding touched), keeps an
+    ADC shortlist of 10, and exact-cosine re-ranks only that shortlist
+    into the final top-3. The oracle runs the identical algorithm
+    (same seeded centroids/codebooks as plan literals, same fold
+    order), so every stage — assignment, coding, ADC, re-rank — is
+    value-hash-verified end to end.
+
+    Scale shape: the candidate scan reads 2 bytes/vector instead of
+    256 (the memory-residency argument for PQ); ADC is a pure per-row
+    expression after one equi-join on cell id (cost ∝ Σ probed-cell
+    sizes); only `IVFPQ_RERANK` rows per query ever touch a raw
+    embedding again, via an equi-join of the (tiny, broadcast)
+    shortlist against the vector store. Production swaps in k-means
+    centroids/codebooks (`kmeans_centroids`) — same plan.
+    """
+    emb = repartition_for_compute(
+        load_table(spark, sf_dir, "embeddings"), F.col("vec_id")
+    )
+    v = F.col("embedding")
+    cl = _ivf_cell_structs(v)
+    code_cols = []
+    for m, book in enumerate(PQ_CODEBOOKS):
+        sub = F.slice(v, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+        structs = F.array(
+            *[
+                F.struct(
+                    (
+                        F.lit(float(sum(x * x for x in c)))
+                        - 2.0 * V.dot_expr(sub, V.lit_vector(c))
+                    ).alias("s"),
+                    F.lit(k).alias("c"),
+                )
+                for k, c in enumerate(book)
+            ]
+        )
+        code_cols.append(F.array_min(structs)["c"].alias(f"c{m}"))
+    corpus = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.array_min(cl)["c"].alias("cell"),
+        *code_cols,
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < IVFPQ_N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            v.alias("qv"),
+            F.explode(F.slice(F.array_sort(cl), 1, IVFPQ_PROBE)).alias("p"),
+        )
+        .select("q_id", "qv", F.col("p.c").alias("cell"))
+    )
+    terms = None
+    for m, book in enumerate(PQ_CODEBOOKS):
+        qsub = F.slice(F.col("qv"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+        lut = F.array(
+            *[
+                F.lit(float(sum(x * x for x in c)))
+                - 2.0 * V.dot_expr(qsub, V.lit_vector(c))
+                for c in book
+            ]
+        )
+        term = F.element_at(lut, F.col(f"c{m}") + 1) + V.sq_norm_expr(qsub)
+        terms = term if terms is None else terms + term
+    adc = (
+        F.broadcast(probes)
+        .join(corpus, "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "qv", "n_id", pround(terms, 6).alias("adc6"))
+    )
+    ws = W.partitionBy("q_id").orderBy(F.col("adc6"), F.col("n_id"))
+    short = (
+        adc.withColumn("srnk", F.row_number().over(ws))
+        .filter(F.col("srnk") <= IVFPQ_RERANK)
+        .drop("srnk")
+    )
+    store = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("cv"))
+    rer = (
+        F.broadcast(short)
+        .join(store, "n_id")
+        .select(
+            "q_id",
+            "n_id",
+            pround(V.cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    wk = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        rer.withColumn("rnk", F.row_number().over(wk).cast("int"))
+        .filter(F.col("rnk") <= IVFPQ_TOPK)
+        .select("q_id", "n_id", "cos", "rnk")
+    )
