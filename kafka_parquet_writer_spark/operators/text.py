@@ -657,3 +657,76 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_pii_scrub: the scrubber under a value oracle
+# ---------------------------------------------------------------------------
+
+def _pii_oracle() -> str:
+    email = PII_PATTERNS["email"]
+    ipv4 = PII_PATTERNS["ipv4"].replace("\\", "\\")
+    phone = PII_PATTERNS["phone"]
+    aug = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@ex' || "
+        "CAST(doc_id % 7 AS VARCHAR) || '.example.com from 10.' || "
+        "CAST(doc_id % 256 AS VARCHAR) || '.' || "
+        "CAST(doc_id % 100 AS VARCHAR) || '.7 call +1 555-01' || "
+        "CAST(doc_id % 100 AS VARCHAR) || "
+        "(CASE WHEN doc_id % 3 = 0 THEN ' cc bob' || CAST(doc_id AS VARCHAR)"
+        " || '@corp.net' ELSE '' END) || ' ok'"
+    )
+    scrub = (
+        "regexp_replace(regexp_replace(regexp_replace(aug, "
+        "'" + email + "', '<EMAIL>', 'g'), "
+        "'" + ipv4 + "', '<IP>', 'g'), "
+        "'" + phone + "', '<PHONE>', 'g')"
+    )
+    return (
+        "WITH a AS (SELECT doc_id, " + aug + " AS aug FROM documents)\n"
+        "SELECT doc_id,\n"
+        "  CAST(len(regexp_extract_all(aug, '" + email + "')) AS BIGINT) AS n_email,\n"
+        "  CAST(len(regexp_extract_all(aug, '" + ipv4 + "')) AS BIGINT) AS n_ipv4,\n"
+        "  CAST(len(regexp_extract_all(aug, '" + phone + "')) AS BIGINT) AS n_phone,\n"
+        "  md5(" + scrub + ") AS scrub_md5\n"
+        "FROM a"
+    )
+
+
+@query("text_pii_scrub", oracle=_pii_oracle())
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`scrub_pii` under the driver's value gate. The fixture corpus is
+    digit-free, so each document is deterministically AUGMENTED with
+    synthetic PII derived from its own doc_id (an email, an IPv4, a
+    phone-shaped digit run, and a second email on every 3rd doc) —
+    both engines build the identical augmented text, so the oracle
+    verifies the regex COUNTS and the byte-exact md5 of the scrubbed
+    output (tags substituted, everything else untouched), not just row
+    plumbing. Patterns are Java-regex ∩ RE2 by construction
+    (PII_PATTERNS), which is what makes the cross-engine hash possible.
+
+    Scale shape: pure per-row JVM regex projection — no shuffle, no
+    UDF; at 100 TB this runs at scan speed inside the same
+    whole-stage-codegen span as the read.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), s(d), F.lit("@ex"), s(d % 7),
+        F.lit(".example.com from 10."), s(d % 256), F.lit("."), s(d % 100),
+        F.lit(".7 call +1 555-01"), s(d % 100),
+        F.when(
+            d % 3 == 0, F.concat(F.lit(" cc bob"), s(d), F.lit("@corp.net"))
+        ).otherwise(F.lit("")),
+        F.lit(" ok"),
+    )
+    out = scrub_pii(docs.select("doc_id", aug.alias("text")))
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.md5(F.col("text_scrubbed")).alias("scrub_md5"),
+    )
