@@ -1,0 +1,157 @@
+"""Bloom-filter semi-join prefilter — the runtime-filter pattern.
+
+Spark's AQE injects runtime bloom filters on its own
+(`spark.sql.optimizer.runtime.bloomFilter.enabled`); this operator
+builds the SAME mechanism explicitly with portable integer hashing so
+the DuckDB oracle constructs the identical filter and every count —
+including the bloom's exact candidate set — is value-hash-verified.
+The shape matters at 100 TB: shipping a ~4 KB bitmap to every scan
+task and dropping non-joining fact rows BEFORE the shuffle is the
+difference between shuffling the whole fact table and shuffling the
+~matching fraction.
+
+Word size is 32 bits inside an int64 (masks stay positive — both
+engines' `<<` semantics agree with no sign games).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_parquet_writer_spark.catalog import load_table
+from kafka_parquet_writer_spark.functions import texthash as TH
+from kafka_parquet_writer_spark.registry import query
+
+BLOOM_BITS = 32_768          #: 2^15 bits — ~4 KB; size for ~1% fp at scale
+BLOOM_WORD = 32              #: bits per bitmap word (positive int64 masks)
+BLOOM_SEED = 555
+BLOOM_K = 3
+BLOOM_COEFFS = TH.minhash_coeffs(BLOOM_K, seed=BLOOM_SEED)
+#: the selective dim predicate whose keys feed the filter
+BLOOM_DIM_PRED = "o_orderpriority = '1-URGENT'"
+
+
+def _positions_sql(key: str) -> list[tuple[str, str]]:
+    """[(word_expr, mask_expr)] per hash — DuckDB side."""
+    out = []
+    for a, b in BLOOM_COEFFS:
+        pos = f"({TH.sql_affine(key, a, b)} % {BLOOM_BITS})"
+        out.append(
+            (
+                f"({pos} // {BLOOM_WORD})",
+                f"(CAST(1 AS BIGINT) << ({pos} % {BLOOM_WORD}))",
+            )
+        )
+    return out
+
+
+def _word_mask(pos):
+    """(word, mask) columns for a bit position — mask via 2.0^b cast
+    long (exact for b < 53; here b < 32), matching the oracle's `<<`."""
+    word = F.floor(pos / BLOOM_WORD).cast("long")
+    mask = F.pow(F.lit(2.0), (pos % BLOOM_WORD).cast("double")).cast("long")
+    return word, mask
+
+
+def _bloom_oracle() -> str:
+    build_rows = " UNION ALL ".join(
+        f"SELECT {w} AS word, {m} AS mask FROM dim"
+        for w, m in _positions_sql("k")
+    )
+    probe = _positions_sql("l.l_orderkey")
+    joins = "\n".join(
+        f"LEFT JOIN bloom b{i} ON b{i}.word = {w}"
+        for i, (w, _) in enumerate(probe)
+    )
+    passed = " AND ".join(
+        f"COALESCE((b{i}.bits & {m}) <> 0, FALSE)"
+        for i, (_, m) in enumerate(probe)
+    )
+    return f"""
+    WITH dim AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders WHERE {BLOOM_DIM_PRED}
+    ),
+    bloom AS (
+      SELECT word, CAST(bit_or(mask) AS BIGINT) AS bits
+      FROM ({build_rows}) GROUP BY word
+    ),
+    flags AS (
+      SELECT ({passed}) AS bloom_pass,
+             (d.k IS NOT NULL) AS is_true
+      FROM lineitem l
+      LEFT JOIN dim d ON d.k = l.l_orderkey
+      {joins}
+    )
+    SELECT count(*) AS n_fact,
+           CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true,
+           CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_pass,
+           (sum(CASE WHEN is_true AND NOT bloom_pass THEN 1 ELSE 0 END) = 0)
+             AS no_false_negatives
+    FROM flags
+    """
+
+
+@query("join_bloom_prefilter", oracle=_bloom_oracle())
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit runtime bloom filter: the keys of a selective dim
+    predicate (urgent orders) are folded into a {BLOOM_BITS}-bit
+    bitmap ({BLOOM_K} seeded affine hashes, bit_or aggregate over
+    32-bit words); the fact scan then probes the bitmap with
+    broadcast joins and per-row bit tests. The query reports the exact
+    candidate count next to the true semi-join count, with a
+    deterministic `no_false_negatives` proof — the oracle builds the
+    identical filter, so even the false-positive margin is
+    value-hash-verified.
+
+    Scale shape: the build side is one aggregate to ≤{BLOOM_BITS //
+    BLOOM_WORD} words (map-side combine collapses it per partition);
+    the probe side is {BLOOM_K} BROADCAST hash joins + bit math — the
+    fact table is never shuffled, which is the entire point of a
+    runtime filter ahead of a big join at 100 TB.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (
+        o.filter(F.expr(BLOOM_DIM_PRED))
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+
+    # build: per-key (word, mask) rows → bit_or per word
+    build = None
+    for a, b in BLOOM_COEFFS:
+        pos = TH.affine_hash(F.col("k"), a, b) % BLOOM_BITS
+        word, mask = _word_mask(pos)
+        part = dim.select(word.alias("word"), mask.alias("mask"))
+        build = part if build is None else build.unionAll(part)
+    bloom = build.groupBy("word").agg(F.bit_or("mask").alias("bits"))
+
+    flags = li.select("l_orderkey").join(
+        F.broadcast(dim), li.l_orderkey == F.col("k"), "left"
+    )
+    passed = None
+    for i, (a, b) in enumerate(BLOOM_COEFFS):
+        pos = TH.affine_hash(F.col("l_orderkey"), a, b) % BLOOM_BITS
+        word, mask = _word_mask(pos)
+        bi = bloom.select(
+            F.col("word").alias(f"w{i}"), F.col("bits").alias(f"bits{i}")
+        )
+        flags = flags.join(F.broadcast(bi), word == F.col(f"w{i}"), "left")
+        ok = F.coalesce(
+            (F.col(f"bits{i}").bitwiseAND(mask) != 0), F.lit(False)
+        )
+        passed = ok if passed is None else passed & ok
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_fact"),
+        F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0)).alias("n_true"),
+        F.sum(F.when(passed, 1).otherwise(0)).alias("n_bloom_pass"),
+        (
+            F.sum(
+                F.when(F.col("k").isNotNull() & ~passed, 1).otherwise(0)
+            )
+            == 0
+        ).alias("no_false_negatives"),
+    )
