@@ -81,6 +81,14 @@ HEADLINE = [
     "agg_mode",
     "events_markov_transitions",
     "agg_gini",
+    # round-4 late additions
+    "agg_countmin",
+    "similarity_ivf_pq",
+    "text_pii_scrub",
+    "join_bloom_prefilter",
+    "channel_union_rollup",
+    "rollup_share_rank",
+    "table_zorder_compact",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming

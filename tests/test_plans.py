@@ -343,3 +343,40 @@ def test_markov_gini_twap_single_shuffle_family(spark, sf_dir):
         plan = formatted_plan(df)
         assert "CartesianProduct" not in plan, name
         assert count_exchanges(df) <= max_exchanges, name
+
+
+def test_bloom_prefilter_never_shuffles_fact(spark, sf_dir):
+    """The entire point of a runtime filter: the fact side reaches the
+    probe via broadcast joins only — a SortMergeJoin/shuffle on
+    lineitem would moot the bitmap."""
+    plan = formatted_plan(E.queries()["join_bloom_prefilter"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4  # dim + 3 bloom probes
+
+
+def test_tpcds_shapes_single_expand_broadcast_dim(spark, sf_dir):
+    p1 = formatted_plan(E.queries()["channel_union_rollup"](spark, sf_dir))
+    assert p1.count("Expand (") == 1  # tree lists once, detail once
+    assert "SortMergeJoin" not in p1
+    p2 = formatted_plan(E.queries()["rollup_share_rank"](spark, sf_dir))
+    assert p2.count("Expand (") == 1
+    assert "BroadcastHashJoin" in p2  # part is a broadcast dim
+    assert "SortMergeJoin" not in p2
+
+
+def test_countmin_probe_broadcasts_sketch(spark, sf_dir):
+    """The 192-row sketch broadcasts to the probe join; the only
+    shuffles are the two aggregates (sketch build collapses map-side
+    to ≤192 rows per partition)."""
+    plan = formatted_plan(E.queries()["agg_countmin"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_pq_no_cartesian_broadcast_shortlist(spark, sf_dir):
+    plan = formatted_plan(E.queries()["similarity_ivf_pq"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
