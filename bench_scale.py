@@ -58,6 +58,10 @@ LINEAR_SHORT = [
 ]
 #: exact all-pairs forms — Ω(n²) by nature; measured as the contrast
 QUADRATIC = ["dedup_embedding"]
+#: streaming state-store lane: k× distinct keys through the same
+#: micro-batch timeline — state size scales, runtime should stay
+#: ~linear (state ops are O(1) per row)
+STREAMING_SCALE = ["stream_window_tumbling", "stream_dedup"]
 
 KS_LINEAR = (1, 2, 4, 8)
 KS_QUADRATIC = (1, 2, 4)
@@ -79,9 +83,23 @@ def build_blowup(spark, k: int) -> str:
 
     out = tempfile.mkdtemp(prefix=f"kpws_scale_x{k}_")
     for t in TABLES:
-        if t in ("documents", "embeddings"):
+        if t in ("documents", "embeddings", "events"):
             continue
         os.symlink(table_path(SF_DIR, t), table_path(out, t))
+
+    # events ×k with re-keyed ids/users: the streaming state lane sees
+    # k× distinct state-store entities over the same window timeline
+    ev = load_table(spark, SF_DIR, "events")
+    copies = []
+    for i in range(k):
+        copies.append(
+            ev.withColumn("event_id", F.col("event_id") + F.lit(i * COPY_STRIDE))
+            .withColumn("user_id", F.col("user_id") + F.lit(i * COPY_STRIDE))
+        )
+    blown = copies[0]
+    for c in copies[1:]:
+        blown = blown.unionByName(c)
+    blown.write.mode("overwrite").parquet(table_path(out, "events"))
 
     docs = load_table(spark, SF_DIR, "documents")
     copies = []
@@ -127,6 +145,60 @@ def build_blowup(spark, k: int) -> str:
     return out
 
 
+def zorder_skip_lane(spark, dirs: dict[int, str]) -> dict:
+    """Data-skipping at scale: events ×k land fragmented (16·k files),
+    OPTIMIZE ZORDER rewrites them, then a fixed 2-D slice
+    (user_id ∈ [3,7] of the base key range, vc ∈ [5000,15000]) is
+    answered through the log's file pruning. The claim under test: the
+    PRUNED FRACTION stays ~constant as the table grows — skipping is
+    scale-invariant, so slice cost grows with the slice, not the
+    table. Records per-k file totals, per-dimension candidates, and
+    slice-read wall time."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kafka_parquet_writer_spark.catalog import load_table
+    from kafka_parquet_writer_spark.operators.table_queries import (
+        ZC_U_HI,
+        ZC_U_LO,
+        ZC_V_HI,
+        ZC_V_LO,
+    )
+    from kafka_parquet_writer_spark.functions.portable import cents
+    from kafka_parquet_writer_spark.tablefmt import TxTable
+
+    out: dict[str, dict] = {"files": {}, "candidates": {}, "slice_sec": {}}
+    for k in sorted(dirs):
+        ev = load_table(spark, dirs[k], "events").select(
+            "event_id", "user_id", cents(F.col("value")).alias("vc")
+        )
+        tdir = tempfile.mkdtemp(prefix=f"kpws_zscale_x{k}_")
+        t = TxTable(tdir)
+        t.create(ev.repartition(16 * k), stats_cols=["user_id", "vc"])
+        t.compact(spark, cluster_by=["user_id", "vc"], n_files=16 * k,
+                  zorder=True)
+        snap = t._snapshot()
+        total = len(snap["files"])
+        cu = len(t.candidate_files(snap, "user_id", ZC_U_LO, ZC_U_HI))
+        cv = len(t.candidate_files(snap, "vc", ZC_V_LO, ZC_V_HI))
+        t0 = time.time()
+        t.read_where(spark, "user_id", ZC_U_LO, ZC_U_HI).filter(
+            F.col("vc").between(ZC_V_LO, ZC_V_HI)
+        ).write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        out["files"][str(k)] = total
+        out["candidates"][str(k)] = {"user_id": cu, "vc": cv}
+        out["slice_sec"][str(k)] = dt
+        print(
+            f"zorder x{k}: files={total} cand_u={cu} cand_v={cv} "
+            f"slice={dt}s",
+            file=sys.stderr,
+        )
+        shutil.rmtree(tdir, ignore_errors=True)
+    return out
+
+
 def fit_exponent(points: dict[int, float]) -> float:
     xs = [math.log(k) for k in sorted(points)]
     ys = [math.log(points[k]) for k in sorted(points)]
@@ -162,7 +234,7 @@ def main() -> None:
 
     timings: dict[str, dict[int, float]] = {}
     for _pass in range(2):
-        for name in LINEAR + LINEAR_SHORT + QUADRATIC:
+        for name in LINEAR + LINEAR_SHORT + QUADRATIC + STREAMING_SCALE:
             for k in KS_LINEAR if name in LINEAR else KS_QUADRATIC:
                 spark.catalog.clearCache()
                 t0 = time.time()
@@ -176,6 +248,8 @@ def main() -> None:
                     file=sys.stderr,
                 )
 
+    zorder = zorder_skip_lane(spark, {k: dirs[k] for k in KS_LINEAR})
+
     result = {
         "metric": "scale_exponents",
         "exponents": {q: fit_exponent(t) for q, t in timings.items()},
@@ -185,6 +259,8 @@ def main() -> None:
         "ks_linear": list(KS_LINEAR),
         "ks_quadratic": list(KS_QUADRATIC),
         "linear_short_keys": LINEAR_SHORT,
+        "streaming_keys": STREAMING_SCALE,
+        "zorder_skip": zorder,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
     }
     line = json.dumps(result)
