@@ -649,11 +649,70 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = repartition_for_compute(
         load_table(spark, sf_dir, "embeddings"), F.col("vec_id")
     )
+    return ivf_pq_topk(emb, IVF_CENTROIDS, PQ_CODEBOOKS)
+
+
+def pq_codebooks_kmeans(
+    emb: DataFrame,
+    n_books: int = PQ_M,
+    n_codes: int = PQ_K,
+    seed: int = PQ_SEED,
+    sample_fraction: float = 1.0,
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Production PQ codebook training: per-subspace k-means (MLlib).
+
+    The declared `similarity_ivf_pq` key uses seeded random codebooks
+    so the DuckDB oracle can run the identical algorithm; seeded
+    random codewords quantize badly (on the isotropic fixture the
+    quantization error swamps neighbor gaps — measured in
+    tests/test_round4_ops.py), so a real deployment trains each
+    subspace's codebook on a sample, exactly as `kmeans_centroids`
+    does for IVF cells. Returned books are plain literals — the
+    `ivf_pq_topk` plan is byte-identical to the seeded-book plan.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sample = emb if sample_fraction >= 1.0 else emb.sample(
+        fraction=sample_fraction, seed=seed
+    )
+    subdim = EMBED_DIM // n_books
+    books = []
+    for m in range(n_books):
+        feats = sample.select(
+            array_to_vector(
+                F.slice(F.col(vec_col), m * subdim + 1, subdim).cast(
+                    "array<double>"
+                )
+            ).alias("features")
+        )
+        model = KMeans(k=n_codes, seed=seed + m, maxIter=20).fit(feats)
+        books.append(
+            [[round(float(x), 6) for x in c] for c in model.clusterCenters()]
+        )
+    return books
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    n_queries: int = IVFPQ_N_QUERIES,
+    probe: int = IVFPQ_PROBE,
+    rerank: int = IVFPQ_RERANK,
+    topk: int = IVFPQ_TOPK,
+) -> DataFrame:
+    """The IVF-PQ engine with caller-supplied centroids/codebooks —
+    shared by the declared seeded-constant key (oracle-checked) and
+    the k-means production path (`kmeans_centroids` +
+    `pq_codebooks_kmeans`)."""
+    subdim = EMBED_DIM // len(codebooks)
     v = F.col("embedding")
-    cl = _ivf_cell_structs(v)
+    cl = _ivf_cell_structs(v, centroids)
     code_cols = []
-    for m, book in enumerate(PQ_CODEBOOKS):
-        sub = F.slice(v, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+    for m, book in enumerate(codebooks):
+        sub = F.slice(v, m * subdim + 1, subdim)
         structs = F.array(
             *[
                 F.struct(
@@ -673,17 +732,17 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         *code_cols,
     )
     probes = (
-        emb.filter(F.col("vec_id") < IVFPQ_N_QUERIES)
+        emb.filter(F.col("vec_id") < n_queries)
         .select(
             F.col("vec_id").alias("q_id"),
             v.alias("qv"),
-            F.explode(F.slice(F.array_sort(cl), 1, IVFPQ_PROBE)).alias("p"),
+            F.explode(F.slice(F.array_sort(cl), 1, probe)).alias("p"),
         )
         .select("q_id", "qv", F.col("p.c").alias("cell"))
     )
     terms = None
-    for m, book in enumerate(PQ_CODEBOOKS):
-        qsub = F.slice(F.col("qv"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+    for m, book in enumerate(codebooks):
+        qsub = F.slice(F.col("qv"), m * subdim + 1, subdim)
         lut = F.array(
             *[
                 F.lit(float(sum(x * x for x in c)))
@@ -702,7 +761,7 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = W.partitionBy("q_id").orderBy(F.col("adc6"), F.col("n_id"))
     short = (
         adc.withColumn("srnk", F.row_number().over(ws))
-        .filter(F.col("srnk") <= IVFPQ_RERANK)
+        .filter(F.col("srnk") <= rerank)
         .drop("srnk")
     )
     store = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("cv"))
@@ -718,6 +777,6 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     wk = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
         rer.withColumn("rnk", F.row_number().over(wk).cast("int"))
-        .filter(F.col("rnk") <= IVFPQ_TOPK)
+        .filter(F.col("rnk") <= topk)
         .select("q_id", "n_id", "cos", "rnk")
     )

@@ -31,13 +31,25 @@ _stage_cache: dict[str, str] = {}
 
 
 def _staged_dir(path: str) -> str:
-    """Streaming file sources require a directory; the fixture is a
-    single parquet file — stage a symlink inside a temp dir."""
+    """Streaming file sources require a directory of data FILES; the
+    fixture is a single parquet file — stage a symlink inside a temp
+    dir. A multi-file table (e.g. bench_scale's blown-up fixtures)
+    arrives as a DIRECTORY: the file-stream source does not recurse
+    into subdirectories, so symlinking the directory itself would
+    silently stream ZERO rows — stage each part file instead."""
+    import glob as _glob
     import os
 
     if path not in _stage_cache:
         d = tempfile.mkdtemp(prefix="kpws_src_")
-        os.symlink(path, os.path.join(d, os.path.basename(path)))
+        if os.path.isdir(path):
+            parts = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+            if not parts:
+                raise FileNotFoundError(f"no parquet files under {path}")
+            for i, p in enumerate(parts):
+                os.symlink(p, os.path.join(d, f"part-{i:05d}.parquet"))
+        else:
+            os.symlink(path, os.path.join(d, os.path.basename(path)))
         _stage_cache[path] = d
     return _stage_cache[path]
 
