@@ -710,20 +710,30 @@ def ivf_pq_topk(
     subdim = EMBED_DIM // len(codebooks)
     v = F.col("embedding")
     cl = _ivf_cell_structs(v, centroids)
+    # one 2-D literal + indexed transform per book (16 separate
+    # expression trees per book made ANALYSIS the dominant cost —
+    # 5.4 s plan build measured at sf0.01; same fix as the ANN
+    # dedup centroid bank)
+    norms_lit = [
+        V.lit_vector([sum(x * x for x in c) for c in book])
+        for book in codebooks
+    ]
+    def _code_structs(sub, norms):
+        def fn(c, j):
+            return F.struct(
+                (F.element_at(norms, j + 1) - 2.0 * V.dot_expr(sub, c)).alias(
+                    "s"
+                ),
+                j.alias("c"),
+            )
+
+        return fn
+
     code_cols = []
     for m, book in enumerate(codebooks):
         sub = F.slice(v, m * subdim + 1, subdim)
-        structs = F.array(
-            *[
-                F.struct(
-                    (
-                        F.lit(float(sum(x * x for x in c)))
-                        - 2.0 * V.dot_expr(sub, V.lit_vector(c))
-                    ).alias("s"),
-                    F.lit(k).alias("c"),
-                )
-                for k, c in enumerate(book)
-            ]
+        structs = F.transform(
+            V.lit_matrix(book), _code_structs(sub, norms_lit[m])
         )
         code_cols.append(F.array_min(structs)["c"].alias(f"c{m}"))
     corpus = emb.select(
@@ -740,16 +750,16 @@ def ivf_pq_topk(
         )
         .select("q_id", "qv", F.col("p.c").alias("cell"))
     )
+    def _lut_entry(qsub, norms):
+        def fn(c, j):
+            return F.element_at(norms, j + 1) - 2.0 * V.dot_expr(qsub, c)
+
+        return fn
+
     terms = None
     for m, book in enumerate(codebooks):
         qsub = F.slice(F.col("qv"), m * subdim + 1, subdim)
-        lut = F.array(
-            *[
-                F.lit(float(sum(x * x for x in c)))
-                - 2.0 * V.dot_expr(qsub, V.lit_vector(c))
-                for c in book
-            ]
-        )
+        lut = F.transform(V.lit_matrix(book), _lut_entry(qsub, norms_lit[m]))
         term = F.element_at(lut, F.col(f"c{m}") + 1) + V.sq_norm_expr(qsub)
         terms = term if terms is None else terms + term
     adc = (
