@@ -99,7 +99,12 @@ def build_blowup(spark, k: int) -> str:
     blown = copies[0]
     for c in copies[1:]:
         blown = blown.unionByName(c)
-    blown.write.mode("overwrite").parquet(table_path(out, "events"))
+    # constant file count: the streaming lane's source parallelism must
+    # not grow with k (x1 = 1 file / 1 read task vs x4 = 128 files /
+    # 32-way read measured as an INVERTED scaling curve)
+    blown.repartition(32).write.mode("overwrite").parquet(
+        table_path(out, "events")
+    )
 
     docs = load_table(spark, SF_DIR, "documents")
     copies = []
