@@ -182,10 +182,14 @@ def build_events_blowup(spark, k: int) -> str:
             "i", F.explode(F.sequence(F.lit(0), F.lit(int(k) - 1)))
         )
         .withColumn(
-            "event_id", F.col("event_id") + F.col("i") * F.lit(COPY_STRIDE)
+            "event_id",
+            F.col("event_id")
+            + F.col("i").cast("long") * F.lit(COPY_STRIDE).cast("long"),
         )
         .withColumn(
-            "user_id", F.col("user_id") + F.col("i") * F.lit(COPY_STRIDE)
+            "user_id",
+            F.col("user_id")
+            + F.col("i").cast("long") * F.lit(COPY_STRIDE).cast("long"),
         )
         .drop("i")
     )
