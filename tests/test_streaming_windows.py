@@ -178,3 +178,35 @@ def test_stream_decontaminate_equals_batch(spark):
     )
     assert streamed == batch
     assert batch, "fixture must produce a non-empty contaminated set"
+
+
+def test_staged_dir_stages_directory_tables(spark, tmp_path):
+    """A multi-file table arrives as a DIRECTORY; the file-stream
+    source does not recurse, so _staged_dir must stage the part files
+    themselves — symlinking the directory streamed ZERO rows (caught
+    by bench_scale's streaming lane)."""
+    import glob
+    import os
+
+    from kafka_parquet_writer_spark.operators.streaming_queries import (
+        _staged_dir,
+    )
+
+    d = str(tmp_path / "multi.parquet")
+    spark.range(100).repartition(4).write.parquet(d)
+    staged = _staged_dir(d)
+    parts = glob.glob(os.path.join(staged, "*.parquet"))
+    assert len(parts) == 4
+    assert all(os.path.isfile(p) for p in parts)
+    n = (
+        spark.readStream.schema("id long")
+        .parquet(staged)
+        .groupBy()
+        .count()
+    )
+    from kafka_parquet_writer_spark.operators.streaming_queries import (
+        _run_to_memory,
+    )
+
+    out = _run_to_memory(n, "complete")
+    assert out.collect()[0][0] == 100
