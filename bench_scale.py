@@ -94,24 +94,10 @@ def build_blowup(spark, k: int) -> str:
             continue
         os.symlink(table_path(SF_DIR, t), table_path(out, t))
 
-    # events ×k with re-keyed ids/users: the streaming state lane sees
-    # k× distinct state-store entities over the same window timeline
-    ev = load_table(spark, SF_DIR, "events")
-    copies = []
-    for i in range(k):
-        copies.append(
-            ev.withColumn("event_id", F.col("event_id") + F.lit(i * COPY_STRIDE))
-            .withColumn("user_id", F.col("user_id") + F.lit(i * COPY_STRIDE))
-        )
-    blown = copies[0]
-    for c in copies[1:]:
-        blown = blown.unionByName(c)
-    # constant file count: the streaming lane's source parallelism must
-    # not grow with k (x1 = 1 file / 1 read task vs x4 = 128 files /
-    # 32-way read measured as an INVERTED scaling curve)
-    blown.repartition(32).write.mode("overwrite").parquet(
-        table_path(out, "events")
-    )
+    # events ×k with re-keyed ids/users (feeds the z-order skip lane)
+    _blow_events(load_table(spark, SF_DIR, "events"), k).write.mode(
+        "overwrite"
+    ).parquet(table_path(out, "events"))
 
     docs = load_table(spark, SF_DIR, "documents")
     copies = []
@@ -157,27 +143,16 @@ def build_blowup(spark, k: int) -> str:
     return out
 
 
-def build_events_blowup(spark, k: int) -> str:
-    """Events-only ×k dir for the streaming lane (other tables
-    symlinked from the base fixture — the streaming keys read only
-    events). Constant 32-file layout at every k."""
+def _blow_events(ev, k: int):
+    """events ×k with re-keyed event/user ids, explode-based (a k-way
+    union plan gets expensive to analyze at k=128; one generator
+    column is flat-cost at any k). Constant 32-file output layout so
+    source parallelism never varies with k (x1 = 1 file / 1 read task
+    vs x4 = 128 files / 32-way read measured as an INVERTED streaming
+    scaling curve before this was pinned)."""
     from pyspark.sql import functions as F
 
-    from kafka_parquet_writer_spark.catalog import (
-        TABLES,
-        load_table,
-        table_path,
-    )
-
-    out = tempfile.mkdtemp(prefix=f"kpws_sscale_x{k}_")
-    for t in TABLES:
-        if t == "events":
-            continue
-        os.symlink(table_path(SF_DIR, t), table_path(out, t))
-    # explode-based ×k (a k-way union plan gets expensive to analyze at
-    # k=128; one generator column is flat-cost at any k)
-    ev = load_table(spark, SF_DIR, "events")
-    blown = (
+    return (
         ev.withColumn(
             "i", F.explode(F.sequence(F.lit(0), F.lit(int(k) - 1)))
         )
@@ -192,10 +167,28 @@ def build_events_blowup(spark, k: int) -> str:
             + F.col("i").cast("long") * F.lit(COPY_STRIDE).cast("long"),
         )
         .drop("i")
+        .repartition(32)
     )
-    blown.repartition(32).write.mode("overwrite").parquet(
-        table_path(out, "events")
+
+
+def build_events_blowup(spark, k: int) -> str:
+    """Events-only ×k dir for the streaming lane (other tables
+    symlinked from the base fixture — the streaming keys read only
+    events). Constant 32-file layout at every k."""
+    from kafka_parquet_writer_spark.catalog import (
+        TABLES,
+        load_table,
+        table_path,
     )
+
+    out = tempfile.mkdtemp(prefix=f"kpws_sscale_x{k}_")
+    for t in TABLES:
+        if t == "events":
+            continue
+        os.symlink(table_path(SF_DIR, t), table_path(out, t))
+    _blow_events(load_table(spark, SF_DIR, "events"), k).write.mode(
+        "overwrite"
+    ).parquet(table_path(out, "events"))
     return out
 
 
@@ -207,49 +200,43 @@ def zorder_skip_lane(spark, dirs: dict[int, str]) -> dict:
     PRUNED FRACTION stays ~constant as the table grows — skipping is
     scale-invariant, so slice cost grows with the slice, not the
     table. Records per-k file totals, per-dimension candidates, and
-    slice-read wall time."""
+    slice-read wall time. The table build + slice go through the SAME
+    helpers as the driver-verified `table_zorder_compact` key."""
     import shutil
 
     from pyspark.sql import functions as F
 
     from kafka_parquet_writer_spark.catalog import load_table
-    from kafka_parquet_writer_spark.operators.table_queries import (
-        ZC_U_HI,
-        ZC_U_LO,
-        ZC_V_HI,
-        ZC_V_LO,
-    )
     from kafka_parquet_writer_spark.functions.portable import cents
-    from kafka_parquet_writer_spark.tablefmt import TxTable
+    from kafka_parquet_writer_spark.operators.table_queries import (
+        zorder_slice_read,
+        zorder_slice_stats,
+    )
 
     out: dict[str, dict] = {"files": {}, "candidates": {}, "slice_sec": {}}
     for k in sorted(dirs):
         ev = load_table(spark, dirs[k], "events").select(
             "event_id", "user_id", cents(F.col("value")).alias("vc")
         )
-        tdir = tempfile.mkdtemp(prefix=f"kpws_zscale_x{k}_")
-        t = TxTable(tdir)
-        t.create(ev.repartition(16 * k), stats_cols=["user_id", "vc"])
-        t.compact(spark, cluster_by=["user_id", "vc"], n_files=16 * k,
-                  zorder=True)
-        snap = t._snapshot()
-        total = len(snap["files"])
-        cu = len(t.candidate_files(snap, "user_id", ZC_U_LO, ZC_U_HI))
-        cv = len(t.candidate_files(snap, "vc", ZC_V_LO, ZC_V_HI))
+        t, st = zorder_slice_stats(
+            spark, ev, n_frag=16 * k, n_files=16 * k
+        )
         t0 = time.time()
-        t.read_where(spark, "user_id", ZC_U_LO, ZC_U_HI).filter(
-            F.col("vc").between(ZC_V_LO, ZC_V_HI)
-        ).write.format("noop").mode("overwrite").save()
+        zorder_slice_read(spark, t).write.format("noop").mode(
+            "overwrite"
+        ).save()
         dt = round(time.time() - t0, 3)
-        out["files"][str(k)] = total
-        out["candidates"][str(k)] = {"user_id": cu, "vc": cv}
+        out["files"][str(k)] = st["total"]
+        out["candidates"][str(k)] = {
+            "user_id": st["cand_u"], "vc": st["cand_v"],
+        }
         out["slice_sec"][str(k)] = dt
         print(
-            f"zorder x{k}: files={total} cand_u={cu} cand_v={cv} "
-            f"slice={dt}s",
+            f"zorder x{k}: files={st['total']} cand_u={st['cand_u']} "
+            f"cand_v={st['cand_v']} slice={dt}s",
             file=sys.stderr,
         )
-        shutil.rmtree(tdir, ignore_errors=True)
+        shutil.rmtree(t.dir, ignore_errors=True)
     return out
 
 

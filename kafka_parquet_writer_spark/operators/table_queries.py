@@ -138,6 +138,35 @@ ZC_U_LO, ZC_U_HI = 3, 7
 ZC_V_LO, ZC_V_HI = 5_000, 15_000
 
 
+def zorder_slice_stats(
+    spark: SparkSession, ev: DataFrame, n_frag: int, n_files: int
+) -> tuple[TxTable, dict]:
+    """Shared by the driver key below and bench_scale's z-order skip
+    lane (so the measured lane can never drift from the verified key):
+    land ``ev`` fragmented into ``n_frag`` unclustered files, OPTIMIZE
+    ZORDER on (user_id, vc) into ``n_files``, and report the file-
+    skipping stats for the fixed 2-D audit slice."""
+    t = TxTable(tempfile.mkdtemp(prefix="kpws_zorder_"))
+    t.create(ev.repartition(n_frag), stats_cols=["user_id", "vc"])
+    t.compact(
+        spark, cluster_by=["user_id", "vc"], n_files=n_files, zorder=True
+    )
+    snap = t._snapshot()
+    stats = {
+        "total": len(snap["files"]),
+        "cand_u": len(t.candidate_files(snap, "user_id", ZC_U_LO, ZC_U_HI)),
+        "cand_v": len(t.candidate_files(snap, "vc", ZC_V_LO, ZC_V_HI)),
+    }
+    return t, stats
+
+
+def zorder_slice_read(spark: SparkSession, t: TxTable) -> DataFrame:
+    """The 2-D audit slice through the log's file-skipping path."""
+    return t.read_where(spark, "user_id", ZC_U_LO, ZC_U_HI).filter(
+        F.col("vc").between(ZC_V_LO, ZC_V_HI)
+    )
+
+
 @query(
     "table_zorder_compact",
     oracle=f"""
@@ -170,23 +199,12 @@ def table_zorder_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference between touching ~√F and F files per non-leading-
     dimension predicate.
     """
-    import tempfile as _tf
-
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", cents(F.col("value")).alias("vc")
     )
-    t = TxTable(_tf.mkdtemp(prefix="kpws_zorder_"))
-    t.create(ev.repartition(16), stats_cols=["user_id", "vc"])
-    t.compact(spark, cluster_by=["user_id", "vc"], n_files=16, zorder=True)
-    snap = t._snapshot()
-    total = len(snap["files"])
-    pruned = (
-        len(t.candidate_files(snap, "user_id", ZC_U_LO, ZC_U_HI)) < total
-        and len(t.candidate_files(snap, "vc", ZC_V_LO, ZC_V_HI)) < total
-    )
-    sl = t.read_where(spark, "user_id", ZC_U_LO, ZC_U_HI).filter(
-        F.col("vc").between(ZC_V_LO, ZC_V_HI)
-    )
+    t, st = zorder_slice_stats(spark, ev, n_frag=16, n_files=16)
+    pruned = st["cand_u"] < st["total"] and st["cand_v"] < st["total"]
+    sl = zorder_slice_read(spark, t)
     return sl.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("event_id").alias("id_sum"),

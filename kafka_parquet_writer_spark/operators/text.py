@@ -664,8 +664,10 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _pii_oracle() -> str:
+    # patterns contain no single quotes; DuckDB single-quoted strings
+    # pass backslashes through unescaped
     email = PII_PATTERNS["email"]
-    ipv4 = PII_PATTERNS["ipv4"].replace("\\", "\\")
+    ipv4 = PII_PATTERNS["ipv4"]
     phone = PII_PATTERNS["phone"]
     aug = (
         "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@ex' || "

@@ -125,8 +125,8 @@ def test_ivf_pq_trained_books_beat_seeded(spark):
         kmeans_centroids,
         pq_codebooks_kmeans,
     )
+    from tests.conftest import SF_ORACLE as sf
 
-    sf = "/root/testdata/sf0.01"
     emb = load_table(spark, sf, "embeddings")
     cents = kmeans_centroids(emb, 8)
     books = pq_codebooks_kmeans(emb)
