@@ -89,6 +89,8 @@ HEADLINE = [
     "channel_union_rollup",
     "rollup_share_rank",
     "table_zorder_compact",
+    "agg_audience_overlap",
+    "join_point_in_polygon",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming

@@ -493,3 +493,137 @@ def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_cm") >= F.col("n_exact")).alias("no_underestimate"),
         )
     )
+
+
+# --- agg_audience_overlap ---------------------------------------------------
+
+OPH_K = 64          #: buckets (one-permutation MinHash register count)
+OPH_A, OPH_B = 48_271, 11  #: affine permutation (a ∈ [1, P))
+#: loose OPH accuracy gate in basis points (σ ≈ √(j(1−j)/K) ≈ 0.04)
+OPH_TOL_BP = 2_000
+
+
+@query(
+    "agg_audience_overlap",
+    oracle=f"""
+    WITH aud AS (
+      SELECT DISTINCT CAST(hour(ts) AS INTEGER) AS h, user_id FROM events
+    ),
+    hashed AS (
+      SELECT h, {TH.sql_affine('user_id', OPH_A, OPH_B)} AS hv FROM aud
+    ),
+    sk AS (
+      SELECT h, hv % {OPH_K} AS b, CAST(min(hv) AS BIGINT) AS m
+      FROM hashed GROUP BY h, hv % {OPH_K}
+    ),
+    est AS (
+      SELECT x.h AS h,
+             CAST(10000 * sum(CASE WHEN x.m = y.m THEN 1 ELSE 0 END)
+                  // count(*) AS BIGINT) AS j_est_bp
+      FROM sk x JOIN sk y ON y.h = x.h + 1 AND y.b = x.b
+      GROUP BY x.h
+    ),
+    sizes AS (
+      SELECT h, count(*) AS n FROM aud GROUP BY h
+    ),
+    inter AS (
+      SELECT x.h AS h, count(y.user_id) AS i
+      FROM aud x LEFT JOIN aud y
+        ON y.user_id = x.user_id AND y.h = x.h + 1
+      WHERE x.h < 23
+      GROUP BY x.h
+    ),
+    exact AS (
+      SELECT i.h AS h,
+             CAST(10000 * i.i // (sa.n + sb.n - i.i) AS BIGINT)
+               AS j_exact_bp
+      FROM inter i
+      JOIN sizes sa ON sa.h = i.h
+      JOIN sizes sb ON sb.h = i.h + 1
+    )
+    SELECT e.h AS h, est.j_est_bp AS j_est_bp, e.j_exact_bp AS j_exact_bp,
+           (abs(est.j_est_bp - e.j_exact_bp) <= {OPH_TOL_BP}) AS close
+    FROM exact e JOIN est ON est.h = e.h
+    """,
+)
+def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap (Jaccard) between consecutive hours' user
+    sets, estimated from ONE-PERMUTATION MinHash sketches: each hour's
+    users hash through one seeded affine permutation into {OPH_K}
+    buckets keeping the per-bucket MINIMUM — J(A,B) ≈ matching minima
+    / co-probed buckets. The third mergeable-sketch family member
+    beside HLL (distinct counts) and count-min (frequencies): bucket
+    minima merge by elementwise min, and unlike HLL the sketch
+    supports set SIMILARITY/intersection algebra. The oracle builds
+    the identical sketch, so the estimates themselves are
+    value-hash-verified; the exact Jaccard and a ±{OPH_TOL_BP}bp gate
+    ride along.
+
+    Scale shape: the sketch build is groupBy(h, bucket) min — map-side
+    combine collapses every partition to ≤24·{OPH_K} rows before the
+    ONE shuffle, regardless of event volume; pair scoring joins
+    64-row sketches. The exact side (a users×users-scale join) exists
+    only as this fixture-scale verification gate — production reads
+    sketches alone.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    aud = ev.select(
+        F.hour("ts").cast("int").alias("h"), "user_id"
+    ).distinct()
+    hv = TH.affine_hash(F.col("user_id"), OPH_A, OPH_B)
+    sk = (
+        aud.select("h", hv.alias("hv"))
+        .groupBy("h", (F.col("hv") % OPH_K).alias("b"))
+        .agg(F.min("hv").alias("m"))
+    )
+    x = sk.select(
+        F.col("h").alias("h"), F.col("b").alias("b"), F.col("m").alias("mx")
+    )
+    y = sk.select(
+        (F.col("h") - 1).alias("h"), F.col("b").alias("b"),
+        F.col("m").alias("my"),
+    )
+    est = (
+        x.join(F.broadcast(y), ["h", "b"])
+        .groupBy("h")
+        .agg(
+            (
+                10000
+                * F.sum(F.when(F.col("mx") == F.col("my"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("j_est_bp")
+        )
+    )
+    sizes = aud.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+    ay = aud.select((F.col("h") - 1).alias("h"), F.col("user_id").alias("uy"))
+    inter = (
+        aud.filter(F.col("h") < 23)
+        .join(ay, (aud.h == ay.h) & (aud.user_id == F.col("uy")), "left")
+        .drop(ay.h)
+        .groupBy("h")
+        .agg(F.count("uy").alias("i"))
+    )
+    sa = sizes.select(F.col("h"), F.col("n").alias("na"))
+    sb = sizes.select((F.col("h") - 1).alias("h"), F.col("n").alias("nb"))
+    exact = (
+        inter.join(F.broadcast(sa), "h")
+        .join(F.broadcast(sb), "h")
+        .select(
+            "h",
+            (
+                10000 * F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+            )
+            .cast("long")
+            .alias("j_exact_bp"),
+        )
+    )
+    return exact.join(est, "h").select(
+        "h",
+        "j_est_bp",
+        "j_exact_bp",
+        (
+            F.abs(F.col("j_est_bp") - F.col("j_exact_bp")) <= OPH_TOL_BP
+        ).alias("close"),
+    )

@@ -380,3 +380,19 @@ def test_ivf_pq_no_cartesian_broadcast_shortlist(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_audience_overlap_sketch_broadcast(spark, sf_dir):
+    """Sketch pair-scoring and size lookups broadcast (64-row
+    relations); the only real shuffles are the audience distinct and
+    the sketch groupBy."""
+    plan = formatted_plan(E.queries()["agg_audience_overlap"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_point_in_polygon_broadcast_cells_no_cartesian(spark, sf_dir):
+    plan = formatted_plan(E.queries()["join_point_in_polygon"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
