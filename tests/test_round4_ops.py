@@ -184,3 +184,45 @@ def test_zorder_key_both_dims_pruned_at_smoke_sf(spark):
     size."""
     r = E.queries()["table_zorder_compact"](spark, SF_SMOKE).collect()[0]
     assert r["pruned_both_dims"]
+
+
+def test_ray_cast_concave_notch_excluded(spark):
+    """bbox-vs-polygon distinction: the 'ell' polygon's notch (inside
+    the bounding box, outside the L) must ray-cast to OUTSIDE, and the
+    two arms to inside — the case a stats/bbox-only test cannot get
+    right."""
+    from kafka_parquet_writer_spark.operators.geo import _crossings_col
+
+    pts = spark.createDataFrame(
+        [
+            (-900, -450, True),   # bottom arm
+            (-900, -150, True),   # left column
+            (-300, -150, False),  # the notch
+            (600, -150, False),   # right of the polygon entirely
+        ],
+        "lon int, lat int, want boolean",
+    )
+    got = pts.withColumn(
+        "inside",
+        _crossings_col("ell", F.col("lon"), F.col("lat")) % 2 == 1,
+    )
+    assert got.filter(F.col("inside") != F.col("want")).count() == 0
+
+
+def test_audience_overlap_estimates_close(spark):
+    """Estimates stay in [0, 10000]bp at every SF; the ±2000bp gate is
+    asserted at the ORACLE SF, where audiences (~130) exceed the 64
+    buckets. At the smoke SF (15 users) OPH exhibits its known
+    small-set bias toward 1.0 (most co-probed buckets hold a single
+    shared user) — the gate column honestly reports false there, and
+    production densifies or sizes K below |set| (the 100 TB regime)."""
+    from tests.conftest import SF_ORACLE
+
+    smoke = E.queries()["agg_audience_overlap"](spark, SF_SMOKE).collect()
+    assert len(smoke) == 23
+    for r in smoke:
+        assert 0 <= r["j_est_bp"] <= 10000
+    rows = E.queries()["agg_audience_overlap"](spark, SF_ORACLE).collect()
+    assert len(rows) == 23
+    for r in rows:
+        assert r["close"], (r["h"], r["j_est_bp"], r["j_exact_bp"])
