@@ -91,6 +91,7 @@ HEADLINE = [
     "table_zorder_compact",
     "agg_audience_overlap",
     "join_point_in_polygon",
+    "text_line_dedup",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming

@@ -782,3 +782,106 @@ def er_cluster_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("doc").alias("name"), F.col("comp").alias("canonical")
     )
+
+
+# --- text_line_dedup --------------------------------------------------------
+
+LINE_N = 3  #: words per segmentation line
+
+
+@query(
+    "text_line_dedup",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {TH.sql_words('text')} AS ws FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, u.i AS idx,
+             array_to_string(
+               ws[(u.i - 1) * {LINE_N} + 1 : u.i * {LINE_N}], ' ') AS line
+      FROM (
+        SELECT doc_id, ws,
+               unnest(list_transform(
+                 range(1, CAST(ceil(len(ws) / {LINE_N}.0) AS BIGINT) + 1),
+                 i -> struct_pack(i := i))) AS u
+        FROM w
+      )
+    ),
+    kept AS (
+      SELECT doc_id, idx, line
+      FROM lines
+      QUALIFY row_number() OVER (PARTITION BY line
+                                 ORDER BY doc_id, idx) = 1
+    ),
+    totals AS (
+      SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id
+    )
+    SELECT t.doc_id AS doc_id,
+           CAST(t.n_lines AS BIGINT) AS n_lines,
+           CAST(count(k.line) AS BIGINT) AS n_kept,
+           md5(string_agg(k.line, ' ' ORDER BY k.idx)) AS clean_md5
+    FROM totals t JOIN kept k ON k.doc_id = t.doc_id
+    GROUP BY t.doc_id, t.n_lines
+    """,
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide LINE-level dedup — the CCNet/Gopher curation step
+    exact-doc dedup misses: documents share boilerplate lines without
+    being duplicates themselves. Text segments into fixed
+    {LINE_N}-word lines; across the WHOLE corpus each distinct line
+    survives only at its first occurrence (smallest (doc_id,
+    position)); every document is then reassembled from its surviving
+    lines in order. Emits per-doc line counts and the byte-exact md5
+    of the cleaned text, so the oracle verifies the reassembly —
+    ordering included — not just the counts. (~19% of fixture lines
+    are cross-doc duplicates at this granularity.)
+
+    Scale shape: segmentation is a per-row transform (no explode until
+    the line table, which is ~|tokens|/{LINE_N} rows); first-occurrence
+    is ONE window over the line-hash shuffle (at 100 TB: partial
+    min-per-line pre-aggregation before the shuffle — same key); the
+    reassembly groupBy shuffles only SURVIVING lines. Exactly the
+    dedup_exact pattern applied inside documents.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = TH.words_expr("text")
+    n_lines = F.ceil(F.size(ws) / F.lit(float(LINE_N))).cast("long")
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_lines.cast("int")),
+                lambda i: F.array_join(
+                    F.slice(ws, (i - 1) * LINE_N + 1, LINE_N), " "
+                ),
+            )
+        ).alias("pos0", "line"),
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("idx"), "line"
+    )
+    w = W.partitionBy("line").orderBy("doc_id", "idx")
+    kept = (
+        lines.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        kept.join(totals, "doc_id")
+        .groupBy("doc_id", "n_lines")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("idx", "line"))
+                        ),
+                        lambda x: x["line"],
+                    ),
+                    " ",
+                )
+            ).alias("clean_md5"),
+        )
+        .select("doc_id", "n_lines", "n_kept", "clean_md5")
+    )

@@ -226,3 +226,39 @@ def test_audience_overlap_estimates_close(spark):
     assert len(rows) == 23
     for r in rows:
         assert r["close"], (r["h"], r["j_est_bp"], r["j_exact_bp"])
+
+
+def test_line_dedup_keeps_each_distinct_line_exactly_once(spark):
+    """Global uniqueness AND completeness in one count: Σ n_kept over
+    all docs must equal the number of DISTINCT lines in the original
+    corpus (every distinct line survives exactly once, nowhere twice,
+    none lost); plus kept ≤ total per doc with at least one doc
+    actually losing lines."""
+    from kafka_parquet_writer_spark.catalog import load_table
+    from kafka_parquet_writer_spark.functions import texthash as TH
+    from kafka_parquet_writer_spark.operators.corpus_prep import LINE_N
+
+    out = E.queries()["text_line_dedup"](spark, SF_SMOKE).collect()
+    assert out
+    assert any(r["n_kept"] < r["n_lines"] for r in out)
+    for r in out:
+        assert 1 <= r["n_kept"] <= r["n_lines"]
+
+    ws = TH.words_expr("text")
+    n_lines = F.ceil(F.size(ws) / F.lit(float(LINE_N))).cast("int")
+    distinct_lines = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n_lines),
+                    lambda i: F.array_join(
+                        F.slice(ws, (i - 1) * LINE_N + 1, LINE_N), " "
+                    ),
+                )
+            ).alias("line")
+        )
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_kept"] for r in out) == distinct_lines
