@@ -134,6 +134,14 @@ def _driver_evidence() -> dict[str, tuple[int, bool]]:
     return evidence
 
 
+# Keys whose latest driver green is KNOWN-VACUOUS or otherwise needs a
+# re-check despite being recent: treated as never-checked (tier 1) so
+# the next driver run re-proves them. r5: dedup_url's r4 green matched
+# on 0 rows == 0 rows (fixture bug, fixed in web_curation.py) — it
+# needs a green row with rows > 0.
+_FORCE_RECHECK = {"dedup_url"}
+
+
 def _ordered(keys: dict) -> dict:
     evidence = _driver_evidence()
     reg_order = {k: i for i, k in enumerate(keys)}
@@ -142,6 +150,8 @@ def _ordered(keys: dict) -> dict:
 
     def sort_key(k: str):
         ev = evidence.get(k)
+        if k in _FORCE_RECHECK:
+            ev = None
         tie = (hint.get(k, big), reg_order[k])
         if ev is not None and not ev[1]:
             return (0, 0, tie)          # most recent check failed

@@ -846,11 +846,17 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ws = TH.words_expr("text")
     n_lines = F.ceil(F.size(ws) / F.lit(float(LINE_N))).cast("long")
+    # guard: for a zero-token doc, sequence(1, 0) would default to step
+    # -1 and yield [1, 0] (two bogus lines); DuckDB's range(1, 1) is
+    # empty — same guard as text_chunk above.
+    idx_seq = F.when(
+        n_lines > 0, F.sequence(F.lit(1), n_lines.cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
     lines = docs.select(
         "doc_id",
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(1), n_lines.cast("int")),
+                idx_seq,
                 lambda i: F.array_join(
                     F.slice(ws, (i - 1) * LINE_N + 1, LINE_N), " "
                 ),

@@ -9,11 +9,16 @@ the bulk of trivial duplicates before the expensive shingle/embedding
 passes (operators/dedup.py).
 
 The fixture has no URL column, so each document derives one
-deterministically from (doc_id, source) with doc_id-dependent noise —
-scheme flips, host case, utm_* tracking params, shuffled query order,
+deterministically from doc_id with doc_id-dependent noise — scheme
+flips, host case, utm_* tracking params, shuffled query order,
 fragments, trailing slashes — such that every group of documents
-sharing doc_id div 4 canonicalizes to the same URL. Both engines build
-and canonicalize the same strings, so the oracle is exact.
+sharing doc_id div 4 canonicalizes to the same URL. The host is
+derived from doc_id div 4 as well (NOT from any per-document column:
+round 4 built it from `source`, which varies within every div-4
+group, so no canonical group ever had >1 member and the driver's
+green row was vacuous — 0 rows == 0 rows). Both engines build and
+canonicalize the same strings, so the oracle is exact and, with
+URL_GROUP=4, nonempty at every sf.
 
 Canonical form (the standard normalization set):
   scheme→https, host lowercased, default port dropped, fragment
@@ -37,7 +42,9 @@ def _synth_url_sql() -> str:
     """DuckDB expression building the noisy URL for a doc row."""
     return f"""
     CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END ||
-    CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END ||
+    CASE WHEN doc_id % 3 = 0
+         THEN upper('site-' || CAST(doc_id // {URL_GROUP} % 13 AS VARCHAR))
+         ELSE 'site-' || CAST(doc_id // {URL_GROUP} % 13 AS VARCHAR) END ||
     '.example.com' ||
     CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
     '/page/' || CAST(doc_id // {URL_GROUP} AS VARCHAR) ||
@@ -55,7 +62,16 @@ def _synth_url_col() -> F.Column:
     d = F.col("doc_id")
     return F.concat(
         F.when(d % 2 == 0, "http://").otherwise("https://"),
-        F.when(d % 3 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.when(
+            d % 3 == 0,
+            F.upper(
+                F.expr(
+                    f"'site-' || CAST(doc_id div {URL_GROUP} % 13 AS STRING)"
+                )
+            ),
+        ).otherwise(
+            F.expr(f"'site-' || CAST(doc_id div {URL_GROUP} % 13 AS STRING)")
+        ),
         F.lit(".example.com"),
         F.when(d % 5 == 0, ":443").otherwise(""),
         F.lit("/page/"),

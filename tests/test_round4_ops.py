@@ -246,12 +246,17 @@ def test_line_dedup_keeps_each_distinct_line_exactly_once(spark):
 
     ws = TH.words_expr("text")
     n_lines = F.ceil(F.size(ws) / F.lit(float(LINE_N))).cast("int")
+    # mirror the operator's zero-token guard (sequence(1, 0) would
+    # descend and fabricate two bogus lines)
+    idx_seq = F.when(
+        n_lines > 0, F.sequence(F.lit(1), n_lines)
+    ).otherwise(F.array().cast("array<int>"))
     distinct_lines = (
         load_table(spark, SF_SMOKE, "documents")
         .select(
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), n_lines),
+                    idx_seq,
                     lambda i: F.array_join(
                         F.slice(ws, (i - 1) * LINE_N + 1, LINE_N), " "
                     ),
@@ -262,3 +267,28 @@ def test_line_dedup_keeps_each_distinct_line_exactly_once(spark):
         .count()
     )
     assert sum(r["n_kept"] for r in out) == distinct_lines
+
+
+def test_line_dedup_empty_doc_emits_no_lines(spark, tmp_path):
+    """A zero-token document must contribute ZERO lines. Without the
+    sequence guard, F.sequence(1, 0) defaults to step -1 and yields
+    [1, 0] — two bogus empty lines — while DuckDB's range(1, 1) is
+    empty, so the key would break on the first whitespace-only doc."""
+    from kafka_parquet_writer_spark.operators.corpus_prep import (
+        text_line_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "en", "web", 22),
+            (2, "", "en", "web", 0),
+            (3, "   ", "en", "web", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {r["doc_id"]: r for r in text_line_dedup(spark, str(tmp_path)).collect()}
+    # empty/whitespace docs produce no lines, hence no output row at all
+    assert set(rows) == {1}
+    assert rows[1]["n_lines"] == 2  # ceil(4 words / 3-word lines)
+    assert rows[1]["n_kept"] == 2
