@@ -72,6 +72,11 @@ KS_STREAM = (2, 8, 32, 128)
 
 KS_LINEAR = (1, 2, 4, 8)
 KS_QUADRATIC = (1, 2, 4)
+#: dedup_embedding_ann gets a deeper ladder: its r4 regression only
+#: showed past the old 64-cell bank cap (saturation at ×4 of sf0.1 ⇒
+#: super-linear ×4→×8), so the lane must reach well past where any
+#: residual cap would saturate to prove the dynamic bank holds
+KS_ANN = (1, 2, 4, 8, 16, 32)
 
 #: doc_id / vec_id offset between copies — far above any fixture id
 COPY_STRIDE = 100_000_000
@@ -169,6 +174,51 @@ def _blow_events(ev, k: int):
         .drop("i")
         .repartition(32)
     )
+
+
+def build_embeddings_blowup(spark, k: int) -> str:
+    """Embeddings-only ×k dir for the deep ANN ladder (other tables
+    symlinked — the ANN key reads only embeddings). Same per-copy
+    decorrelation (component rotation) as build_blowup; generator-
+    based like _blow_events so a ×32 build is one flat plan, and
+    written as 32 files so source parallelism is constant across k."""
+    from pyspark.sql import functions as F
+
+    from kafka_parquet_writer_spark.catalog import (
+        TABLES,
+        load_table,
+        table_path,
+    )
+
+    out = tempfile.mkdtemp(prefix=f"kpws_ascale_x{k}_")
+    for t in TABLES:
+        if t == "embeddings":
+            continue
+        os.symlink(table_path(SF_DIR, t), table_path(out, t))
+    emb = load_table(spark, SF_DIR, "embeddings")
+    (
+        emb.withColumn(
+            "i", F.explode(F.sequence(F.lit(0), F.lit(int(k) - 1)))
+        )
+        .withColumn(
+            "vec_id",
+            F.col("vec_id")
+            + F.col("i").cast("long") * F.lit(COPY_STRIDE).cast("long"),
+        )
+        .withColumn("r", F.col("i") % 64)
+        .withColumn(
+            "embedding",
+            F.expr(
+                "concat(slice(embedding, r + 1, 64 - r), "
+                "slice(embedding, 1, r))"
+            ),
+        )
+        .drop("i", "r")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(table_path(out, "embeddings"))
+    )
+    return out
 
 
 def build_events_blowup(spark, k: int) -> str:
@@ -298,6 +348,14 @@ def main() -> None:
     for d in sdirs.values():
         atexit.register(shutil.rmtree, d, ignore_errors=True)
 
+    # deep ANN ladder: reuse the full dirs where they exist, build
+    # embeddings-only dirs for the ×16/×32 extension
+    adirs = {k: dirs[k] for k in KS_ANN if k in dirs}
+    for k in KS_ANN:
+        if k not in adirs:
+            adirs[k] = build_embeddings_blowup(spark, k)
+            atexit.register(shutil.rmtree, adirs[k], ignore_errors=True)
+
     timings: dict[str, dict[int, float]] = {}
     for _pass in range(2):
         for name in LINEAR + LINEAR_SHORT + QUADRATIC + STREAMING_SCALE:
@@ -313,10 +371,16 @@ def main() -> None:
                         file=sys.stderr,
                     )
                 continue
-            for k in KS_LINEAR if name in LINEAR else KS_QUADRATIC:
+            if name == "dedup_embedding_ann":
+                klist, kdirs = KS_ANN, adirs
+            elif name in LINEAR:
+                klist, kdirs = KS_LINEAR, dirs
+            else:
+                klist, kdirs = KS_QUADRATIC, dirs
+            for k in klist:
                 spark.catalog.clearCache()
                 t0 = time.time()
-                run(QUERIES[name](spark, dirs[k]))
+                run(QUERIES[name](spark, kdirs[k]))
                 dt = time.time() - t0
                 spark.catalog.clearCache()
                 cur = timings.setdefault(name, {})
@@ -344,6 +408,7 @@ def main() -> None:
             q: {str(k): v for k, v in t.items()} for q, t in timings.items()
         },
         "ks_linear": list(KS_LINEAR),
+        "ks_ann": list(KS_ANN),
         "ks_quadratic": list(KS_QUADRATIC),
         "linear_short_keys": LINEAR_SHORT,
         "streaming_keys": STREAMING_SCALE,

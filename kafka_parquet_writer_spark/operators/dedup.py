@@ -642,21 +642,34 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_DEDUP_SEED = 404
 #: floor on active cells (the original fixed-cell configuration)
 ANN_DEDUP_CELLS = 16
-#: seeded centroid bank; the ACTIVE prefix grows with corpus size
+#: size of the ORACLE-COVERED seeded prefix: the committed oracle SQL
+#: embeds exactly this many centroid literals, so it is the exact
+#: algorithm whenever m ≤ BANK (n ≤ BANK·TARGET ≈ 8k vectors — every
+#: real fixture; the driver checks at sf0.01, n = 500). The Spark side
+#: is NOT capped here: m grows with the corpus and the bank is
+#: re-generated larger from the same seed (prefix-stable).
 ANN_DEDUP_BANK = 64
-#: target vectors per cell — active cells m = clip(n/TARGET, 16, BANK)
+#: target vectors per cell — active cells m = max(16, n/TARGET)
 ANN_DEDUP_TARGET_PER_CELL = 125
 ANN_DEDUP_PROBE = 4
+#: single-literal assignment ceiling: past ~64k centroids the one-row
+#: 2-D literal (m × 64 doubles) and the per-row m-dot scan both stop
+#: being the right tool — the 100 TB continuation is a two-level
+#: (coarse ⋈ fine) assignment giving m₁·m₂ effective cells at
+#: m₁ + m₂ dots per row. Asserted loudly rather than silently capped,
+#: because a silent cap is exactly the quadratic-reintroducing bug
+#: this bound replaces (r4: hard cap 64 → Σcell² ∝ n² past ×4).
+ANN_DEDUP_MAX_LITERAL_CELLS = 65536
 
 
-def _dedup_centroids() -> list[list[float]]:
+def _dedup_centroids(bank: int = ANN_DEDUP_BANK) -> list[list[float]]:
     import numpy as np
 
-    # randn fills row-major, so the first 16 rows of the 64-row bank
-    # are bit-identical to the original randn(16, 64) draw — small
-    # corpora (m = 16) produce exactly the pre-bank results
+    # randn fills row-major, so the first B rows of any larger bank
+    # are bit-identical to randn(B, 64) — growing the bank with the
+    # corpus never changes the cells a smaller corpus would get
     rng = np.random.RandomState(ANN_DEDUP_SEED)
-    cs = rng.randn(ANN_DEDUP_BANK, 64)
+    cs = rng.randn(bank, 64)
     cs = cs / np.linalg.norm(cs, axis=1, keepdims=True)
     return [[round(float(x), 6) for x in c] for c in cs]
 
@@ -709,85 +722,77 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine verify — the 100 TB scale path.
 
     Each unit vector probes its ``ANN_DEDUP_PROBE`` nearest of the
-    first m centroids of a seeded bank, where m = clip(n / target,
-    16, bank) scales WITH the corpus (max cosine ≡ spherical k-means
-    assignment; raw-L2 assignment degenerates when vector norms vary).
-    Candidates are same-cell pairs — an **equi-join on cell id**, cost
-    ∝ Σ cell² — then exact-cosine verified at the threshold. Fixing
-    the cell count would make per-cell population grow ∝ n and the
-    verify quadratic again (bench_scale.py measured exactly that at
-    ×8 before cells became adaptive); holding per-cell population at
-    ``ANN_DEDUP_TARGET_PER_CELL`` keeps the verify ~linear until the
-    bank cap, and at 100 TB the bank is generated larger (more seeded
-    draws — same construction), not redesigned. On real corpora
-    (clustered: crawl snapshots, version families) Σ cell² ≪ n²; on
-    this isotropic synthetic fixture recall is 59/59 @ sf0.01 and
-    ~95% @ sf0.1 (measured vs the exact operator) — the no-free-lunch
-    cost of sub-quadratic candidates at a weak 0.4 threshold.
+    first m centroids of a seeded bank, where m = max(16, n / target)
+    scales WITH the corpus — UNCAPPED: the bank is re-generated
+    larger from the same seed whenever m outgrows it, and the randn
+    row-major fill keeps every smaller bank a bit-identical prefix
+    (max cosine ≡ spherical k-means assignment; raw-L2 assignment
+    degenerates when vector norms vary). Candidates are same-cell
+    pairs — an **equi-join on cell id**, cost ∝ Σ cell² — then
+    exact-cosine verified at the threshold. Any fixed cell-count cap
+    makes per-cell population grow ∝ n past its saturation point and
+    the verify quadratic again — bench_scale.py measured exactly that
+    twice (fixed 16 cells: super-linear at ×8; r4's 64-cell bank cap:
+    ×4→×8 doubling exponent 1.42). Holding per-cell population at
+    ``ANN_DEDUP_TARGET_PER_CELL`` keeps the verify ~linear at any n.
+    m is derived from a driver-side count(*) — satisfied from parquet
+    row-group metadata, no data scan — because the centroid literal
+    must be sized before the plan is built; at 100 TB that count is a
+    footer-only job. Past ``ANN_DEDUP_MAX_LITERAL_CELLS`` (~8M
+    vectors/partition-group) the single-literal assignment should
+    hand off to a two-level coarse⋈fine assignment (m₁·m₂ effective
+    cells at m₁+m₂ dots/row); asserted loudly, never silently capped.
+
+    On real corpora (clustered: crawl snapshots, version families)
+    Σ cell² ≪ n²; on this isotropic synthetic fixture recall is 59/59
+    @ sf0.01 and ~95% @ sf0.1 (measured vs the exact operator) — the
+    no-free-lunch cost of sub-quadratic candidates at a weak 0.4
+    threshold.
 
     The oracle runs the identical algorithm (same seeded centroid
-    literals, same probe count), so results value-hash-match exactly.
+    literals, same probe count), so results value-hash-match exactly
+    wherever its static 64-centroid text covers the dynamic bank
+    (m ≤ 64 ⟺ n ≤ 8000 — all committed fixtures; the blow-up lanes
+    beyond that are covered by the recall test vs dedup_embedding).
     """
     from kafka_parquet_writer_spark.functions import vector as V
 
     emb = _unit_vectors(spark, sf_dir)
-    # active-cell count m = clip(n / target, floor, bank): cells scale
-    # WITH the corpus so per-cell population — and the quadratic
-    # verify within each cell — stays bounded (measured: the fixed-16
-    # configuration went super-linear in bench_scale.py at ×8)
-    # count over the raw table (not the normalized projection): the
-    # scan satisfies count(*) from parquet row-group metadata
-    act = load_table(spark, sf_dir, "embeddings").agg(
-        F.least(
-            F.lit(ANN_DEDUP_BANK),
-            F.greatest(
-                F.lit(ANN_DEDUP_CELLS),
-                F.expr(
-                    f"count(*) div {ANN_DEDUP_TARGET_PER_CELL}"
-                ),
-            ),
-        ).alias("m")
-    )
+    # active-cell count m = max(floor, n / target): cells scale WITH
+    # the corpus so per-cell population — and the quadratic verify
+    # within each cell — stays bounded at every n
+    n = load_table(spark, sf_dir, "embeddings").count()
+    m = max(ANN_DEDUP_CELLS, n // ANN_DEDUP_TARGET_PER_CELL)
+    if m > ANN_DEDUP_MAX_LITERAL_CELLS:
+        raise ValueError(
+            f"dedup_embedding_ann: m={m} active cells exceeds the "
+            f"single-literal assignment ceiling "
+            f"({ANN_DEDUP_MAX_LITERAL_CELLS}); switch to a two-level "
+            "coarse/fine centroid assignment (see docstring) rather "
+            "than capping m — a cap makes the verify quadratic."
+        )
+    cs = DEDUP_CENTROIDS if m <= ANN_DEDUP_BANK else _dedup_centroids(m)
     # ONE 2-D centroid literal + an indexed transform lambda: a
     # per-centroid expression tree (bank × dot_expr nodes) made
-    # analysis/codegen time the dominant cost once the bank grew to 64.
-    # The tail beyond the 16-cell floor is scored behind a lazy
-    # CaseWhen: when m == 16 (small corpora) the per-row work is
-    # exactly the pre-bank 16 dots.
-    def _score(cs: list[list[float]], base: int) -> Column:
-        # lit_matrix: one parsed SQL literal — per-row F.lit calls
-        # cost a py4j round-trip each (~3.5 s of pure build time for
-        # the 64-row bank, measured)
-        return F.transform(
-            V.lit_matrix(cs),
-            lambda c, j: F.struct(
-                (-V.dot_expr(F.col("u"), c)).alias("s"),
-                (j + base).cast("int").alias("c"),
-            ),
-        )
-
-    scored = F.concat(
-        _score(DEDUP_CENTROIDS[:ANN_DEDUP_CELLS], 0),
-        F.when(
-            F.col("m") > ANN_DEDUP_CELLS,
-            _score(DEDUP_CENTROIDS[ANN_DEDUP_CELLS:], ANN_DEDUP_CELLS),
-        ).otherwise(
-            F.array().cast("array<struct<s:double,c:int>>")
+    # analysis/codegen time the dominant cost once the bank grew to
+    # 64; lit_matrix is one parsed SQL literal (per-row F.lit calls
+    # cost a py4j round-trip each — ~3.5 s of pure build time for the
+    # 64-row bank, measured). m is known driver-side, so exactly m
+    # centroids are scored — no scalar-subquery crossJoin, no lazy
+    # CaseWhen tail, no runtime filter.
+    scored = F.transform(
+        V.lit_matrix(cs[:m]),
+        lambda c, j: F.struct(
+            (-V.dot_expr(F.col("u"), c)).alias("s"),
+            j.cast("int").alias("c"),
         ),
     )
     probes = (
-        emb.crossJoin(F.broadcast(act))
-        .select(
+        emb.select(
             "vec_id",
             "u",
             F.explode(
-                F.slice(
-                    F.array_sort(
-                        F.filter(scored, lambda x: x["c"] < F.col("m"))
-                    ),
-                    1,
-                    ANN_DEDUP_PROBE,
-                )
+                F.slice(F.array_sort(scored), 1, ANN_DEDUP_PROBE)
             ).alias("p"),
         )
         .select("vec_id", "u", F.col("p.c").alias("cell"))
