@@ -56,6 +56,10 @@ LOG_SUBDIR = "_txlog"
 DATA_SUBDIR = "data"
 CHECKPOINT_EVERY = 10
 _COMMUTING_OPS = {"append", "compact"}
+#: MERGE partition-pruning guard: above this many distinct partition
+#: tuples in one batch, skip partition pruning rather than collect an
+#: unbounded driver-side list (stats pruning still applies)
+MERGE_PRUNE_MAX_PARTS = 10_000
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -554,21 +558,42 @@ class TxTable:
         # columns are part of the merge key: a file in a partition the
         # batch never writes cannot hold any batch key. The distinct
         # partition tuples of a micro-batch are few by construction
-        # (that is what partitioning means), so the collect is bounded.
+        # (that is what partitioning means) — but that is a property of
+        # the WORKLOAD, not a guarantee, so the collect is hard-bounded:
+        # a pathological batch touching more than MERGE_PRUNE_MAX_PARTS
+        # partitions skips partition pruning (stats pruning above still
+        # applies; pruning is an optimization, never a correctness
+        # requirement) instead of materializing an unbounded driver-side
+        # list at 100 TB.
         pby = snap["partition_by"]
         if pby and set(pby) <= set(keys) and touched:
-            tuples = {
-                tuple(str(r[c]) for c in pby)
-                for r in updates.select(*pby).distinct().collect()
-            }
-            touched = [
-                t for t in touched
-                if tuple(
-                    snap["files"][t].get("partition_values", {}).get(c)
-                    for c in pby
-                ) in tuples
-                or not snap["files"][t].get("partition_values")
-            ]
+            sample = (
+                updates.select(*pby)
+                .distinct()
+                .limit(MERGE_PRUNE_MAX_PARTS + 1)
+                .collect()
+            )
+            if len(sample) > MERGE_PRUNE_MAX_PARTS:
+                import warnings
+
+                warnings.warn(
+                    f"merge batch touches > {MERGE_PRUNE_MAX_PARTS} "
+                    "partitions; skipping partition pruning (stats "
+                    "pruning still applied)",
+                    stacklevel=2,
+                )
+            else:
+                tuples = {
+                    tuple(str(r[c]) for c in pby) for r in sample
+                }
+                touched = [
+                    t for t in touched
+                    if tuple(
+                        snap["files"][t].get("partition_values", {}).get(c)
+                        for c in pby
+                    ) in tuples
+                    or not snap["files"][t].get("partition_values")
+                ]
 
         upd = updates.withColumn("_src", F.lit(1))
         if touched:

@@ -80,6 +80,51 @@ def test_merge_upserts_and_prunes_files(spark, tmp_path):
     assert len(d) == 22
 
 
+def test_merge_partition_prune_guard_caps_driver_collect(
+    spark, tmp_path, monkeypatch
+):
+    """A batch touching more distinct partitions than
+    MERGE_PRUNE_MAX_PARTS must SKIP partition pruning (warning) rather
+    than collect an unbounded driver-side tuple list — and the merge
+    result must be identical either way (pruning is an optimization,
+    never correctness)."""
+    import warnings
+
+    import kafka_parquet_writer_spark.tablefmt as TF
+
+    t = TF.TxTable(str(tmp_path / "tx"))
+    base = spark.createDataFrame(
+        [(i, f"d{i % 2}", "old", 1) for i in range(10)],
+        "k int, dt string, v string, ts int",
+    )
+    t.create(base, partition_by=["dt"])
+
+    monkeypatch.setattr(TF, "MERGE_PRUNE_MAX_PARTS", 3)
+    # 5 distinct dt values > cap of 3 → guard trips; k range overlaps
+    # the base files so stats pruning alone does not empty `touched`
+    upd = spark.createDataFrame(
+        [(i, f"d{i}", "new", 2) for i in range(5)],
+        "k int, dt string, v string, ts int",
+    )
+    with pytest.warns(UserWarning, match="skipping partition pruning"):
+        t.merge(spark, upd, keys=["k", "dt"], order_col="ts")
+    rows = {(r["k"], r["dt"]): r["v"] for r in t.read(spark).collect()}
+    # (0,d0) and (1,d1) updated in place; (2,d2)/(3,d3)/(4,d4) inserted
+    assert len(rows) == 13
+    assert rows[(0, "d0")] == "new" and rows[(2, "d0")] == "old"
+    assert rows[(2, "d2")] == "new"
+
+    # under the cap: pruning path active, no warning
+    small = spark.createDataFrame(
+        [(0, "d0", "upd", 3)], "k int, dt string, v string, ts int"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        t.merge(spark, small, keys=["k", "dt"], order_col="ts")
+    rows = {(r["k"], r["dt"]): r["v"] for r in t.read(spark).collect()}
+    assert rows[(0, "d0")] == "upd" and len(rows) == 13
+
+
 def test_merge_order_col_picks_latest(spark, table):
     table.merge(
         spark,
