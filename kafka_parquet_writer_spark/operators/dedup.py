@@ -755,8 +755,6 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     (m ≤ 64 ⟺ n ≤ 8000 — all committed fixtures; the blow-up lanes
     beyond that are covered by the recall test vs dedup_embedding).
     """
-    from kafka_parquet_writer_spark.functions import vector as V
-
     emb = _unit_vectors(spark, sf_dir)
     # active-cell count m = max(floor, n / target): cells scale WITH
     # the corpus so per-cell population — and the quadratic verify
@@ -772,49 +770,103 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             "than capping m — a cap makes the verify quadratic."
         )
     cs = DEDUP_CENTROIDS if m <= ANN_DEDUP_BANK else _dedup_centroids(m)
-    # ONE 2-D centroid literal + an indexed transform lambda: a
-    # per-centroid expression tree (bank × dot_expr nodes) made
-    # analysis/codegen time the dominant cost once the bank grew to
-    # 64; lit_matrix is one parsed SQL literal (per-row F.lit calls
-    # cost a py4j round-trip each — ~3.5 s of pure build time for the
-    # 64-row bank, measured). m is known driver-side, so exactly m
-    # centroids are scored — no scalar-subquery crossJoin, no lazy
-    # CaseWhen tail, no runtime filter.
-    scored = F.transform(
-        V.lit_matrix(cs[:m]),
-        lambda c, j: F.struct(
-            (-V.dot_expr(F.col("u"), c)).alias("s"),
-            j.cast("int").alias("c"),
-        ),
+    # BLAS batch assignment (mapInPandas), not a per-centroid catalyst
+    # expression: the n·m dot products are one gemm per Arrow batch.
+    # The r4 literal-transform assignment (one 2-D SQL literal + an
+    # indexed transform lambda) paid ~0.8 s of plan build for the
+    # 64-row bank and, being a higher-order function, never entered
+    # whole-stage codegen — at m = 512 (lane ×32) it dominated the
+    # whole query. Cell choice is IDENTICAL to the oracle's
+    # list_sort(struct(-dot, idx)): stable argsort on -dot breaks
+    # score ties by centroid index. The centroid matrix rides in the
+    # UDF closure (m×64 float64 — bounded by the literal-cells
+    # assertion above; past that, broadcast + two-level assignment).
+    probes = emb.mapInPandas(
+        _make_assigner(cs[:m]), "vec_id long, u array<double>, cell int"
     )
-    probes = (
-        emb.select(
-            "vec_id",
-            "u",
-            F.explode(
-                F.slice(F.array_sort(scored), 1, ANN_DEDUP_PROBE)
-            ).alias("p"),
-        )
-        .select("vec_id", "u", F.col("p.c").alias("cell"))
-    )
-    from kafka_parquet_writer_spark.session import repartition_for_compute
-
-    a = probes.select(
-        F.col("vec_id").alias("v1"), F.col("u").alias("u1"), "cell"
-    )
-    b = probes.select(
-        F.col("vec_id").alias("v2"), F.col("u").alias("u2"), "cell"
-    )
-    # salt the streamed side by (cell, v1) with an explicit count: the
-    # probe table is broadcastable, so the verify work parallelizes
-    # across all cores instead of the probe-join's ≤n_cells partitions
-    a = repartition_for_compute(a, F.col("cell"), F.col("v1"))
+    # Per-cell BLAS block verify (the FAISS IVF pattern), NOT a
+    # self-join: the r4 join evaluated the cosine per candidate pair
+    # as an interpreted zip_with/aggregate lambda (higher-order array
+    # functions do not enter whole-stage codegen) allocating a 64-elem
+    # intermediate per pair — measured super-linear wall-clock past
+    # ×8 from the allocation/GC load even though Σcell² itself scales
+    # exactly linearly (verified: sumsq 32.1M → 128.4M for ×8 → ×32).
+    # applyInPandas groups one cell per Arrow batch (~500·probe rows ×
+    # 64 doubles ≈ 1 MB) and computes the full p×p dot block in one
+    # BLAS gemm — per-pair cost drops from an interpreted expression
+    # tree to a fused multiply-add. Shuffle volume is the probe table
+    # (∝ n·probe), partitioning is by cell hash (populations uniform
+    # by construction — measured max/median ≈ 1.2).
     return (
-        a.join(b, "cell")
-        .filter(F.col("v1") < F.col("v2"))
-        .filter(_pair_cos() >= COSINE_DUP_THRESHOLD)
-        .select("v1", "v2", pround(_pair_cos(), 6).alias("cos"))
+        probes.groupBy("cell")
+        .applyInPandas(_verify_cell_blas, "v1 long, v2 long, cos double")
         .distinct()
+    )
+
+
+def _make_assigner(centroids: list[list[float]]):
+    """mapInPandas factory: per Arrow batch, score all m centroids in
+    one gemm and emit the ANN_DEDUP_PROBE nearest cells per vector.
+    Stable argsort on score = -dot reproduces the oracle's
+    list_sort(struct(-dot, idx)) tie-breaking exactly."""
+    import numpy as np
+
+    c = np.asarray(centroids, dtype=np.float64)
+    probe = ANN_DEDUP_PROBE
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            u = np.vstack(pdf["u"].to_numpy())
+            s = -(u @ c.T)
+            order = np.argsort(s, axis=1, kind="stable")[:, :probe]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy(dtype=np.int64), probe
+                    ),
+                    "u": np.repeat(pdf["u"].to_numpy(), probe),
+                    "cell": order.ravel().astype(np.int32),
+                }
+            )
+
+    return assign
+
+
+def _verify_cell_blas(pdf):
+    """Exact-cosine verify of one IVF cell: full dot block via gemm,
+    upper triangle, threshold, portable floor-round (identical to
+    functions.portable.pround semantics: floor(x·1e6 + 0.5)/1e6).
+    float64 end-to-end, so values match the JVM/DuckDB sequential
+    folds exactly at 6-decimal rounding (same guarantee the
+    similarity_topk_blas oracle already proves)."""
+    import numpy as np
+    import pandas as pd
+
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    if len(ids) < 2:
+        return pd.DataFrame(
+            {
+                "v1": pd.Series(dtype="int64"),
+                "v2": pd.Series(dtype="int64"),
+                "cos": pd.Series(dtype="float64"),
+            }
+        )
+    u = np.vstack(pdf["u"].to_numpy())
+    s = u @ u.T
+    iu, ju = np.triu_indices(len(ids), k=1)
+    cos = s[iu, ju]
+    keep = cos >= COSINE_DUP_THRESHOLD
+    a, b = ids[iu[keep]], ids[ju[keep]]
+    return pd.DataFrame(
+        {
+            "v1": np.minimum(a, b),
+            "v2": np.maximum(a, b),
+            "cos": np.floor(cos[keep] * 1e6 + 0.5) / 1e6,
+        }
     )
 
 
