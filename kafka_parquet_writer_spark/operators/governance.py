@@ -627,3 +627,250 @@ def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("j_est_bp") - F.col("j_exact_bp")) <= OPH_TOL_BP
         ).alias("close"),
     )
+
+
+# --- agg_theta_sketch -------------------------------------------------------
+
+THETA_K = 64            #: KMV retained minima per set
+#: hash range: md5-based portable hash folded to 31 bits. KMV needs a
+#: hash UNIFORM over its declared range — the OPH-style affine
+#:   (a·id + b) mod P
+#: is an arithmetic progression that never wraps P for the fixture's
+#: small sequential ids (max id·a ≪ P), so its k smallest values sit
+#: at ≈ k·a and the density estimate count·P/θ overshoots ~20×
+#: (measured before this was fixed). md5 is uniform by construction;
+#: 31 bits keeps count·M ≤ 2^37 in exact int64 algebra.
+THETA_M = 1 << 31
+#: accuracy gates: |est − exact| ≤ max(abs floor, pct·exact/100)
+THETA_UNION_ABS, THETA_UNION_PCT = 15, 35
+THETA_INTER_ABS, THETA_INTER_PCT = 20, 60
+
+
+def _theta_oracle() -> str:
+    m = THETA_M
+    return f"""
+    WITH aud AS (
+      SELECT DISTINCT CAST(hour(ts) AS INTEGER) AS h, user_id FROM events
+    ),
+    hashed AS (
+      SELECT DISTINCT h,
+        ({TH.sql_portable_hash64("CAST(user_id AS VARCHAR)")}) % {m} AS hv
+      FROM aud
+    ),
+    ranked AS (
+      SELECT h, hv, row_number() OVER (PARTITION BY h ORDER BY hv) AS rn
+      FROM hashed
+    ),
+    sk AS (SELECT h, hv, rn FROM ranked WHERE rn <= {THETA_K}),
+    th AS (
+      SELECT h,
+             CASE WHEN max(rn) < {THETA_K} THEN {m}
+                  ELSE max(hv) END AS theta
+      FROM sk GROUP BY h
+    ),
+    pairs AS (
+      SELECT ta.h AS h, least(ta.theta, tb.theta) AS t
+      FROM th ta JOIN th tb ON tb.h = ta.h + 1
+    ),
+    ca AS (
+      SELECT s.h AS h, count(*) AS na
+      FROM sk s JOIN pairs p ON p.h = s.h
+      WHERE s.hv < p.t GROUP BY s.h
+    ),
+    cb AS (
+      SELECT s.h - 1 AS h, count(*) AS nb
+      FROM sk s JOIN pairs p ON p.h = s.h - 1
+      WHERE s.hv < p.t GROUP BY s.h - 1
+    ),
+    ci AS (
+      SELECT a.h AS h, count(*) AS ni
+      FROM sk a JOIN sk b ON b.h = a.h + 1 AND b.hv = a.hv
+      JOIN pairs p ON p.h = a.h
+      WHERE a.hv < p.t GROUP BY a.h
+    ),
+    est AS (
+      SELECT p.h AS h,
+             CAST((ca.na + cb.nb - COALESCE(ci.ni, 0)) * {m} // p.t
+                  AS BIGINT) AS est_union,
+             CAST(COALESCE(ci.ni, 0) * {m} // p.t AS BIGINT) AS est_inter,
+             CAST((ca.na - COALESCE(ci.ni, 0)) * {m} // p.t
+                  AS BIGINT) AS est_diff
+      FROM pairs p
+      JOIN ca ON ca.h = p.h
+      JOIN cb ON cb.h = p.h
+      LEFT JOIN ci ON ci.h = p.h
+    ),
+    sizes AS (SELECT h, count(*) AS n FROM aud GROUP BY h),
+    iex AS (
+      SELECT x.h AS h, count(y.user_id) AS i
+      FROM aud x LEFT JOIN aud y
+        ON y.user_id = x.user_id AND y.h = x.h + 1
+      WHERE x.h < 23
+      GROUP BY x.h
+    ),
+    exact AS (
+      SELECT i.h AS h,
+             CAST(sa.n + sb.n - i.i AS BIGINT) AS n_union,
+             CAST(i.i AS BIGINT) AS n_inter
+      FROM iex i
+      JOIN sizes sa ON sa.h = i.h
+      JOIN sizes sb ON sb.h = i.h + 1
+    )
+    SELECT e.h AS h, est.est_union, est.est_inter, est.est_diff,
+           e.n_union, e.n_inter,
+           (abs(est.est_union - e.n_union)
+              <= greatest({THETA_UNION_ABS},
+                          {THETA_UNION_PCT} * e.n_union // 100))
+             AS close_union,
+           (abs(est.est_inter - e.n_inter)
+              <= greatest({THETA_INTER_ABS},
+                          {THETA_INTER_PCT} * e.n_inter // 100))
+             AS close_inter
+    FROM exact e JOIN est ON est.h = e.h
+    """
+
+
+@query("agg_theta_sketch", oracle=_theta_oracle())
+def agg_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV sketch SET ALGEBRA between consecutive hours' user
+    sets: each set keeps its {THETA_K} smallest seeded-permutation
+    hash values (θ = the k-th minimum, or P in exact mode when the
+    set is smaller than K); for a pair, θ = min(θ_A, θ_B) and
+    union/intersection/difference cardinalities are estimated as
+    |S ∩ [0,θ)| · P / θ — the full set-algebra member of the
+    mergeable-sketch family (HLL counts distincts but cannot
+    intersect; OPH estimates similarity but not cardinalities). All
+    arithmetic is int64 (count·P ≤ 2^41), so the oracle builds the
+    bit-identical sketch and the estimates value-hash-match exactly;
+    exact set sizes and two-sided accuracy gates ride along.
+
+    Scale shape: the heavy step is the distinct (set, hash) shuffle
+    with map-side combine; the k-minima selection is a per-set sort
+    of DISTINCT members only. At 100 TB the selection becomes the
+    standard θ-prefilter + per-partition truncation monoid (keep the
+    K smallest per partition, merge by union-and-truncate — the same
+    monoid the sketch itself is), so no set ever sorts its full
+    membership; sketch blobs then merge across days/partitions like
+    the HLL key's. Pair joins touch only K-row sketches (broadcast).
+    """
+    from pyspark.sql.window import Window as W
+
+    m = THETA_M
+    ev = load_table(spark, sf_dir, "events")
+    aud = ev.select(
+        F.hour("ts").cast("int").alias("h"), "user_id"
+    ).distinct()
+    hashed = aud.select(
+        "h",
+        (
+            TH.portable_hash64(F.col("user_id").cast("string")) % m
+        ).alias("hv"),
+    ).distinct()
+    rn = F.row_number().over(W.partitionBy("h").orderBy("hv"))
+    sk = (
+        hashed.withColumn("rn", rn).filter(F.col("rn") <= THETA_K)
+    )
+    th = sk.groupBy("h").agg(
+        F.when(F.max("rn") < THETA_K, F.lit(m))
+        .otherwise(F.max("hv"))
+        .alias("theta")
+    )
+    ta, tb = th.alias("ta"), th.alias("tb")
+    pairs = (
+        ta.join(tb, F.col("tb.h") == F.col("ta.h") + 1)
+        .select(
+            F.col("ta.h").alias("h"),
+            F.least("ta.theta", "tb.theta").alias("t"),
+        )
+    )
+    sa = sk.select("h", "hv")
+    sb = sk.select((F.col("h") - 1).alias("h"), F.col("hv").alias("hv"))
+    ca = (
+        sa.join(F.broadcast(pairs), "h")
+        .filter(F.col("hv") < F.col("t"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("na"))
+    )
+    cb = (
+        sb.join(F.broadcast(pairs), "h")
+        .filter(F.col("hv") < F.col("t"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    a2 = sk.select(F.col("h").alias("ih"), F.col("hv").alias("ihv"))
+    b2 = sk.select(
+        (F.col("h") - 1).alias("ih"), F.col("hv").alias("ihv")
+    )
+    ci = (
+        a2.join(b2, ["ih", "ihv"])
+        .join(F.broadcast(pairs), F.col("ih") == F.col("h"))
+        .filter(F.col("ihv") < F.col("t"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    est = (
+        pairs.join(ca, "h")
+        .join(cb, "h")
+        .join(ci, "h", "left")
+        .withColumn("ni", F.coalesce("ni", F.lit(0)))
+        .select(
+            "h",
+            # int64 `div` throughout: count·P ≤ 2^41, and double
+            # division + cast could land one below the exact quotient
+            F.expr(f"(na + nb - ni) * CAST({m} AS BIGINT) div t")
+            .cast("long")
+            .alias("est_union"),
+            F.expr(f"ni * CAST({m} AS BIGINT) div t")
+            .cast("long")
+            .alias("est_inter"),
+            F.expr(f"(na - ni) * CAST({m} AS BIGINT) div t")
+            .cast("long")
+            .alias("est_diff"),
+        )
+    )
+    sizes = aud.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+    ay = aud.select(
+        (F.col("h") - 1).alias("h"), F.col("user_id").alias("uy")
+    )
+    iex = (
+        aud.filter(F.col("h") < 23)
+        .join(ay, (aud.h == ay.h) & (aud.user_id == F.col("uy")), "left")
+        .drop(ay.h)
+        .groupBy("h")
+        .agg(F.count("uy").alias("i"))
+    )
+    sza = sizes.select("h", F.col("n").alias("sna"))
+    szb = sizes.select((F.col("h") - 1).alias("h"), F.col("n").alias("snb"))
+    exact = (
+        iex.join(F.broadcast(sza), "h")
+        .join(F.broadcast(szb), "h")
+        .select(
+            "h",
+            (F.col("sna") + F.col("snb") - F.col("i"))
+            .cast("long")
+            .alias("n_union"),
+            F.col("i").cast("long").alias("n_inter"),
+        )
+    )
+    return exact.join(est, "h").select(
+        "h",
+        "est_union",
+        "est_inter",
+        "est_diff",
+        "n_union",
+        "n_inter",
+        (
+            F.abs(F.col("est_union") - F.col("n_union"))
+            <= F.greatest(
+                F.lit(THETA_UNION_ABS),
+                (F.lit(THETA_UNION_PCT) * F.col("n_union") / 100).cast("long"),
+            )
+        ).alias("close_union"),
+        (
+            F.abs(F.col("est_inter") - F.col("n_inter"))
+            <= F.greatest(
+                F.lit(THETA_INTER_ABS),
+                (F.lit(THETA_INTER_PCT) * F.col("n_inter") / 100).cast("long"),
+            )
+        ).alias("close_inter"),
+    )
