@@ -186,3 +186,167 @@ def rollup_share_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= RANK_TOPN)
         .select("category", "brand", "lvl", "sales_vc", "rnk")
     )
+
+
+# --- rollup_margin_hierarchy (TPC-DS Q36 shape) ------------------------------
+
+_REV4_ORACLE = (
+    "CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5)"
+    " AS BIGINT)"
+)
+
+
+@query(
+    "rollup_margin_hierarchy",
+    oracle=f"""
+    WITH sales AS (
+      SELECT split_part(p.p_type, ' ', 1) AS category,
+             p.p_brand AS brand,
+             {_REV4_ORACLE} AS rev4,
+             CAST(floor(p.p_retailprice * 0.5 * 1e2 + 0.5) AS BIGINT)
+               * CAST(floor(l.l_quantity * 1e2 + 0.5) AS BIGINT) AS cost4
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    agg AS (
+      SELECT CASE WHEN GROUPING(category) = 1 THEN 'ALL' ELSE category END
+               AS category,
+             CASE WHEN GROUPING(brand) = 1 THEN 'ALL' ELSE brand END
+               AS brand,
+             CAST(GROUPING(category) + GROUPING(brand) AS INTEGER)
+               AS lochierarchy,
+             CAST(sum(rev4) AS BIGINT) AS rev4,
+             CAST(sum(rev4 - cost4) AS BIGINT) AS profit4
+      FROM sales GROUP BY ROLLUP (category, brand)
+    )
+    SELECT category, brand, lochierarchy,
+           CAST(profit4 * 10000 // rev4 AS BIGINT) AS margin_bp,
+           CAST(row_number() OVER (
+                  PARTITION BY lochierarchy,
+                               CASE WHEN lochierarchy = 0
+                                    THEN category ELSE 'ALL' END
+                  ORDER BY profit4 * 10000 // rev4, category, brand)
+                AS INTEGER) AS rnk
+    FROM agg
+    """,
+)
+def rollup_margin_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q36 shape: gross-margin RATIO over a ROLLUP hierarchy
+    (category > brand), with `lochierarchy` = number of rolled-up
+    levels and rank-within-parent ordered by margin ASCENDING (the
+    "worst margins at each level of the hierarchy" report). Differs
+    from rollup_share_rank (Q67) in both metric — a ratio of two
+    rollup sums, not a single sum — and ranking scope — within the
+    PARENT node, keyed by the grouping level itself. Margin is exact
+    integer basis points (profit4·10⁴ div rev4; both operands exact
+    1e-4 fixed point, cost modeled as 0.5×p_retailprice per the
+    fixture's tpch_q9 convention — `tpch.py:tpch_q9`).
+
+    Scale shape: broadcast part into the fact scan, ROLLUP = one
+    Expand (3 replicas at 2 dims) into ONE two-phase hash aggregate;
+    the window runs over the AGGREGATE (|categories|×|brands| rows),
+    never the fact. At 100 TB: one fact shuffle, everything after is
+    dimension-sized.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_type", "p_brand", "p_retailprice"
+    )
+    rev4 = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e4
+        + F.lit(0.5)
+    ).cast("long")
+    cost4 = (
+        F.floor(F.col("p_retailprice") * 0.5 * 1e2 + F.lit(0.5)).cast("long")
+        * F.floor(F.col("l_quantity") * 1e2 + F.lit(0.5)).cast("long")
+    )
+    sales = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).select(
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("category"),
+        F.col("p_brand").alias("brand"),
+        rev4.alias("rev4"),
+        cost4.alias("cost4"),
+    )
+    agg = (
+        sales.rollup("category", "brand")
+        .agg(
+            F.sum("rev4").alias("rev4"),
+            F.sum(F.col("rev4") - F.col("cost4")).alias("profit4"),
+            F.grouping("category").alias("g_c"),
+            F.grouping("brand").alias("g_b"),
+        )
+        .select(
+            F.when(F.col("g_c") == 1, "ALL").otherwise(F.col("category"))
+            .alias("category"),
+            F.when(F.col("g_b") == 1, "ALL").otherwise(F.col("brand"))
+            .alias("brand"),
+            (F.col("g_c") + F.col("g_b")).cast("int").alias("lochierarchy"),
+            F.expr("profit4 * 10000 div rev4").alias("margin_bp"),
+        )
+    )
+    w = W.partitionBy(
+        "lochierarchy",
+        F.when(F.col("lochierarchy") == 0, F.col("category")).otherwise("ALL"),
+    ).orderBy("margin_bp", "category", "brand")
+    return agg.select(
+        "category",
+        "brand",
+        "lochierarchy",
+        "margin_bp",
+        F.row_number().over(w).cast("int").alias("rnk"),
+    )
+
+
+# --- events_time_bands (TPC-DS Q88 shape) ------------------------------------
+
+#: (band label suffix, hour, extra predicate) — the Q88 pattern of a
+#: time slot crossed with an attribute disjunction, all counted in one
+#: scan. Predicates must be portable SQL (run verbatim in DuckDB).
+TIME_BANDS = [
+    (8, "value BETWEEN 5 AND 50 OR event_type IN ('view', 'click')"),
+    (9, "value BETWEEN 10 AND 80 OR event_type IN ('purchase')"),
+    (10, "value BETWEEN 0 AND 30 OR event_type IN ('signup', 'error')"),
+    (11, "value BETWEEN 20 AND 120 OR event_type IN ('click')"),
+    (12, "value BETWEEN 5 AND 60 OR event_type IN ('view')"),
+    (13, "value BETWEEN 15 AND 90 OR event_type IN ('purchase', 'click')"),
+    (14, "value BETWEEN 0 AND 45 OR event_type IN ('error')"),
+    (15, "value BETWEEN 30 AND 200 OR event_type IN ('signup')"),
+]
+
+
+@query(
+    "events_time_bands",
+    oracle=f"""
+    SELECT {", ".join(
+        f'''CAST(sum(CASE WHEN CAST(hour(ts) AS INTEGER) = {h}
+                          AND ({pred}) THEN 1 ELSE 0 END)
+             AS BIGINT) AS h{h}_cnt'''
+        for h, pred in TIME_BANDS)}
+    FROM events
+    """,
+)
+def events_time_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q88 shape: eight (time slot × attribute disjunction)
+    counts as ONE conditional-aggregation scan producing a single
+    8-column row. The benchmark text writes this as 8 scalar
+    subqueries cross-joined — 8 scans; the Spark-first form folds all
+    bands into one pass (the same declared-rules pattern as dq_rules,
+    applied to Q88's report).
+
+    Scale shape: one scan, zero shuffles before the final 1-row
+    global aggregate (partial aggregation reduces each partition to 8
+    counters). Adding a band is a tuple in TIME_BANDS, not a job. At
+    100 TB this is scan-bound — the minimum possible cost for the
+    answer.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.hour("ts").cast("int") == h) & F.expr(pred), 1
+                ).otherwise(0)
+            ).alias(f"h{h}_cnt")
+            for h, pred in TIME_BANDS
+        ]
+    )
