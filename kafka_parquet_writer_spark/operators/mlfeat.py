@@ -193,3 +193,135 @@ def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= RESERVOIR_K)
         .select("event_id", "event_type")
     )
+
+
+# --- embedding_cluster_kmeans -----------------------------------------------
+
+KM_K = 8        #: clusters
+KM_ITERS = 3    #: Lloyd assignment rounds (2 centroid updates between)
+KM_SCALE = 1_000_000  #: fixed-point scale for vector components
+KM_DIM = 64
+
+
+def _km_oracle() -> str:
+    k, iters, s, d = KM_K, KM_ITERS, KM_SCALE, KM_DIM
+    ctes = [
+        f"""n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    )""",
+        f"""qv AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(floor(x / nrm * {s} + 0.5)
+                                         AS BIGINT)) AS q
+      FROM n
+    )""",
+        f"""cents0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cid,
+             q AS c
+      FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT {k})
+    )""",
+    ]
+    for it in range(1, iters + 1):
+        ctes.append(f"""a{it} AS (
+      SELECT vec_id, q, cid FROM (
+        SELECT v.vec_id, v.q, c.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.q, c.c) DESC, c.cid) AS rn
+        FROM qv v CROSS JOIN cents{it - 1} c)
+      WHERE rn = 1
+    )""")
+        if it < iters:
+            ctes.append(f"""cents{it} AS (
+      SELECT cid, list(CAST(floor(s_v / cnt) AS BIGINT) ORDER BY dim) AS c
+      FROM (
+        SELECT cid, r.i AS dim, sum(q[r.i]) AS s_v, count(*) AS cnt
+        FROM a{it}, range(1, {d + 1}) AS r(i)
+        GROUP BY cid, r.i)
+      GROUP BY cid
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT vec_id, CAST(cid AS INTEGER) AS cluster FROM a{iters}"
+    )
+
+
+@query("embedding_cluster_kmeans", oracle=_km_oracle())
+def embedding_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering: {KM_K}-means over the embedding table,
+    {KM_ITERS} Lloyd rounds from a deterministic seed (the {KM_K}
+    smallest vec_ids) — the topic-bucketing step a training-data
+    pipeline runs before balancing a mixture across semantic domains
+    (cluster-then-sample). ALL arithmetic is exact int64: unit vectors
+    quantize to 1e-6 fixed point, similarity is the integer dot
+    (≤ 2^46, order-free), and centroid updates are floor(sum/size)
+    per dimension — so both engines walk bit-identical centroid
+    trajectories and the oracle value-hash-matches the assignments
+    (float k-means would diverge across engines on summation order).
+
+    Scale shape per round: assignment is fact ⋈ broadcast({KM_K}
+    centroid rows) with a per-vector argmax (window over {KM_K}
+    candidates; at 100 TB the max_by aggregate form avoids the sort);
+    the update is posexplode → ({KM_K}·{KM_DIM})-key two-phase
+    aggregate — map-side combine collapses every partition to ≤512
+    rows, the classic MapReduce k-means. Rounds are a fixed small
+    constant; each is one fact pass. Empty clusters drop out (both
+    engines identically).
+    """
+    from kafka_parquet_writer_spark.operators.dedup import _unit_vectors
+
+    qv = _unit_vectors(spark, sf_dir).select(
+        "vec_id",
+        F.transform(
+            "u", lambda x: F.floor(x * KM_SCALE + F.lit(0.5)).cast("long")
+        ).alias("q"),
+    )
+    cents = (
+        qv.orderBy("vec_id")
+        .limit(KM_K)
+        .select(
+            (F.row_number().over(W.orderBy("vec_id")) - 1)
+            .cast("int")
+            .alias("cid"),
+            F.col("q").alias("c"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("q", "c", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    assign = None
+    for it in range(1, KM_ITERS + 1):
+        scored = qv.crossJoin(F.broadcast(cents)).withColumn("dot", dot)
+        rn = F.row_number().over(
+            W.partitionBy("vec_id").orderBy(F.col("dot").desc(), "cid")
+        )
+        assign = (
+            scored.withColumn("rn", rn)
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "q", "cid")
+        )
+        if it < KM_ITERS:
+            per_dim = (
+                assign.select(
+                    "cid", F.posexplode("q").alias("dim0", "v")
+                )
+                .groupBy("cid", "dim0")
+                .agg(
+                    F.floor(
+                        F.sum("v") / F.count(F.lit(1))
+                    ).cast("long").alias("cv")
+                )
+            )
+            cents = per_dim.groupBy("cid").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim0", "cv"))),
+                    lambda st: st["cv"],
+                ).alias("c")
+            )
+    return assign.select("vec_id", F.col("cid").cast("int").alias("cluster"))

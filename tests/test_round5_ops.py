@@ -30,3 +30,17 @@ def test_theta_sketch_set_algebra_bounds(spark):
     for r in rows:
         assert r["close_union"], (r["h"], r["est_union"], r["n_union"])
         assert r["close_inter"], (r["h"], r["est_inter"], r["n_inter"])
+
+
+def test_kmeans_partitions_corpus_deterministically(spark):
+    """Every vector gets exactly one cluster, all K clusters are
+    non-empty on the fixture, and a second run reproduces the exact
+    assignment (integer arithmetic → no float drift)."""
+    from kafka_parquet_writer_spark.operators.mlfeat import KM_K
+
+    q = E.queries()["embedding_cluster_kmeans"]
+    a = {r["vec_id"]: r["cluster"] for r in q(spark, SF_SMOKE).collect()}
+    assert len(a) == 500  # one row per vector
+    assert set(a.values()) == set(range(KM_K))
+    b = {r["vec_id"]: r["cluster"] for r in q(spark, SF_SMOKE).collect()}
+    assert a == b
