@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from kafka_parquet_writer_spark.catalog import load_table
 from kafka_parquet_writer_spark.functions import texthash as TH
@@ -240,4 +241,138 @@ def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(key % 100 < SPLIT_VAL_PCT, "val")
         .otherwise("train")
         .alias("split"),
+    )
+
+
+# --- dedup_span_exact -------------------------------------------------------
+
+SPAN_L = 10  #: minimum duplicated span length, in tokens
+
+
+def _span_oracle() -> str:
+    ln = SPAN_L
+    return f"""
+    WITH w AS (
+      SELECT doc_id, {TH.sql_words('text')} AS ws FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             r.i AS st,
+             r.i + {ln} - 1 AS en,
+             {TH.sql_portable_hash64(
+                 f"array_to_string(ws[r.i : r.i + {ln} - 1], ' ')")} AS gh
+      FROM w, range(1, 1000000) AS r(i)
+      WHERE r.i + {ln} - 1 <= len(ws)
+    ),
+    dup AS (
+      SELECT gh FROM grams GROUP BY gh HAVING count(*) > 1
+    ),
+    hits AS (
+      SELECT g.doc_id, g.st, g.en FROM grams g JOIN dup d ON d.gh = g.gh
+    ),
+    marked AS (
+      SELECT doc_id, st, en,
+             CASE WHEN st > coalesce(max(en) OVER (
+                      PARTITION BY doc_id ORDER BY st, en
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    spans AS (
+      SELECT doc_id, min(st) AS span_start, max(en) AS span_end
+      FROM (
+        SELECT doc_id, st, en,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY st, en
+                              ROWS UNBOUNDED PRECEDING) AS grp
+        FROM marked)
+      GROUP BY doc_id, grp
+    )
+    SELECT s.doc_id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(s.span_end - s.span_start + 1) AS BIGINT) AS dup_tokens,
+           CAST(len(w.ws) AS BIGINT) AS total_tokens,
+           CAST(sum(s.span_end - s.span_start + 1) * 10000
+                // len(w.ws) AS BIGINT) AS dup_frac_bp
+    FROM spans s JOIN w ON w.doc_id = s.doc_id
+    GROUP BY s.doc_id, len(w.ws)
+    """
+
+
+@query("dedup_span_exact", oracle=_span_oracle())
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SPAN detection (the Lee et al. 2022
+    "Deduplicating Training Data" ExactSubstr step, at token-{SPAN_L}gram
+    granularity): every overlapping {SPAN_L}-token gram that occurs
+    more than once in the corpus marks its positions; per document,
+    overlapping/adjacent marked intervals merge into MAXIMAL duplicated
+    spans. Doc- and line-level dedup (dedup_exact / text_line_dedup)
+    miss duplication that crosses line boundaries or sits inside
+    otherwise-unique documents — this is the operator that catches
+    boilerplate paragraphs and licensing blocks. Emits per-doc span
+    count, duplicated-token mass, and duplicated fraction (integer bp).
+
+    Scale shape: gram emission is a per-row explode (|tokens| rows,
+    only the 64-bit hash leaves the task); the duplicate-gram filter is
+    ONE count-per-hash shuffle with map-side combine (the minhash
+    profile-build shape); interval merge is one window per doc over
+    HIT positions only (duplicated grams, a small fraction of all
+    grams). Suffix-array ExactSubstr finds arbitrary-length matches;
+    the fixed-gram form trades that for pure shuffle/window primitives
+    with identical ≥{SPAN_L}-token guarantees.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = TH.words_expr("text")
+    w = docs.select("doc_id", ws.alias("ws"), F.size(ws).alias("n_tok"))
+    grams = w.select(
+        "doc_id",
+        "n_tok",
+        "ws",
+        F.explode(
+            F.when(
+                F.col("n_tok") >= SPAN_L,
+                F.sequence(F.lit(1), F.col("n_tok") - SPAN_L + 1),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("st"),
+    ).select(
+        "doc_id",
+        "n_tok",
+        "st",
+        (F.col("st") + SPAN_L - 1).alias("en"),
+        TH.portable_hash64(
+            F.array_join(F.slice(F.col("ws"), F.col("st"), SPAN_L), " ")
+        ).alias("gh"),
+    )
+    dup = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") > 1
+    )
+    hits = grams.join(dup.select("gh"), "gh").select(
+        "doc_id", "n_tok", "st", "en"
+    )
+    win = W.partitionBy("doc_id").orderBy("st", "en")
+    prev_max_en = F.max("en").over(
+        win.rowsBetween(W.unboundedPreceding, -1)
+    )
+    marked = hits.withColumn(
+        "brk",
+        F.when(
+            F.col("st") > F.coalesce(prev_max_en, F.lit(0)) + 1, 1
+        ).otherwise(0),
+    ).withColumn(
+        "grp", F.sum("brk").over(win.rowsBetween(W.unboundedPreceding, 0))
+    )
+    spans = marked.groupBy("doc_id", "n_tok", "grp").agg(
+        F.min("st").alias("span_start"), F.max("en").alias("span_end")
+    )
+    return spans.groupBy("doc_id", "n_tok").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
+            "dup_tokens"
+        ),
+    ).select(
+        "doc_id",
+        "n_spans",
+        "dup_tokens",
+        F.col("n_tok").cast("long").alias("total_tokens"),
+        F.expr("dup_tokens * 10000 div n_tok").alias("dup_frac_bp"),
     )

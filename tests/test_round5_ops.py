@@ -44,3 +44,35 @@ def test_kmeans_partitions_corpus_deterministically(spark):
     assert set(a.values()) == set(range(KM_K))
     b = {r["vec_id"]: r["cluster"] for r in q(spark, SF_SMOKE).collect()}
     assert a == b
+
+
+def test_span_dedup_finds_shared_paragraph(spark, tmp_path):
+    """Two docs share an exact 15-token paragraph embedded in unique
+    text: both docs must report exactly one maximal duplicated span of
+    exactly 15 tokens (the merge step must fuse the 6 overlapping
+    10-grams, not report them separately); a doc with no repeats must
+    be absent."""
+    from kafka_parquet_writer_spark.operators.llm_prep import (
+        SPAN_L,
+        dedup_span_exact,
+    )
+
+    shared = " ".join(f"boiler{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha bravo charlie {shared} delta echo", "en", "w", 0),
+            (2, f"zulu yankee {shared} xray whiskey victor uniq", "en", "w", 0),
+            (3, "totally unique words nothing repeated here at all "
+                "more unique filler tokens beyond the gram width okay",
+             "en", "w", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {r["doc_id"]: r for r in dedup_span_exact(spark, str(tmp_path)).collect()}
+    assert set(rows) == {1, 2}
+    for d in (1, 2):
+        assert rows[d]["n_spans"] == 1
+        assert rows[d]["dup_tokens"] == 15
+        assert rows[d]["dup_tokens"] >= SPAN_L
+    assert rows[1]["total_tokens"] == 20
