@@ -732,3 +732,75 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_phone").cast("long").alias("n_phone"),
         F.md5(F.col("text_scrubbed")).alias("scrub_md5"),
     )
+
+
+# --- text_quality_classifier ------------------------------------------------
+
+QC_DIM = 256            #: hashed feature buckets
+QC_A, QC_B = 1_103_515_245, 12_345  #: seeded weight generator (LCG form)
+QC_WSPAN = 2_001        #: weights take integer values in [-1000, 1000]
+
+
+@query(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, unnest({TH.sql_words('text')}) AS tok FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             count(*) AS n_tok,
+             sum((({TH.sql_portable_tid('tok')} % {QC_DIM}) * {QC_A}
+                   + {QC_B}) % {TH.MERSENNE_P} % {QC_WSPAN} - 1000)
+               AS score_sum
+      FROM t GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(score_sum * 1000 // n_tok AS BIGINT) AS score_milli,
+           (score_sum >= 0) AS keep
+    FROM scored
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (the fastText-classifier filter
+    step of CCNet/GPT-3-style pipelines, distinct from text_quality's
+    hand heuristics): each token hashes into {QC_DIM} feature buckets,
+    each bucket carries a weight, a document's score is the weight sum
+    and the keep decision is its sign. The weight table here is
+    GENERATED from a seeded integer recurrence (training a real
+    classifier is an offline step out of scope — the weights are a
+    deterministic stand-in, clearly not learned); the SERVING shape is
+    the real deliverable: per-token weight lookup is a stateless
+    expression, so scoring runs at scan speed with no model
+    distribution step at all (a learned {QC_DIM}-float table would
+    broadcast instead — same plan, one extra broadcast).
+
+    Scale shape: explode → per-doc sum. One partial-agg shuffle keyed
+    by doc_id; all integer arithmetic (score·1000 div n_tok), so both
+    engines produce bit-identical scores and the oracle value-hash
+    matches. At 100 TB this is the cheapest possible corpus filter
+    after pure row predicates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TH.words_expr("text")).alias("tok")
+    )
+    bucket = TH.portable_tid(F.col("tok")) % QC_DIM
+    weight = (
+        bucket * QC_A + QC_B
+    ) % TH.MERSENNE_P % QC_WSPAN - 1000
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(weight).alias("score_sum"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            F.expr("score_sum * 1000 div n_tok").cast("long")
+            .alias("score_milli"),
+            (F.col("score_sum") >= 0).alias("keep"),
+        )
+    )

@@ -76,3 +76,22 @@ def test_span_dedup_finds_shared_paragraph(spark, tmp_path):
         assert rows[d]["dup_tokens"] == 15
         assert rows[d]["dup_tokens"] >= SPAN_L
     assert rows[1]["total_tokens"] == 20
+
+
+def test_quality_classifier_scores_every_doc_and_splits(spark):
+    """Every doc gets exactly one score; the fixed weight table must
+    actually split the corpus (both classes present) — a degenerate
+    all-keep/all-drop table would make the filter vacuous; keep is
+    exactly the sign of the (un-normalized) score sum."""
+    rows = E.queries()["text_quality_classifier"](spark, SF_SMOKE).collect()
+    assert len(rows) == 500
+    kept = sum(1 for r in rows if r["keep"])
+    assert 0 < kept < 500
+    # sign consistency where per-token normalization cannot mask it
+    # (a small negative sum truncates to 0 milli, so only |milli| > 1
+    # pins the class)
+    for r in rows:
+        if r["score_milli"] > 0:
+            assert r["keep"]
+        if r["score_milli"] < -1:
+            assert not r["keep"]
