@@ -1128,3 +1128,155 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.copy(late_f, os.path.join(src, "001.parquet"))
     run_once()
     return spark.read.parquet(out_dir)
+
+
+# --- stream_session_features ------------------------------------------------
+
+SESS_GAP_S = 1800  #: inactivity gap that closes a session (seconds)
+
+
+@query(
+    "stream_session_features",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS vc
+      FROM events
+    ),
+    o AS (
+      SELECT *,
+             lag(es) OVER w AS pes,
+             lag(event_type) OVER w AS pet
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+    ),
+    m AS (
+      SELECT *,
+             CASE WHEN pes IS NULL OR es - pes >= {SESS_GAP_S}
+                       OR pet = 'purchase'
+                  THEN 1 ELSE 0 END AS brk
+      FROM o
+    ),
+    g AS (
+      SELECT *,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY es, event_id
+                            ROWS UNBOUNDED PRECEDING) AS seq
+      FROM m
+    ),
+    g2 AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id, seq
+                                ORDER BY es DESC, event_id DESC) AS rd
+      FROM g
+    )
+    SELECT user_id,
+           CAST(seq AS BIGINT) AS sess_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(es) - min(es) AS BIGINT) AS dur_secs,
+           CAST(sum(vc) AS BIGINT) AS cents_sum,
+           bool_or(rd = 1 AND event_type = 'purchase') AS converted
+    FROM g2
+    GROUP BY user_id, seq
+    """,
+)
+def stream_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom SESSIONIZATION with per-session feature vectors via
+    applyInPandasWithState — sessions close on a {SESS_GAP_S}s
+    inactivity gap OR immediately after a 'purchase' event
+    (conversion-terminated sessions). Built-in session_window can only
+    express the gap rule; the event-content-dependent close is exactly
+    what the arbitrary-state API exists for. Emits per session:
+    event count, duration, exact cents sum, and whether it converted.
+    stream_stateful_count covers the API's plumbing with running
+    counters; this key exercises real per-key SEQUENCE logic (ordered
+    replay, cross-batch session tail carry) on top.
+
+    State carries the open-session tail (seq, first/last second, last
+    type, count, cents); each batch sorts its rows per key by
+    (ts, event_id), merges the head with the tail when no break
+    separates them, emits every session closed in the batch plus the
+    updated tail (update-mode semantics; availableNow drains the
+    fixture in one batch, so the emission equals the batch
+    sessionization and the oracle is exact).
+
+    Scale: state is one fixed-size tuple per user in the partition's
+    state store — O(users) total, never O(events); per-batch work is
+    one sort of that key's batch rows. At 100 TB the sort is per
+    (key, batch) micro-chunks, not a global order.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap = SESS_GAP_S
+
+    def sessionize(key, pdfs, state: GroupState):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(
+            ["ts", "event_id"], kind="mergesort", ignore_index=True
+        )
+        es = (pdf["ts"].astype("int64") // 1_000_000_000).to_numpy()
+        types = pdf["event_type"].to_numpy()
+        vc = np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        if state.exists:
+            seq0, fe0, le0, lt0, n0, c0 = state.get
+        else:
+            seq0, fe0, le0, lt0, n0, c0 = 0, 0, None, None, 0, 0
+        m = len(es)
+        brk = np.ones(m, dtype=bool)
+        if m > 1:
+            brk[1:] = (es[1:] - es[:-1] >= gap) | (types[:-1] == "purchase")
+        if le0 is not None and es[0] - le0 < gap and lt0 != "purchase":
+            brk[0] = False  # batch head continues the stored tail
+        # group ids within this batch: 0 = continues the stored tail
+        # (only when brk[0] is False), 1.. are fresh sessions; session
+        # seq is seq0 + gid under either head
+        grp = np.cumsum(brk)
+        out = {
+            "user_id": [], "sess_seq": [], "n_events": [],
+            "dur_secs": [], "cents_sum": [], "converted": [],
+        }
+        uid = key[0]
+        last = None
+        for gid in range(int(grp[0]), int(grp[-1]) + 1):
+            sel = grp == gid
+            n = int(sel.sum())
+            fe, le = int(es[sel][0]), int(es[sel][-1])
+            c = int(vc[sel].sum())
+            lt = str(types[sel][-1])
+            if gid == 0:
+                # merged with the stored tail
+                fe, n, c = fe0, n + n0, c + c0
+            seq = seq0 + gid
+            out["user_id"].append(uid)
+            out["sess_seq"].append(seq)
+            out["n_events"].append(n)
+            out["dur_secs"].append(le - fe)
+            out["cents_sum"].append(c)
+            out["converted"].append(lt == "purchase")
+            last = (seq, fe, le, lt, n, c)
+        if last is not None:
+            state.update(last)
+        yield pd.DataFrame(out)
+
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "ts", "value"
+    )
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=(
+            "user_id long, sess_seq long, n_events long, "
+            "dur_secs long, cents_sum long, converted boolean"
+        ),
+        stateStructType=(
+            "seq long, first_e long, last_e long, "
+            "last_type string, n long, cents long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(sessions, "update")
+    return out.select(
+        "user_id", "sess_seq", "n_events", "dur_secs", "cents_sum",
+        "converted",
+    )
