@@ -92,6 +92,13 @@ HEADLINE = [
     "agg_audience_overlap",
     "join_point_in_polygon",
     "text_line_dedup",
+    # round 5
+    "agg_theta_sketch",
+    "rollup_margin_hierarchy",
+    "events_time_bands",
+    "embedding_cluster_kmeans",
+    "dedup_span_exact",
+    "text_quality_classifier",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming
@@ -107,6 +114,7 @@ STREAMING_HEADLINE = [
     "stream_quality_filter",
     "stream_cdc_apply",
     "stream_topk_trending",
+    "stream_session_features",
 ]
 
 
