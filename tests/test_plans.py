@@ -396,3 +396,58 @@ def test_point_in_polygon_broadcast_cells_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_theta_sketch_broadcasts_pairs_no_cartesian(spark, sf_dir):
+    """The sketch pair joins and size lookups are ≤24-row relations —
+    broadcast them; the only real shuffles are the audience distinct,
+    the hash distinct, and the per-hour k-minima window."""
+    plan = formatted_plan(E.queries()["agg_theta_sketch"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_time_bands_single_scan_no_join(spark, sf_dir):
+    """Q88's 8 bands must fold into ONE scan: no joins at all, and the
+    only exchange is the final single-partition gather of 8 counters."""
+    plan = formatted_plan(E.queries()["events_time_bands"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # tree + detail of the 1-row gather
+    assert "partial_sum" in plan  # map-side partials before the gather
+
+
+def test_margin_hierarchy_single_expand_broadcast_dim(spark, sf_dir):
+    """ROLLUP is ONE Expand feeding one aggregate (subtotals are not
+    separate jobs) and the part dimension broadcasts into the fact."""
+    plan = formatted_plan(E.queries()["rollup_margin_hierarchy"](spark, sf_dir))
+    assert plan.count("Expand") <= 2  # tree + detail section of one node
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_broadcasts_centroids(spark, sf_dir):
+    """Every Lloyd round joins the fact against the 8-row centroid
+    frame — all three must be broadcast (a shuffled 8-row join would
+    shuffle the fact 3×)."""
+    plan = formatted_plan(E.queries()["embedding_cluster_kmeans"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the 8-row centroid side rides a broadcast nested-loop (it is a
+    # true cross join by construction); the fact never shuffles for it
+    assert plan.count("BroadcastNestedLoopJoin") <= 6  # 3 rounds × tree+detail
+    assert "BroadcastExchange" in plan
+
+
+def test_span_dedup_equi_join_only(spark, sf_dir):
+    """The duplicate-gram semi-join must be an equi-join on the gram
+    hash — never a nested loop over positions."""
+    plan = formatted_plan(E.queries()["dedup_span_exact"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_classifier_no_join_one_shuffle(spark, sf_dir):
+    """Scoring is a stateless per-token expression: no join anywhere,
+    one partial-agg shuffle keyed by doc_id."""
+    plan = formatted_plan(E.queries()["text_quality_classifier"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "partial_" in plan
