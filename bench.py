@@ -99,6 +99,7 @@ HEADLINE = [
     "embedding_cluster_kmeans",
     "dedup_span_exact",
     "text_quality_classifier",
+    "text_bpe_merge_candidates",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming

@@ -891,3 +891,94 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_lines", "n_kept", "clean_md5")
     )
+
+
+# --- text_bpe_merge_candidates ----------------------------------------------
+
+BPE_TOPK = 50  #: merge candidates reported
+
+
+@query(
+    "text_bpe_merge_candidates",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {TH.sql_words('text')} AS ws FROM documents
+    ),
+    pairs AS (
+      SELECT ws[r.i] AS a, ws[r.i + 1] AS b
+      FROM w, range(1, 1000000) AS r(i)
+      WHERE r.i + 1 <= len(ws)
+    ),
+    uni AS (
+      SELECT tok, count(*) AS n FROM (
+        SELECT unnest(ws) AS tok FROM w) GROUP BY tok
+    ),
+    tot AS (SELECT count(*) AS n_tot FROM (SELECT unnest(ws) FROM w)),
+    pc AS (SELECT a, b, count(*) AS n_ab FROM pairs GROUP BY a, b)
+    SELECT pc.a AS a, pc.b AS b,
+           CAST(pc.n_ab AS BIGINT) AS n_ab,
+           CAST(pc.n_ab * t.n_tot * 1000 // (ua.n * ub.n) AS BIGINT)
+             AS lift_milli
+    FROM pc
+    JOIN uni ua ON ua.tok = pc.a
+    JOIN uni ub ON ub.tok = pc.b
+    CROSS JOIN tot t
+    ORDER BY pc.n_ab DESC, pc.a, pc.b
+    LIMIT {BPE_TOPK}
+    """,
+)
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training, step one: mine the top-{BPE_TOPK} ADJACENT
+    token pairs by corpus frequency — exactly the statistic a BPE/
+    WordPiece trainer maximizes per merge round — with an integer
+    association lift (n_ab·N·1000 div n_a·n_b, monotone in PMI) to
+    separate genuinely-collocated pairs from products of two frequent
+    tokens. Pair extraction is array-domain (a per-row transform over
+    token positions), NOT a self-join of the token table on adjacent
+    positions — at 100 TB the positional self-join would shuffle the
+    whole exploded corpus twice.
+
+    Scale shape: one explode → (a, b) count shuffle with map-side
+    combine (distinct pairs, not occurrences, cross the wire), one
+    unigram count shuffle, then broadcast unigram/total lookups onto
+    the pair table and a TakeOrderedAndProject top-{BPE_TOPK} — no
+    global sort. Iterating merges re-runs this with merged symbols;
+    each round is the same two-shuffle pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = TH.words_expr("text")
+    w = docs.select(ws.alias("ws"))
+    pairs = w.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ws) - 1, 0)),"
+                " i -> struct(ws[i - 1] AS a, ws[i] AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    uni = (
+        w.select(F.explode("ws").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = w.select(F.explode("ws").alias("tok")).agg(
+        F.count(F.lit(1)).alias("n_tot")
+    )
+    pc = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    ua = uni.select(F.col("tok").alias("a"), F.col("n").alias("n_a"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("n").alias("n_b"))
+    return (
+        pc.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.expr("n_ab * n_tot * 1000 div (n_a * n_b)")
+            .cast("long")
+            .alias("lift_milli"),
+        )
+        .orderBy(F.col("n_ab").desc(), "a", "b")
+        .limit(BPE_TOPK)
+    )
