@@ -425,16 +425,16 @@ def test_margin_hierarchy_single_expand_broadcast_dim(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_kmeans_broadcasts_centroids(spark, sf_dir):
-    """Every Lloyd round joins the fact against the 8-row centroid
-    frame — all three must be broadcast (a shuffled 8-row join would
-    shuffle the fact 3×)."""
+def test_kmeans_assignment_is_join_free(spark, sf_dir):
+    """Centroids ride the assignment UDF's closure (driver-held, the
+    MLlib pattern) — the final-round plan must contain NO join of any
+    kind and no shuffle before the Arrow assignment stage (the fact is
+    scanned, mapped, done)."""
     plan = formatted_plan(E.queries()["embedding_cluster_kmeans"](spark, sf_dir))
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
-    # the 8-row centroid side rides a broadcast nested-loop (it is a
-    # true cross join by construction); the fact never shuffles for it
-    assert plan.count("BroadcastNestedLoopJoin") <= 6  # 3 rounds × tree+detail
-    assert "BroadcastExchange" in plan
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan  # assignment itself needs no shuffle
 
 
 def test_span_dedup_equi_join_only(spark, sf_dir):
