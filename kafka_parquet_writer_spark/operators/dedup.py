@@ -652,13 +652,14 @@ ANN_DEDUP_BANK = 64
 #: target vectors per cell — active cells m = max(16, n/TARGET)
 ANN_DEDUP_TARGET_PER_CELL = 125
 ANN_DEDUP_PROBE = 4
-#: single-literal assignment ceiling: past ~64k centroids the one-row
-#: 2-D literal (m × 64 doubles) and the per-row m-dot scan both stop
-#: being the right tool — the 100 TB continuation is a two-level
-#: (coarse ⋈ fine) assignment giving m₁·m₂ effective cells at
-#: m₁ + m₂ dots per row. Asserted loudly rather than silently capped,
-#: because a silent cap is exactly the quadratic-reintroducing bug
-#: this bound replaces (r4: hard cap 64 → Σcell² ∝ n² past ×4).
+#: flat-assignment ceiling: past ~64k centroids the closure-shipped
+#: centroid matrix (m × 64 float64 ≈ 32 MB pickled) and the n·m gemm
+#: both stop being the right tool — the 100 TB continuation is a
+#: two-level (coarse ⋈ fine) assignment giving m₁·m₂ effective cells
+#: at m₁ + m₂ dots per row, with the banks broadcast. Asserted loudly
+#: rather than silently capped, because a silent cap is exactly the
+#: quadratic-reintroducing bug this bound replaces (r4: hard cap 64 →
+#: Σcell² ∝ n² past ×4).
 ANN_DEDUP_MAX_LITERAL_CELLS = 65536
 
 
@@ -736,12 +737,12 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ×4→×8 doubling exponent 1.42). Holding per-cell population at
     ``ANN_DEDUP_TARGET_PER_CELL`` keeps the verify ~linear at any n.
     m is derived from a driver-side count(*) — satisfied from parquet
-    row-group metadata, no data scan — because the centroid literal
-    must be sized before the plan is built; at 100 TB that count is a
-    footer-only job. Past ``ANN_DEDUP_MAX_LITERAL_CELLS`` (~8M
-    vectors/partition-group) the single-literal assignment should
-    hand off to a two-level coarse⋈fine assignment (m₁·m₂ effective
-    cells at m₁+m₂ dots/row); asserted loudly, never silently capped.
+    row-group metadata, no data scan — because the centroid bank
+    must be sized before the assignment closure ships; at 100 TB that
+    count is a footer-only job. Past ``ANN_DEDUP_MAX_LITERAL_CELLS``
+    the flat n·m assignment should hand off to a two-level
+    coarse⋈fine assignment (m₁·m₂ effective cells at m₁+m₂ dots/row,
+    banks broadcast); asserted loudly, never silently capped.
 
     On real corpora (clustered: crawl snapshots, version families)
     Σ cell² ≪ n²; on this isotropic synthetic fixture recall is 59/59
@@ -764,7 +765,7 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     if m > ANN_DEDUP_MAX_LITERAL_CELLS:
         raise ValueError(
             f"dedup_embedding_ann: m={m} active cells exceeds the "
-            f"single-literal assignment ceiling "
+            f"flat-assignment ceiling "
             f"({ANN_DEDUP_MAX_LITERAL_CELLS}); switch to a two-level "
             "coarse/fine centroid assignment (see docstring) rather "
             "than capping m — a cap makes the verify quadratic."
