@@ -100,6 +100,8 @@ HEADLINE = [
     "dedup_span_exact",
     "text_quality_classifier",
     "text_bpe_merge_candidates",
+    "cross_channel_intersect",
+    "similarity_rerank_mmr",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming

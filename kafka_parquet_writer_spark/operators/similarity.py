@@ -790,3 +790,157 @@ def ivf_pq_topk(
         .filter(F.col("rnk") <= topk)
         .select("q_id", "n_id", "cos", "rnk")
     )
+
+
+# --- similarity_rerank_mmr --------------------------------------------------
+
+MMR_CAND = 20   #: shortlist size entering the rerank
+MMR_K = 5       #: diversified results returned
+#: λ = 0.7 as integer tenths: mmr = 7·sim(q,d) − 3·max_{s∈sel} sim(d,s)
+MMR_REL, MMR_DIV = 7, 3
+MMR_SCALE = 1_000_000  #: fixed-point scale for vector components
+
+
+def _mmr_oracle() -> str:
+    rel, div, k, cand, s = MMR_REL, MMR_DIV, MMR_K, MMR_CAND, MMR_SCALE
+    ctes = [
+        f"""n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    )""",
+        f"""qv AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(floor(x / nrm * {s} + 0.5)
+                                         AS BIGINT)) AS q
+      FROM n
+    )""",
+        """qry AS (SELECT q AS qq FROM qv ORDER BY vec_id LIMIT 1)""",
+        f"""cand AS (
+      SELECT vec_id, q,
+             CAST(list_dot_product(q, qq) AS BIGINT) AS simq
+      FROM qv CROSS JOIN qry
+      WHERE vec_id > (SELECT min(vec_id) FROM qv)
+      QUALIFY row_number() OVER (ORDER BY simq DESC, vec_id) <= {cand}
+    )""",
+        f"""sel1 AS (
+      SELECT 1 AS rnk, vec_id, q, simq, CAST({rel} AS BIGINT) * simq AS mmr
+      FROM cand ORDER BY simq DESC, vec_id LIMIT 1
+    )""",
+    ]
+    prev = "sel1"
+    for r in range(2, MMR_K + 1):
+        ctes.append(f"""sel{r} AS (
+      SELECT * FROM {prev}
+      UNION ALL
+      SELECT {r} AS rnk, vec_id, q, simq, mmr FROM (
+        SELECT c.vec_id, c.q, c.simq,
+               {rel} * c.simq
+                 - {div} * max(CAST(list_dot_product(c.q, p.q) AS BIGINT))
+                 AS mmr
+        FROM cand c JOIN {prev} p ON true
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+        GROUP BY c.vec_id, c.q, c.simq
+        ORDER BY mmr DESC, c.vec_id LIMIT 1)
+    )""")
+        prev = f"sel{r}"
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT CAST(rnk AS INTEGER) AS rnk, vec_id,"
+          f" CAST(simq AS BIGINT) AS simq, CAST(mmr AS BIGINT) AS mmr"
+          f" FROM {prev}"
+    )
+
+
+@query("similarity_rerank_mmr", oracle=_mmr_oracle())
+def similarity_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance rerank: the top-{MMR_CAND} cosine
+    shortlist for a query vector is greedily re-selected into
+    {MMR_K} DIVERSE results — each round picks argmax of
+    {MMR_REL}·sim(query, d) − {MMR_DIV}·max_sim(d, already-selected)
+    (λ = 0.7). The context-selection step a RAG / training-example
+    pipeline runs after ANN retrieval so near-duplicate passages don't
+    crowd the slate. ALL similarity arithmetic is exact int64 (1e-6
+    fixed-point unit vectors → integer dots ≤ 2^46), so both engines
+    walk the identical greedy trajectory through {MMR_K} unrolled
+    oracle rounds, ties broken by vec_id.
+
+    Scale shape: the expensive stage is the shortlist (any of the
+    similarity_* retrieval paths; here the exact top-{MMR_CAND} — one
+    scan + TakeOrderedAndProject). The greedy rerank touches only the
+    {MMR_CAND}-row shortlist: each round is a {MMR_CAND}×rank pair
+    block — O(K²·dim) total work, broadcast-sized regardless of corpus
+    scale, expressed as DataFrame ops so the same code reranks a
+    million shortlists when grouped per query."""
+    from kafka_parquet_writer_spark.operators.dedup import _unit_vectors
+
+    qv = _unit_vectors(spark, sf_dir).select(
+        "vec_id",
+        F.transform(
+            "u", lambda x: F.floor(x * MMR_SCALE + F.lit(0.5)).cast("long")
+        ).alias("q"),
+    )
+    first = qv.orderBy("vec_id").limit(1).collect()[0]
+    qid, qq = first["vec_id"], list(first["q"])
+    qlit = F.expr("array(" + ",".join(str(int(x)) for x in qq) + "L)")
+    dot_q = F.aggregate(
+        F.zip_with("q", qlit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        qv.filter(F.col("vec_id") > qid)
+        .withColumn("simq", dot_q)
+        .orderBy(F.col("simq").desc(), "vec_id")
+        .limit(MMR_CAND)
+    )
+    sel = (
+        cand.orderBy(F.col("simq").desc(), "vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).alias("rnk"),
+            "vec_id",
+            "q",
+            "simq",
+            (F.lit(MMR_REL).cast("long") * F.col("simq")).alias("mmr"),
+        )
+    )
+    pair_dot = F.aggregate(
+        F.zip_with("q", "pq", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    for r in range(2, MMR_K + 1):
+        prev = sel.select("vec_id").withColumnRenamed("vec_id", "pv")
+        rem = cand.join(
+            prev, cand.vec_id == F.col("pv"), "left_anti"
+        )
+        pairs = rem.crossJoin(
+            F.broadcast(
+                sel.select(F.col("q").alias("pq"))
+            )
+        ).withColumn("ds", pair_dot)
+        pick = (
+            pairs.groupBy("vec_id", "q", "simq")
+            .agg(F.max("ds").alias("maxsim"))
+            .select(
+                F.lit(r).alias("rnk"),
+                "vec_id",
+                "q",
+                "simq",
+                (
+                    F.lit(MMR_REL).cast("long") * F.col("simq")
+                    - F.lit(MMR_DIV).cast("long") * F.col("maxsim")
+                ).alias("mmr"),
+            )
+            .orderBy(F.col("mmr").desc(), "vec_id")
+            .limit(1)
+        )
+        sel = sel.unionByName(pick)
+    return sel.select(
+        F.col("rnk").cast("int").alias("rnk"),
+        "vec_id",
+        F.col("simq").cast("long").alias("simq"),
+        F.col("mmr").cast("long").alias("mmr"),
+    )

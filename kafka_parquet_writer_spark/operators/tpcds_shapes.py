@@ -350,3 +350,65 @@ def events_time_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             for h, pred in TIME_BANDS
         ]
     )
+
+
+# --- cross_channel_intersect (TPC-DS Q14 shape) ------------------------------
+
+
+@query(
+    "cross_channel_intersect",
+    oracle=f"""
+    WITH cross_items AS (
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+      INTERSECT
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+      INTERSECT
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT CASE l.l_returnflag WHEN 'A' THEN 'store'
+                               WHEN 'N' THEN 'web'
+                               ELSE 'catalog' END AS channel,
+           CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS n_items,
+           CAST(count(*) AS BIGINT) AS n_sales,
+           CAST(sum({sql_cents(_SALES)}) AS BIGINT) AS sales_vc
+    FROM lineitem l
+    WHERE l.l_partkey IN (SELECT l_partkey FROM cross_items)
+    GROUP BY 1
+    """,
+)
+def cross_channel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q14 shape: items sold in ALL channels (a 3-way INTERSECT
+    of channel item sets) gate the per-channel sales report — the
+    "cross-channel assortment" pattern. Exercises native set-op
+    planning (Spark rewrites INTERSECT into distinct + left-semi
+    joins) composed with a semi-join back onto the fact.
+
+    Scale shape: each channel item set is a DISTINCT over a filtered
+    scan (map-side combined, item-sized not fact-sized); the
+    intersects and the fact gate are semi-joins on the item key — the
+    item set is dimension-sized, so at 100 TB Spark's AQE converts the
+    fact gate to a broadcast semi-join and the fact never shuffles for
+    it; the only fact shuffle is the final per-channel aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    items = None
+    for flag, _tag in CHANNELS:
+        s = li.filter(F.col("l_returnflag") == flag).select("l_partkey").distinct()
+        items = s if items is None else items.intersect(s)
+    sales = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(items, "l_partkey", "left_semi")
+        .groupBy(
+            F.when(F.col("l_returnflag") == "A", "store")
+            .when(F.col("l_returnflag") == "N", "web")
+            .otherwise("catalog")
+            .alias("channel")
+        )
+        .agg(
+            F.count_distinct("l_partkey").cast("long").alias("n_items"),
+            F.count(F.lit(1)).alias("n_sales"),
+            F.sum(sales).alias("sales_vc"),
+        )
+    )

@@ -201,3 +201,25 @@ def test_session_features_cross_batch_tail_merge():
     assert [(s, n, c) for s, n, _, c, _ in out2] == [
         (2, 2, 700), (3, 1, 500),
     ]
+
+
+def test_mmr_rerank_invariants(spark):
+    """5 distinct results, rank 1 is the pure-cosine argmax (its mmr
+    carries no diversity term), and the greedy walk is deterministic.
+    NOTE: mmr ≤ 7·simq does NOT hold in general — cosine is signed,
+    so a candidate anti-correlated with the whole slate gets a
+    diversity BONUS (−3·maxsim > 0); that is correct MMR behavior on
+    isotropic vectors, and the oracle pins the exact trajectory."""
+    from kafka_parquet_writer_spark.operators.similarity import (
+        MMR_K,
+        MMR_REL,
+    )
+
+    q = E.queries()["similarity_rerank_mmr"]
+    rows = sorted(q(spark, SF_SMOKE).collect(), key=lambda r: r["rnk"])
+    assert [r["rnk"] for r in rows] == list(range(1, MMR_K + 1))
+    assert len({r["vec_id"] for r in rows}) == MMR_K
+    assert rows[0]["mmr"] == MMR_REL * rows[0]["simq"]
+    assert rows[0]["simq"] == max(r["simq"] for r in rows)
+    again = sorted(q(spark, SF_SMOKE).collect(), key=lambda r: r["rnk"])
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
