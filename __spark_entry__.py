@@ -138,8 +138,10 @@ def _driver_evidence() -> dict[str, tuple[int, bool]]:
 # re-check despite being recent: treated as never-checked (tier 1) so
 # the next driver run re-proves them. r5: dedup_url's r4 green matched
 # on 0 rows == 0 rows (fixture bug, fixed in web_curation.py) — it
-# needs a green row with rows > 0.
-_FORCE_RECHECK = {"dedup_url"}
+# needs a green row with rows > 0. The force expires by itself: once
+# evidence from a round AFTER the flagged one exists, the key rejoins
+# normal rotation (no manual cleanup next round).
+_FORCE_RECHECK = {"dedup_url": 4}  # key -> round whose green is void
 
 
 def _ordered(keys: dict) -> dict:
@@ -150,7 +152,7 @@ def _ordered(keys: dict) -> dict:
 
     def sort_key(k: str):
         ev = evidence.get(k)
-        if k in _FORCE_RECHECK:
+        if ev is not None and ev[0] <= _FORCE_RECHECK.get(k, -1):
             ev = None
         tie = (hint.get(k, big), reg_order[k])
         if ev is not None and not ev[1]:
