@@ -79,14 +79,12 @@ def test_embedding_dedup_never_broadcasts_corpus(spark, sf_dir):
     plan = formatted_plan(E.queries()["dedup_embedding"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    # ANN: the only BroadcastNestedLoopJoins are the 1-row active-cell
-    # scalar (m = clip(n/target, ...)) — the scalar-subquery shape,
-    # replicated because BOTH self-join sides derive from the probes
-    # subplan (2 nodes × tree+detail = 4 mentions); anything more
-    # would be a corpus broadcast
+    # ANN (r5 Arrow form): assignment is a mapInPandas closure and the
+    # verify an applyInPandas per cell — no joins should remain at all
     plan = formatted_plan(E.queries()["dedup_embedding_ann"](spark, sf_dir))
-    assert plan.count("BroadcastNestedLoopJoin") <= 4
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
 
 
 def test_embedding_dedup_ann_no_false_positives_high_recall(spark, sf_dir):
@@ -451,3 +449,32 @@ def test_quality_classifier_no_join_one_shuffle(spark, sf_dir):
     plan = formatted_plan(E.queries()["text_quality_classifier"](spark, sf_dir))
     assert "Join" not in plan
     assert "partial_" in plan
+
+
+def test_bpe_candidates_topk_pushdown_broadcast_lookups(spark, sf_dir):
+    """Top-50 merge pairs must plan as TakeOrderedAndProject (never a
+    global sort) with the unigram/total lookups broadcast onto the
+    pair table."""
+    plan = formatted_plan(E.queries()["text_bpe_merge_candidates"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cross_channel_intersect_semi_joins_only(spark, sf_dir):
+    """INTERSECT and the fact gate must plan as (left-)semi joins on
+    the item key — no cartesian, no nested loop."""
+    plan = formatted_plan(E.queries()["cross_channel_intersect"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mmr_rerank_slate_joins_are_broadcast(spark, sf_dir):
+    """The greedy rounds touch only the 20-row shortlist and the ≤5-row
+    slate: every pair block must be broadcast-built (the slate side is
+    a true cross join, so BNLJ nodes are expected — but all of them
+    broadcast, never a shuffled cartesian)."""
+    plan = formatted_plan(E.queries()["similarity_rerank_mmr"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
