@@ -894,6 +894,11 @@ def similarity_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("simq", dot_q)
         .orderBy(F.col("simq").desc(), "vec_id")
         .limit(MMR_CAND)
+        # materialize the 20-row shortlist ONCE: every greedy round
+        # references cand (and the growing slate references it again
+        # through the union), so an unmaterialized lineage re-runs the
+        # corpus scan+top-k ~2^K times — measured 13 s vs ~1 s at sf0.1
+        .localCheckpoint()
     )
     sel = (
         cand.orderBy(F.col("simq").desc(), "vec_id")
@@ -937,7 +942,10 @@ def similarity_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("mmr").desc(), "vec_id")
             .limit(1)
         )
-        sel = sel.unionByName(pick)
+        # flatten the slate lineage: sel_r references sel_{r-1} twice
+        # (anti-join + pair broadcast), so an unmaterialized union
+        # doubles the subtree per round (2^K stages by round K)
+        sel = sel.unionByName(pick).localCheckpoint()
     return sel.select(
         F.col("rnk").cast("int").alias("rnk"),
         "vec_id",
