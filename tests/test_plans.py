@@ -470,11 +470,36 @@ def test_cross_channel_intersect_semi_joins_only(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_mmr_rerank_slate_joins_are_broadcast(spark, sf_dir):
-    """The greedy rounds touch only the 20-row shortlist and the ≤5-row
-    slate: every pair block must be broadcast-built (the slate side is
-    a true cross join, so BNLJ nodes are expected — but all of them
-    broadcast, never a shuffled cartesian)."""
+def test_mmr_rerank_rounds_materialize_and_shortlist_is_topk(spark, sf_dir):
+    """The greedy rounds checkpoint the shortlist and slate (their
+    recurrence would otherwise re-evaluate the corpus scan 2^K times —
+    measured 13.2 s → 2.4 s), so the FINAL plan must be the flattened
+    checkpointed scan; the shortlist stage itself must plan as
+    TakeOrderedAndProject over one scan, never a cartesian."""
+    from pyspark.sql import functions as F
+
+    from kafka_parquet_writer_spark.operators.dedup import _unit_vectors
+    from kafka_parquet_writer_spark.operators.similarity import (
+        MMR_CAND,
+        MMR_SCALE,
+    )
+
     plan = formatted_plan(E.queries()["similarity_rerank_mmr"](spark, sf_dir))
-    assert "CartesianProduct" not in plan
-    assert "BroadcastExchange" in plan
+    assert "Join" not in plan
+    assert "ExistingRDD" in plan  # flattened slate, one tiny scan
+
+    qv = _unit_vectors(spark, sf_dir).select(
+        "vec_id",
+        F.transform(
+            "u", lambda x: F.floor(x * MMR_SCALE + F.lit(0.5)).cast("long")
+        ).alias("q"),
+    )
+    shortlist = (
+        qv.filter(F.col("vec_id") > 0)
+        .withColumn("simq", F.size("q").cast("long"))  # stand-in metric
+        .orderBy(F.col("simq").desc(), "vec_id")
+        .limit(MMR_CAND)
+    )
+    splan = formatted_plan(shortlist)
+    assert "TakeOrderedAndProject" in splan
+    assert "CartesianProduct" not in splan
