@@ -55,6 +55,11 @@ LINEAR_SHORT = [
     "dedup_containment",
     "dedup_simhash",
     "multimodal_phash_dedup",
+    # round-5 additions whose ~linear claims need round-6 measurement:
+    # span dedup is the gram-count shuffle + per-doc window; k-means is
+    # a fixed number of fact passes with constant-size driver state
+    "dedup_span_exact",
+    "embedding_cluster_kmeans",
 ]
 #: exact all-pairs forms — Ω(n²) by nature; measured as the contrast
 QUADRATIC = ["dedup_embedding"]
