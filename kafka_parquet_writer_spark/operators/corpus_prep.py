@@ -943,7 +943,11 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram count shuffle, then broadcast unigram/total lookups onto
     the pair table and a TakeOrderedAndProject top-{BPE_TOPK} — no
     global sort. Iterating merges re-runs this with merged symbols;
-    each round is the same two-shuffle pass.
+    each round is the same two-shuffle pass. (Bounds: the oracle's
+    range(1, 1e6) position generator assumes ≤1M tokens per document;
+    lift's n_ab·N·1000 product stays in int64 up to ~10^10-token
+    corpora — past that, compute the lift at reduced scale or in
+    doubles and keep n_ab exact.)
     """
     docs = load_table(spark, sf_dir, "documents")
     ws = TH.words_expr("text")

@@ -319,7 +319,9 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     HIT positions only (duplicated grams, a small fraction of all
     grams). Suffix-array ExactSubstr finds arbitrary-length matches;
     the fixed-gram form trades that for pure shuffle/window primitives
-    with identical ≥{SPAN_L}-token guarantees.
+    with identical ≥{SPAN_L}-token guarantees. (Oracle bound: its
+    range(1, 1e6) position generator assumes ≤1M tokens per document;
+    the Spark side's sequence() has no such cap.)
     """
     docs = load_table(spark, sf_dir, "documents")
     ws = TH.words_expr("text")
