@@ -378,7 +378,10 @@ def main() -> None:
                 continue
             if name == "dedup_embedding_ann":
                 klist, kdirs = KS_ANN, adirs
-            elif name in LINEAR:
+            elif name in LINEAR or name == "dedup_containment":
+                # containment graduated to the full ladder in r6: its
+                # ×4 point was the repo's steepest lane curve, so the
+                # positional-filter fix is proven (or refuted) at ×8
                 klist, kdirs = KS_LINEAR, dirs
             else:
                 klist, kdirs = KS_QUADRATIC, dirs

@@ -694,9 +694,21 @@ def _ann_dedup_oracle() -> str:
       FROM embeddings
     ),
     act AS (
-      SELECT LEAST({ANN_DEDUP_BANK},
-                   GREATEST({ANN_DEDUP_CELLS},
-                            count(*) // {ANN_DEDUP_TARGET_PER_CELL})) AS m
+      -- this oracle text embeds exactly {ANN_DEDUP_BANK} centroid
+      -- literals; the Spark side regrows the bank past that with the
+      -- corpus. Error LOUDLY on a fixture large enough to need more
+      -- cells rather than silently running a different (capped)
+      -- algorithm and reporting a confusing value mismatch.
+      SELECT CASE
+               WHEN count(*) > {ANN_DEDUP_BANK * ANN_DEDUP_TARGET_PER_CELL}
+               THEN CAST(error(
+                 'dedup_embedding_ann oracle covers only n <= '
+                 || '{ANN_DEDUP_BANK * ANN_DEDUP_TARGET_PER_CELL}'
+                 || ' vectors (static {ANN_DEDUP_BANK}-centroid bank); '
+                 || 'regenerate the oracle with a larger bank') AS BIGINT)
+               ELSE GREATEST({ANN_DEDUP_CELLS},
+                             count(*) // {ANN_DEDUP_TARGET_PER_CELL})
+             END AS m
       FROM n
     ),
     e AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n),
@@ -763,12 +775,22 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "embeddings").count()
     m = max(ANN_DEDUP_CELLS, n // ANN_DEDUP_TARGET_PER_CELL)
     if m > ANN_DEDUP_MAX_LITERAL_CELLS:
-        raise ValueError(
-            f"dedup_embedding_ann: m={m} active cells exceeds the "
-            f"flat-assignment ceiling "
-            f"({ANN_DEDUP_MAX_LITERAL_CELLS}); switch to a two-level "
-            "coarse/fine centroid assignment (see docstring) rather "
-            "than capping m — a cap makes the verify quadratic."
+        # past the flat ceiling the n·m gemm and the closure-shipped
+        # m×64 bank stop being the right tool: hand off to the
+        # two-level inverted multi-index (subspace-split coarse⋈fine,
+        # m₁·m₂ effective cells at m₁+m₂ half-dim dots per row) —
+        # the continuation the r5 assertion promised. Same verify.
+        import math as _math
+
+        side = int(_math.ceil(_math.sqrt(m)))
+        probes = emb.mapInPandas(
+            _make_imi_assigner(side, side),
+            "vec_id long, u array<double>, cell long",
+        )
+        return (
+            probes.groupBy("cell")
+            .applyInPandas(_verify_cell_blas, "v1 long, v2 long, cos double")
+            .distinct()
         )
     cs = DEDUP_CENTROIDS if m <= ANN_DEDUP_BANK else _dedup_centroids(m)
     # BLAS batch assignment (mapInPandas), not a per-centroid catalyst
@@ -777,9 +799,17 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # indexed transform lambda) paid ~0.8 s of plan build for the
     # 64-row bank and, being a higher-order function, never entered
     # whole-stage codegen — at m = 512 (lane ×32) it dominated the
-    # whole query. Cell choice is IDENTICAL to the oracle's
-    # list_sort(struct(-dot, idx)): stable argsort on -dot breaks
-    # score ties by centroid index. The centroid matrix rides in the
+    # whole query. Cell choice matches the oracle's
+    # list_sort(struct(-dot, idx)) — stable argsort on -dot breaks
+    # EXACT score ties by centroid index — up to float64
+    # summation-order effects: BLAS reassociates/FMAs the dot sums
+    # while DuckDB folds sequentially, so a near-tie between two
+    # centroid scores (~1e-16 relative) could in principle rank cells
+    # differently across engines. No rounding absorbs that for cell
+    # CHOICE (unlike the 6-decimal cos output); probability is
+    # negligible on random data and has never been observed, but
+    # "identical" holds only up to that caveat. The centroid matrix
+    # rides in the
     # UDF closure (m×64 float64 — bounded by the literal-cells
     # assertion above; past that, broadcast + two-level assignment).
     probes = emb.mapInPandas(
@@ -868,6 +898,191 @@ def _verify_cell_blas(pdf):
             "v2": np.maximum(a, b),
             "cos": np.floor(cos[keep] * 1e6 + 0.5) / 1e6,
         }
+    )
+
+
+# ---------------------------------------------------------------------------
+# two-level (inverted multi-index) ANN assignment — the >64k-cell path
+# ---------------------------------------------------------------------------
+
+#: bank side for the DECLARED imi key (m1 = m2 = 8 → 64 product cells,
+#: small enough to embed both half-banks as oracle literals); the
+#: production handoff inside dedup_embedding_ann sizes sides as
+#: ceil(sqrt(m)) instead
+ANN_IMI_SIDE = 8
+
+
+def _imi_banks(
+    m1: int, m2: int
+) -> tuple[list[list[float]], list[list[float]]]:
+    """Subspace half-banks for the inverted multi-index (Babenko &
+    Lempitsky, "The inverted multi-index", CVPR 2012): a coarse bank
+    over dims 0..31 and a fine bank over dims 32..63, each row
+    normalized to length 1/√2 so every combined centroid
+    concat(c1_i, c2_j) has EXACTLY unit norm — max-dot assignment over
+    the m1·m2 product codebook is then spherical k-means assignment,
+    the same geometry as the flat bank, at m1 + m2 half-dim dots per
+    row instead of m1·m2. Two independent seeded streams keep each
+    bank prefix-stable as it grows with the corpus (same guarantee as
+    _dedup_centroids). Values rounded to 6 decimals so the Spark
+    closure and the oracle's SQL literals consume identical numbers."""
+    import numpy as np
+
+    out = []
+    for seed, rows in ((ANN_DEDUP_SEED + 7, m1), (ANN_DEDUP_SEED + 8, m2)):
+        rng = np.random.RandomState(seed)
+        c = rng.randn(rows, 32)
+        c = c / (np.linalg.norm(c, axis=1, keepdims=True) * np.sqrt(2.0))
+        out.append([[round(float(x), 6) for x in r] for r in c])
+    return out[0], out[1]
+
+
+def _make_imi_assigner(m1: int, m2: int, probe: int = ANN_DEDUP_PROBE):
+    """mapInPandas factory for the two-level assignment: per Arrow
+    batch, TWO half-dim gemms (m1 + m2 dots per row), then the probe
+    nearest of the m1·m2 product cells via the top-probe × top-probe
+    shortcut — exact because any pair (i, j) among the overall
+    top-probe combined scores must have i among s1's top-probe (were
+    there `probe` coarse indices strictly better than i, pairing each
+    with the same j would give `probe` strictly better pairs) and
+    symmetrically j among s2's; score ties resolve by cell id on both
+    engines (stable argsort here ≡ the oracle's list_sort(struct(s,
+    c))). Cell id = i·m2 + j as int64. Closure ships two (side × 32)
+    float64 banks — 64 KB at side 256 (m = 65 k), still closure-sized
+    at every realistic m (side 4096 → 2 MB)."""
+    import numpy as np
+
+    c1l, c2l = _imi_banks(m1, m2)
+    c1 = np.asarray(c1l, dtype=np.float64)
+    c2 = np.asarray(c2l, dtype=np.float64)
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            u = np.vstack(pdf["u"].to_numpy())
+            rows = len(u)
+            s1 = -(u[:, :32] @ c1.T)
+            s2 = -(u[:, 32:] @ c2.T)
+            o1 = np.argsort(s1, axis=1, kind="stable")[:, :probe]
+            o2 = np.argsort(s2, axis=1, kind="stable")[:, :probe]
+            rix = np.arange(rows)[:, None, None]
+            sc = (
+                s1[rix, o1[:, :, None]] + s2[rix, o2[:, None, :]]
+            ).reshape(rows, -1)
+            cells = (
+                o1[:, :, None].astype(np.int64) * m2 + o2[:, None, :]
+            ).reshape(rows, -1)
+            # (score, cell) order: pre-sort combos by cell id, then
+            # stable argsort by score — equal scores rank by cell id
+            bycell = np.argsort(cells, axis=1, kind="stable")
+            sc = np.take_along_axis(sc, bycell, axis=1)
+            cells = np.take_along_axis(cells, bycell, axis=1)
+            best = np.take_along_axis(
+                cells,
+                np.argsort(sc, axis=1, kind="stable")[:, :probe],
+                axis=1,
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy(dtype=np.int64), probe
+                    ),
+                    "u": np.repeat(pdf["u"].to_numpy(), probe),
+                    "cell": best.ravel(),
+                }
+            )
+
+    return assign
+
+
+def _ann_imi_oracle() -> str:
+    from kafka_parquet_writer_spark.functions.vector import sql_lit_vector
+
+    c1, c2 = _imi_banks(ANN_IMI_SIDE, ANN_IMI_SIDE)
+    l1 = ", ".join(
+        f"struct_pack(s := -list_dot_product(ua, {sql_lit_vector(c)}), "
+        f"c := {j})"
+        for j, c in enumerate(c1)
+    )
+    l2 = ", ".join(
+        f"struct_pack(s := -list_dot_product(ub, {sql_lit_vector(c)}), "
+        f"c := {j})"
+        for j, c in enumerate(c2)
+    )
+    return f"""
+    WITH n AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    e AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n),
+    sp AS (SELECT vec_id, u, u[1:32] AS ua, u[33:64] AS ub FROM e),
+    t AS (
+      SELECT vec_id, u,
+             list_sort([{l1}])[1:{ANN_DEDUP_PROBE}] AS t1,
+             list_sort([{l2}])[1:{ANN_DEDUP_PROBE}] AS t2
+      FROM sp
+    ),
+    combo AS (
+      SELECT vec_id, u,
+             list_sort(flatten(list_transform(t1, x ->
+               list_transform(t2, y ->
+                 struct_pack(s := x.s + y.s,
+                             c := x.c * {ANN_IMI_SIDE} + y.c)))))
+               [1:{ANN_DEDUP_PROBE}] AS cl
+      FROM t
+    ),
+    probes AS (
+      SELECT vec_id, u, p.c AS cell
+      FROM (SELECT vec_id, u, unnest(cl) AS p FROM combo)
+    )
+    SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2,
+           (floor(list_dot_product(a.u, b.u) * 1e6 + 0.5) / 1e6) AS cos
+    FROM probes a JOIN probes b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.u, b.u) >= {COSINE_DUP_THRESHOLD}
+    """
+
+
+@query("dedup_embedding_ann_imi", oracle=_ann_imi_oracle())
+def dedup_embedding_ann_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs through the TWO-LEVEL inverted
+    multi-index assignment — the same code path dedup_embedding_ann
+    hands off to past its {ANN_DEDUP_MAX_LITERAL_CELLS}-cell flat
+    ceiling, declared at a small fixed geometry (m1 = m2 =
+    {ANN_IMI_SIDE} → {ANN_IMI_SIDE}² product cells) so the driver
+    value-checks the IMI probe logic itself: both half-banks are
+    oracle literals and the oracle walks the identical subspace-split
+    top-probe × top-probe combination.
+
+    Why this exists: at true 100 TB embedding-corpus scale (>8M
+    vectors at {ANN_DEDUP_TARGET_PER_CELL}/cell) the flat bank needs
+    m > 64k centroids — a 32 MB closure and an n·m gemm. The IMI
+    splits the space into two 32-dim halves with side = ceil(sqrt(m))
+    centroids each: assignment cost drops to m1 + m2 half-dots per
+    row (256 + 256 instead of 65 536 at the ceiling) and the shipped
+    banks to two side×32 matrices, while the product codebook keeps
+    the effective cell count — and therefore per-cell population and
+    the ~linear verify — identical to the flat design. Half-banks are
+    normalized to 1/√2 so every product centroid is exactly unit
+    norm: max-dot assignment stays spherical k-means, same geometry
+    as the flat path. Verify is the shared per-cell BLAS block
+    (_verify_cell_blas).
+    """
+    emb = _unit_vectors(spark, sf_dir)
+    probes = emb.mapInPandas(
+        _make_imi_assigner(ANN_IMI_SIDE, ANN_IMI_SIDE),
+        "vec_id long, u array<double>, cell long",
+    )
+    return (
+        probes.groupBy("cell")
+        .applyInPandas(_verify_cell_blas, "v1 long, v2 long, cos double")
+        .distinct()
     )
 
 
@@ -1060,11 +1275,24 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower bound on the larger side's overlap fraction — so candidates
     are prefix(A) ⋈ full-index(B), biased to low-df tokens by the
     rarest-first order exactly like dedup_ngram_jaccard's PPJoin.
-    Verify is one array_intersect pass over the pair's token sets.
+
+    Positional filter, containment form (the PPJoin pruner ported to
+    the asymmetric threshold): common tokens appear in the same
+    relative order in both docs under the one global (df, tid) order,
+    so the FIRST common token of a qualifying pair collides at ranks
+    (rA, rB) with overlap ≤ 1 + min(nA − rA, nB − rB), which must
+    reach ⌈t·nA⌉. Pruning every collision that fails this keeps at
+    least that first-common-token collision for every true pair
+    (lossless), while discarding collisions deep in either side's
+    tail BEFORE the pair materializes — the candidate cut that
+    flattened the jaccard lane, applied to the form whose ×4 lane
+    point was the repo's steepest. Verify is one array_intersect pass
+    over the pair's token sets.
 
     Scale shape: the prefix join is the only pair-producing shuffle;
-    the B-side full index is the same (doc, tid) table every text
-    operator shares. At 100 TB the candidate count is governed by rare
+    the B-side full index is the same ranked (doc, tid) table the
+    A-side prefix is cut from (one window, read twice, co-partitioned
+    by tid). At 100 TB the candidate count is governed by rare
     tokens' df² — the same budget as the Jaccard join — and the
     min-side orientation halves the pair space.
     """
@@ -1078,28 +1306,36 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = docsets.select("doc", "n")
     dfreq = st.groupBy("tid").agg(F.count(F.lit(1)).alias("df"))
     w = W.partitionBy("doc").orderBy("df", "tid")
-    ranked = (
+    base = repartition_for_compute(
         st.join(dfreq, "tid")
         .join(sizes, "doc")
         .withColumn("r", F.row_number().over(w))
-    )
-    prefix = repartition_for_compute(
-        ranked.filter(
-            (F.col("n") >= CONTAIN_MIN_SHINGLES)
-            & (F.col("r") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
-        ).select("doc", "tid", "n"),
+        .select("doc", "tid", "n", "r"),
         F.col("tid"),
-    )
-    full = st.join(sizes, "doc").select(
-        F.col("doc").alias("doc_b"), "tid", F.col("n").alias("n_b")
+    ).cache()
+    a = base.filter(
+        (F.col("n") >= CONTAIN_MIN_SHINGLES)
+        & (F.col("r") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+    ).alias("a")
+    b = base.alias("b")
+    need = F.ceil(F.lit(t) * F.col("a.n"))  # overlap target ⌈t·nA⌉
+    ubound = 1 + F.least(
+        F.col("a.n") - F.col("a.r"), F.col("b.n") - F.col("b.r")
     )
     cand = (
-        prefix.join(full, "tid")
-        .filter(
-            (F.col("n") < F.col("n_b"))
-            | ((F.col("n") == F.col("n_b")) & (F.col("doc") < F.col("doc_b")))
+        a.join(
+            b,
+            (F.col("a.tid") == F.col("b.tid"))
+            & (
+                (F.col("a.n") < F.col("b.n"))
+                | (
+                    (F.col("a.n") == F.col("b.n"))
+                    & (F.col("a.doc") < F.col("b.doc"))
+                )
+            )
+            & (ubound >= need),
         )
-        .select(F.col("doc").alias("d1"), F.col("doc_b").alias("d2"))
+        .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
         .distinct()
     )
     a = docsets.select(

@@ -281,12 +281,18 @@ def embedding_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kafka_parquet_writer_spark.operators.dedup import _unit_vectors
 
+    # cache() the quantized input across the Lloyd rounds — the MLlib
+    # k-means access pattern. Without it every mapInPandas assignment
+    # pass rebuilds scan→normalize→quantize: {KM_ITERS} update rounds
+    # + the final assignment ≈ 4 full source scans where one cached
+    # scan serves all of them (at 100 TB that is 4× the dominant
+    # cost). Caching cannot change values; the oracle stays exact.
     qv = _unit_vectors(spark, sf_dir).select(
         "vec_id",
         F.transform(
             "u", lambda x: F.floor(x * KM_SCALE + F.lit(0.5)).cast("long")
         ).alias("q"),
-    )
+    ).cache()
     seed_rows = qv.orderBy("vec_id").limit(KM_K).collect()
     cents = {i: np.array(r["q"], dtype=np.int64) for i, r in enumerate(seed_rows)}
 

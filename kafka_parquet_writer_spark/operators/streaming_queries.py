@@ -1135,6 +1135,73 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESS_GAP_S = 1800  #: inactivity gap that closes a session (seconds)
 
 
+def make_sessionizer(gap: int):
+    """Factory for stream_session_features' stateful closure, at module
+    scope so tests exercise the PRODUCTION multi-batch state contract
+    instead of a drift-prone copy.
+
+    Replay order is (es, event_id) with es = ts floored to whole
+    seconds — NOT raw nanosecond ts — because the oracle's window is
+    ORDER BY es, event_id: two same-user events inside one floored
+    second whose event_id order opposes their sub-second ts order must
+    sessionize identically in both engines.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def sessionize(key, pdfs, state):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf["es"] = pdf["ts"].astype("int64") // 1_000_000_000
+        pdf = pdf.sort_values(
+            ["es", "event_id"], kind="mergesort", ignore_index=True
+        )
+        es = pdf["es"].to_numpy()
+        types = pdf["event_type"].to_numpy()
+        vc = np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        if state.exists:
+            seq0, fe0, le0, lt0, n0, c0 = state.get
+        else:
+            seq0, fe0, le0, lt0, n0, c0 = 0, 0, None, None, 0, 0
+        m = len(es)
+        brk = np.ones(m, dtype=bool)
+        if m > 1:
+            brk[1:] = (es[1:] - es[:-1] >= gap) | (types[:-1] == "purchase")
+        if le0 is not None and es[0] - le0 < gap and lt0 != "purchase":
+            brk[0] = False  # batch head continues the stored tail
+        # group ids within this batch: 0 = continues the stored tail
+        # (only when brk[0] is False), 1.. are fresh sessions; session
+        # seq is seq0 + gid under either head
+        grp = np.cumsum(brk)
+        out = {
+            "user_id": [], "sess_seq": [], "n_events": [],
+            "dur_secs": [], "cents_sum": [], "converted": [],
+        }
+        uid = key[0]
+        last = None
+        for gid in range(int(grp[0]), int(grp[-1]) + 1):
+            sel = grp == gid
+            n = int(sel.sum())
+            fe, le = int(es[sel][0]), int(es[sel][-1])
+            c = int(vc[sel].sum())
+            lt = str(types[sel][-1])
+            if gid == 0:
+                # merged with the stored tail
+                fe, n, c = fe0, n + n0, c + c0
+            seq = seq0 + gid
+            out["user_id"].append(uid)
+            out["sess_seq"].append(seq)
+            out["n_events"].append(n)
+            out["dur_secs"].append(le - fe)
+            out["cents_sum"].append(c)
+            out["converted"].append(lt == "purchase")
+            last = (seq, fe, le, lt, n, c)
+        if last is not None:
+            state.update(last)
+        yield pd.DataFrame(out)
+
+    return sessionize
+
+
 @query(
     "stream_session_features",
     oracle=f"""
@@ -1193,77 +1260,27 @@ def stream_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     State carries the open-session tail (seq, first/last second, last
     type, count, cents); each batch sorts its rows per key by
-    (ts, event_id), merges the head with the tail when no break
+    (es, event_id) — es = second-floored ts, matching the oracle's
+    window order — merges the head with the tail when no break
     separates them, emits every session closed in the batch plus the
     updated tail (update-mode semantics; availableNow drains the
     fixture in one batch, so the emission equals the batch
-    sessionization and the oracle is exact).
+    sessionization and the oracle is exact). The closure itself is
+    built by module-level ``make_sessionizer`` so the cross-batch
+    tail-merge test drives the production code.
 
     Scale: state is one fixed-size tuple per user in the partition's
     state store — O(users) total, never O(events); per-batch work is
     one sort of that key's batch rows. At 100 TB the sort is per
     (key, batch) micro-chunks, not a global order.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    gap = SESS_GAP_S
-
-    def sessionize(key, pdfs, state: GroupState):
-        pdf = pd.concat(list(pdfs), ignore_index=True)
-        pdf = pdf.sort_values(
-            ["ts", "event_id"], kind="mergesort", ignore_index=True
-        )
-        es = (pdf["ts"].astype("int64") // 1_000_000_000).to_numpy()
-        types = pdf["event_type"].to_numpy()
-        vc = np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype("int64")
-        if state.exists:
-            seq0, fe0, le0, lt0, n0, c0 = state.get
-        else:
-            seq0, fe0, le0, lt0, n0, c0 = 0, 0, None, None, 0, 0
-        m = len(es)
-        brk = np.ones(m, dtype=bool)
-        if m > 1:
-            brk[1:] = (es[1:] - es[:-1] >= gap) | (types[:-1] == "purchase")
-        if le0 is not None and es[0] - le0 < gap and lt0 != "purchase":
-            brk[0] = False  # batch head continues the stored tail
-        # group ids within this batch: 0 = continues the stored tail
-        # (only when brk[0] is False), 1.. are fresh sessions; session
-        # seq is seq0 + gid under either head
-        grp = np.cumsum(brk)
-        out = {
-            "user_id": [], "sess_seq": [], "n_events": [],
-            "dur_secs": [], "cents_sum": [], "converted": [],
-        }
-        uid = key[0]
-        last = None
-        for gid in range(int(grp[0]), int(grp[-1]) + 1):
-            sel = grp == gid
-            n = int(sel.sum())
-            fe, le = int(es[sel][0]), int(es[sel][-1])
-            c = int(vc[sel].sum())
-            lt = str(types[sel][-1])
-            if gid == 0:
-                # merged with the stored tail
-                fe, n, c = fe0, n + n0, c + c0
-            seq = seq0 + gid
-            out["user_id"].append(uid)
-            out["sess_seq"].append(seq)
-            out["n_events"].append(n)
-            out["dur_secs"].append(le - fe)
-            out["cents_sum"].append(c)
-            out["converted"].append(lt == "purchase")
-            last = (seq, fe, le, lt, n, c)
-        if last is not None:
-            state.update(last)
-        yield pd.DataFrame(out)
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     ev = _events_stream(spark, sf_dir).select(
         "user_id", "event_id", "event_type", "ts", "value"
     )
     sessions = ev.groupBy("user_id").applyInPandasWithState(
-        sessionize,
+        make_sessionizer(SESS_GAP_S),
         outputStructType=(
             "user_id long, sess_seq long, n_events long, "
             "dur_secs long, cents_sum long, converted boolean"

@@ -98,21 +98,17 @@ def test_quality_classifier_scores_every_doc_and_splits(spark):
 
 
 def test_session_features_cross_batch_tail_merge():
-    """Drive the sessionize function directly across two 'batches':
-    the second batch's head must MERGE into the stored open-session
-    tail (no break), continuing seq/count/cents, while a purchase in
-    batch 1 closes its session so the next event opens a new one."""
-    import importlib
+    """Drive the PRODUCTION sessionize closure (module-level
+    make_sessionizer) across two 'batches': the second batch's head
+    must MERGE into the stored open-session tail (no break), continuing
+    seq/count/cents, while a purchase in batch 1 closes its session so
+    the next event opens a new one."""
     import pandas as pd
 
-    sq = importlib.import_module(
-        "kafka_parquet_writer_spark.operators.streaming_queries"
+    from kafka_parquet_writer_spark.operators.streaming_queries import (
+        SESS_GAP_S,
+        make_sessionizer,
     )
-    # extract the inner function via the operator's closure-free twin:
-    # rebuild it by calling the module-level pieces — the function is
-    # defined inside the operator, so re-create minimal state driving
-    # through applyInPandasWithState is not possible here; instead we
-    # simulate with the same algorithm contract via a fake GroupState.
 
     class FakeState:
         def __init__(self):
@@ -127,52 +123,7 @@ def test_session_features_cross_batch_tail_merge():
             self._v = v
             self.exists = True
 
-    # reconstruct the inner sessionize by invoking the operator's code
-    # path: pull it from the function's constants is brittle — instead
-    # import the module and re-define inputs through the public
-    # operator on a crafted fixture is covered by the oracle; here we
-    # assert the STATE CONTRACT by running two batches through a
-    # locally re-created closure identical to the operator's.
-    import numpy as np
-
-    gap = sq.SESS_GAP_S
-
-    def sessionize(key, pdfs, state):
-        # byte-for-byte the operator's algorithm (kept in sync by the
-        # oracle equality at single-batch; this test pins multi-batch)
-        pdf = pd.concat(list(pdfs), ignore_index=True)
-        pdf = pdf.sort_values(
-            ["ts", "event_id"], kind="mergesort", ignore_index=True
-        )
-        es = (pdf["ts"].astype("int64") // 1_000_000_000).to_numpy()
-        types = pdf["event_type"].to_numpy()
-        vc = np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype("int64")
-        if state.exists:
-            seq0, fe0, le0, lt0, n0, c0 = state.get
-        else:
-            seq0, fe0, le0, lt0, n0, c0 = 0, 0, None, None, 0, 0
-        m = len(es)
-        brk = np.ones(m, dtype=bool)
-        if m > 1:
-            brk[1:] = (es[1:] - es[:-1] >= gap) | (types[:-1] == "purchase")
-        if le0 is not None and es[0] - le0 < gap and lt0 != "purchase":
-            brk[0] = False
-        grp = np.cumsum(brk)
-        rows = []
-        last = None
-        for gid in range(int(grp[0]), int(grp[-1]) + 1):
-            sel = grp == gid
-            n = int(sel.sum())
-            fe, le = int(es[sel][0]), int(es[sel][-1])
-            c = int(vc[sel].sum())
-            lt = str(types[sel][-1])
-            if gid == 0:
-                fe, n, c = fe0, n + n0, c + c0
-            seq = seq0 + gid
-            rows.append((seq, n, le - fe, c, lt == "purchase"))
-            last = (seq, fe, le, lt, n, c)
-        state.update(last)
-        return rows
+    sess = make_sessionizer(SESS_GAP_S)
 
     def mk(ts_s, eid, et, v):
         return {
@@ -182,24 +133,77 @@ def test_session_features_cross_batch_tail_merge():
             "value": v,
         }
 
+    def run(batch, st):
+        out = pd.concat(list(sess((7,), [batch], st)), ignore_index=True)
+        return list(
+            zip(
+                out["sess_seq"], out["n_events"], out["cents_sum"],
+                out["converted"],
+            )
+        )
+
     st = FakeState()
     b1 = pd.DataFrame(
         [mk(1000, 1, "view", 1.0), mk(1100, 2, "purchase", 2.0),
          mk(1200, 3, "view", 3.0)]
     )
-    out1 = sessionize((7,), [b1], st)
+    out1 = run(b1, st)
     # purchase at t=1100 closes session 1; t=1200 opens session 2
-    assert [(s, n, conv) for s, n, _, _, conv in out1] == [
+    assert [(s, n, conv) for s, n, _, conv in out1] == [
         (1, 2, True), (2, 1, False),
     ]
     b2 = pd.DataFrame(
         [mk(1300, 4, "click", 4.0), mk(9999, 5, "view", 5.0)]
     )
-    out2 = sessionize((7,), [b2], st)
+    out2 = run(b2, st)
     # t=1300 merges into open session 2 (gap 100 < 1800): count 1+1,
     # cents 300+400; t=9999 is a gap break -> session 3
-    assert [(s, n, c) for s, n, _, c, _ in out2] == [
+    assert [(s, n, c) for s, n, c, _ in out2] == [
         (2, 2, 700), (3, 1, 500),
+    ]
+
+
+def test_sessionizer_same_second_order_matches_oracle():
+    """Two same-user events inside ONE floored second whose event_id
+    order OPPOSES their sub-second ts order must replay in (es,
+    event_id) order — the oracle's window order — not raw-ns order.
+    Regression for the r5 advisor finding: sorting by raw ns ts put
+    event_id 2 (at .900s) after event_id 1 (at .100s) only by luck of
+    the fixture; here ids are swapped so raw-ts order would flip the
+    purchase-terminated session split."""
+    import pandas as pd
+
+    from kafka_parquet_writer_spark.operators.streaming_queries import (
+        SESS_GAP_S,
+        make_sessionizer,
+    )
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        @property
+        def get(self):
+            return self._v
+
+    sess = make_sessionizer(SESS_GAP_S)
+    # event_id 1 is LATER in ns time (.900) than event_id 2 (.100);
+    # both floor to second 1000. Oracle order: (1000, 1), (1000, 2) —
+    # purchase FIRST, so the view opens session 2.
+    b = pd.DataFrame(
+        [
+            {"ts": pd.Timestamp(1000_900_000_000), "event_id": 1,
+             "event_type": "purchase", "value": 1.0},
+            {"ts": pd.Timestamp(1000_100_000_000), "event_id": 2,
+             "event_type": "view", "value": 2.0},
+        ]
+    )
+    out = pd.concat(list(sess((7,), [b], FakeState())), ignore_index=True)
+    assert list(zip(out["sess_seq"], out["n_events"], out["converted"])) == [
+        (1, 1, True), (2, 1, False),
     ]
 
 
