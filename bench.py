@@ -102,6 +102,14 @@ HEADLINE = [
     "text_bpe_merge_candidates",
     "cross_channel_intersect",
     "similarity_rerank_mmr",
+    # round 6
+    "dedup_embedding_ann_imi",
+    "dedup_span_variable",
+    "text_bpe_iterative",
+    "agg_quantile_sketch",
+    "dedup_semantic",
+    "mixture_dsir_weights",
+    "table_vacuum_retention",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming
@@ -295,6 +303,19 @@ def main() -> None:
     # always fits the tail window whole.
     print(json.dumps(result))
     sys.stdout.flush()
+    # Also persist the full detail to a FILE: the driver's 2000-char
+    # tail cannot hold the per-query map (r4's detail was only
+    # regex-recoverable), so round-over-round per-query diffs read
+    # BENCH_DETAIL.json instead — committed as BENCH_DETAIL_r{N}.json
+    # each round.
+    with open(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        ),
+        "w",
+    ) as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+        f.write("\n")
     top_n = 40
     slowest = dict(
         sorted(

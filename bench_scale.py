@@ -60,6 +60,9 @@ LINEAR_SHORT = [
     # a fixed number of fact passes with constant-size driver state
     "dedup_span_exact",
     "embedding_cluster_kmeans",
+    # round 6: pair-chaining adds the df-capped gh self-join to the
+    # span shape — the cap bounds pairs-per-gram, so still ~linear
+    "dedup_span_variable",
 ]
 #: exact all-pairs forms — Ω(n²) by nature; measured as the contrast
 QUADRATIC = ["dedup_embedding"]
@@ -326,6 +329,120 @@ def fit_exponent(points: dict[int, float]) -> float:
     return round(num / den, 3)
 
 
+def build_random_embeddings(spark, n: int) -> str:
+    """Synthetic isotropic embeddings table with n rows for the IMI
+    ceiling lane. NOT a blow-up of the fixture: the fixture rotation
+    trick decorrelates only 64 copies (copies i and i+64 would be
+    bit-identical ⇒ every vector gains ~n/640k exact duplicates and
+    the verify measures duplicate explosion, not scaling). 64 uniform
+    [-0.5, 0.5) draws per row, JVM-side, normalized by the operator's
+    own _unit_vectors pass; random-pair cosine concentrates at
+    ±1/√64, so the 0.4 threshold keeps output sparse."""
+    from pyspark.sql import functions as F
+
+    from kafka_parquet_writer_spark.catalog import table_path
+
+    out = tempfile.mkdtemp(prefix=f"kpws_imiscale_n{n}_")
+    (
+        spark.range(n)
+        .repartition(32)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[(F.rand(seed=i) - F.lit(0.5)).cast("float") for i in range(64)]
+            ).alias("embedding"),
+        )
+        .write.mode("overwrite")
+        .parquet(table_path(out, "embeddings"))
+    )
+    return out
+
+
+def imi_ceiling_lane() -> None:
+    """Opt-in lane (`python bench_scale.py imi`): measure the ANN dedup
+    operator PAST the 64k-cell flat-assignment ceiling — the scale the
+    committed ladder (×32 of sf0.1 = 160k vectors, m = 1280) never
+    reaches. Three synthetic points 2.0625M / 4.125M / 8.25M vectors;
+    the 8.25M point needs m = 66 000 > ANN_DEDUP_MAX_LITERAL_CELLS, so
+    the UNMODIFIED operator takes its two-level IMI handoff there. The
+    two smaller points run twice: their natural flat path (the n·m
+    gemm whose cost is ∝ n²/target — the term the IMI removes) and the
+    IMI path forced via the module ceiling, giving the IMI curve's own
+    doubling exponents plus a flat-vs-IMI contrast at equal n. One
+    timed pass per point (the points are minutes each; cross-pass
+    noise is small relative to the doubling signal). Merges results
+    into BENCH_SCALE.json under "imi_ceiling" without touching the
+    main lanes."""
+    import shutil
+
+    from kafka_parquet_writer_spark import get_spark
+    from kafka_parquet_writer_spark.operators import dedup as D
+    from kafka_parquet_writer_spark.registry import (
+        QUERIES,
+        load_all_operators,
+    )
+
+    load_all_operators()
+    spark = get_spark("bench_scale_imi")
+
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    n8 = 8_250_000
+    points = [n8 // 4, n8 // 2, n8]
+    out: dict[str, dict] = {"flat_sec": {}, "imi_sec": {}, "cells": {}}
+    for n in points:
+        d = build_random_embeddings(spark, n)
+        try:
+            m = max(
+                D.ANN_DEDUP_CELLS, n // D.ANN_DEDUP_TARGET_PER_CELL
+            )
+            out["cells"][str(n)] = m
+            if m <= D.ANN_DEDUP_MAX_LITERAL_CELLS:
+                t0 = time.time()
+                run(QUERIES["dedup_embedding_ann"](spark, d))
+                out["flat_sec"][str(n)] = round(time.time() - t0, 3)
+                print(
+                    f"flat n={n} m={m}: {out['flat_sec'][str(n)]}s",
+                    file=sys.stderr,
+                )
+            old = D.ANN_DEDUP_MAX_LITERAL_CELLS
+            D.ANN_DEDUP_MAX_LITERAL_CELLS = 1  # force the IMI path
+            try:
+                t0 = time.time()
+                run(QUERIES["dedup_embedding_ann"](spark, d))
+                out["imi_sec"][str(n)] = round(time.time() - t0, 3)
+            finally:
+                D.ANN_DEDUP_MAX_LITERAL_CELLS = old
+            forced = " (natural handoff)" if m > old else " (forced)"
+            print(
+                f"imi  n={n} m={m}: {out['imi_sec'][str(n)]}s{forced}",
+                file=sys.stderr,
+            )
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    imi = {int(k): v for k, v in out["imi_sec"].items()}
+    out["imi_exponent"] = fit_exponent(
+        {k // (n8 // 4): v for k, v in imi.items()}
+    )
+    ks = sorted(imi)
+    out["imi_last_doubling_exponent"] = round(
+        math.log(imi[ks[-1]] / imi[ks[-2]]) / math.log(2), 3
+    )
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json"
+    )
+    try:
+        with open(path) as f:
+            blob = json.load(f)
+    except (OSError, ValueError):
+        blob = {}
+    blob["imi_ceiling"] = out
+    with open(path, "w") as f:
+        f.write(json.dumps(blob) + "\n")
+    print(json.dumps({"imi_ceiling": out}))
+
+
 def main() -> None:
     from kafka_parquet_writer_spark import get_spark
     from kafka_parquet_writer_spark.registry import (
@@ -424,15 +541,26 @@ def main() -> None:
         "zorder_skip": zorder,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
     }
+    # carry forward the opt-in imi_ceiling lane's numbers if present
+    # (it is run separately: `python bench_scale.py imi`)
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json"
+    )
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+        if "imi_ceiling" in prev:
+            result["imi_ceiling"] = prev["imi_ceiling"]
+    except (OSError, ValueError):
+        pass
     line = json.dumps(result)
     print(line)
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_SCALE.json"),
-        "w",
-    ) as f:
+    with open(path, "w") as f:
         f.write(line + "\n")
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "imi":
+        imi_ceiling_lane()
+    else:
+        main()

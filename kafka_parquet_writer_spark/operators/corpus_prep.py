@@ -986,3 +986,131 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_ab").desc(), "a", "b")
         .limit(BPE_TOPK)
     )
+
+
+# --- text_bpe_iterative -------------------------------------------------------
+
+BPE_ROUNDS = 3  #: merge rounds executed by the iterative trainer
+
+
+def _bpe_iter_oracle() -> str:
+    """Unrolled-CTE oracle walking identical merge rounds (the k-means
+    unrolled-iteration pattern): per round, mine adjacent pairs, take
+    the (n_ab DESC, a, b) top-1, apply it with DuckDB's replace() on a
+    ';'-delimited token string — leftmost non-overlapping sequential
+    replacement, the same greedy semantics as Spark's replace() — and
+    re-split. Same 1M-positions-per-doc generator bound as the
+    text_bpe_merge_candidates oracle."""
+    words = TH.sql_words("text")
+    ctes = [f"w0 AS (SELECT doc_id, {words} AS ws FROM documents)"]
+    for r in range(BPE_ROUNDS):
+        ctes.append(f"""p{r} AS (
+      SELECT ws[g.i] AS a, ws[g.i + 1] AS b
+      FROM w{r}, range(1, 1000000) AS g(i)
+      WHERE g.i + 1 <= len(ws)
+    )""")
+        ctes.append(f"""m{r} AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+      FROM p{r} GROUP BY a, b ORDER BY n_ab DESC, a, b LIMIT 1
+    )""")
+        pat = (
+            f"';' || (SELECT a FROM m{r}) || ';;' || "
+            f"(SELECT b FROM m{r}) || ';'"
+        )
+        rep = (
+            f"';' || (SELECT a FROM m{r}) || ' ' || "
+            f"(SELECT b FROM m{r}) || ';'"
+        )
+        ctes.append(f"""w{r + 1} AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE str_split(
+                         trim(replace(';' || array_to_string(ws, ';;')
+                                          || ';', {pat}, {rep}), ';'),
+                         ';;')
+             END AS ws
+      FROM w{r}
+    )""")
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST({r + 1} AS INTEGER) AS rnd, a, b, n_ab FROM m{r}"
+        for r in range(BPE_ROUNDS)
+    )
+    return "WITH " + ",\n    ".join(ctes) + f"\n    {unions}"
+
+
+@query("text_bpe_iterative", oracle=_bpe_iter_oracle())
+def text_bpe_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer TRAINING loop: {BPE_ROUNDS} actual BPE merge rounds —
+    per round, mine adjacent-pair frequencies over the current symbol
+    sequences, take the most frequent pair (ties broken (a, b)), and
+    APPLY the merge corpus-wide before re-mining. This is the step
+    text_bpe_merge_candidates (step-one mining) was built toward: the
+    statistic each round maximizes is recomputed on sequences where
+    every earlier merge has replaced its occurrences greedily
+    leftmost, exactly like a real BPE trainer's inner loop (Sennrich
+    et al. 2016). Emits the merge trace (round, pair, frequency) —
+    the artifact a tokenizer build actually persists.
+
+    Merge application is a PER-ROW string rewrite, not a positional
+    self-join: tokens are joined with ';' sentinels (';a;;b;' can
+    only match whole tokens; tokens are \\w+ so the sentinel never
+    collides) and the round's pair is replaced via replace() —
+    leftmost non-overlapping sequential semantics on BOTH engines,
+    which IS BPE's greedy merge order (an 'a a a' run under merge
+    (a,a) yields [aa, a]). Each round: one explode → one
+    map-side-combined (a, b) count shuffle → a TakeOrderedAndProject
+    top-1 (bounded 1-row collect, the k-means driver pattern) → the
+    rewrite mapped over the cached previous round. Per-round cost is
+    two fact passes at any scale; rounds are a small constant.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cur = docs.select(TH.words_expr("text").alias("ws")).cache()
+    trace = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        pairs = cur.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(ws) - 1, 0)),"
+                    " i -> struct(ws[i - 1] AS a, ws[i] AS b))"
+                )
+            ).alias("p")
+        ).select("p.a", "p.b")
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_ab"))
+            .orderBy(F.col("n_ab").desc(), "a", "b")
+            .limit(1)
+            .collect()[0]
+        )
+        trace.append((rnd, top["a"], top["b"], int(top["n_ab"])))
+        if rnd == BPE_ROUNDS:
+            break
+        pat = F.lit(";" + top["a"] + ";;" + top["b"] + ";")
+        rep = F.lit(";" + top["a"] + " " + top["b"] + ";")
+        nxt = cur.select(
+            F.when(
+                F.size("ws") == 0, F.array().cast("array<string>")
+            )
+            .otherwise(
+                F.split(
+                    F.btrim(
+                        F.replace(
+                            F.concat(
+                                F.lit(";"),
+                                F.array_join("ws", ";;"),
+                                F.lit(";"),
+                            ),
+                            pat,
+                            rep,
+                        ),
+                        F.lit(";"),
+                    ),
+                    ";;",
+                )
+            )
+            .alias("ws")
+        ).cache()
+        cur = nxt
+    return spark.createDataFrame(
+        trace, "rnd int, a string, b string, n_ab long"
+    )

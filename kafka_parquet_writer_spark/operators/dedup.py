@@ -835,15 +835,15 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _make_assigner(centroids: list[list[float]]):
+def _make_assigner(centroids: list[list[float]], probe: int = ANN_DEDUP_PROBE):
     """mapInPandas factory: per Arrow batch, score all m centroids in
-    one gemm and emit the ANN_DEDUP_PROBE nearest cells per vector.
-    Stable argsort on score = -dot reproduces the oracle's
-    list_sort(struct(-dot, idx)) tie-breaking exactly."""
+    one gemm and emit the `probe` nearest cells per vector (default
+    ANN_DEDUP_PROBE; dedup_semantic uses probe=1 for a Voronoi
+    partition). Stable argsort on score = -dot reproduces the
+    oracle's list_sort(struct(-dot, idx)) tie-breaking exactly."""
     import numpy as np
 
     c = np.asarray(centroids, dtype=np.float64)
-    probe = ANN_DEDUP_PROBE
 
     def assign(batches):
         import pandas as pd
@@ -1349,4 +1349,125 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, "d2")
         .filter(cont >= t)
         .select("d1", "d2", pround(cont, 6).alias("cont"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup: cluster → within-cluster ε-ball keep/drop)
+# ---------------------------------------------------------------------------
+
+
+def _semantic_oracle() -> str:
+    from kafka_parquet_writer_spark.functions.vector import sql_lit_vector
+
+    cell_structs = ", ".join(
+        f"struct_pack(s := -list_dot_product(u, {sql_lit_vector(c)}), c := {j})"
+        for j, c in enumerate(DEDUP_CENTROIDS)
+    )
+    return f"""
+    WITH n AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    act AS (
+      SELECT CASE
+               WHEN count(*) > {ANN_DEDUP_BANK * ANN_DEDUP_TARGET_PER_CELL}
+               THEN CAST(error(
+                 'dedup_semantic oracle covers only n <= '
+                 || '{ANN_DEDUP_BANK * ANN_DEDUP_TARGET_PER_CELL}'
+                 || ' vectors (static {ANN_DEDUP_BANK}-centroid bank)')
+                 AS BIGINT)
+               ELSE GREATEST({ANN_DEDUP_CELLS},
+                             count(*) // {ANN_DEDUP_TARGET_PER_CELL})
+             END AS m
+      FROM n
+    ),
+    e AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n),
+    cells AS (
+      SELECT vec_id, u,
+             list_sort(list_filter([{cell_structs}], x -> x.c < m))[1].c
+               AS cell
+      FROM e CROSS JOIN act
+    )
+    SELECT a.vec_id AS vec_id,
+           CAST(a.cell AS BIGINT) AS cell,
+           NOT EXISTS (
+             SELECT 1 FROM cells b
+             WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+               AND list_dot_product(a.u, b.u) >= {COSINE_DUP_THRESHOLD}
+           ) AS keep
+    FROM cells a
+    """
+
+
+@query("dedup_semantic", oracle=_semantic_oracle())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): embedding-space
+    dedup as CLUSTER → within-cluster ε-ball → KEEP one
+    representative. Where dedup_embedding_ann emits the near-dup PAIR
+    graph, this operator emits the decision a curation pipeline
+    actually applies: every vector labeled with its cluster and a
+    keep/drop verdict — drop iff a LOWER-ID vector in the same
+    cluster sits within the ε-ball (cos ≥ {COSINE_DUP_THRESHOLD}),
+    so exactly one representative (the min id) survives per
+    duplicate neighborhood chain, deterministically on both engines.
+
+    Clustering is the IVF spherical assignment with probe = 1 (each
+    vector to its single max-dot cell — a Voronoi partition, which is
+    what SemDeDup's k-means step produces), with the cell count
+    m = max({ANN_DEDUP_CELLS}, n/{ANN_DEDUP_TARGET_PER_CELL})
+    scaling WITH the corpus exactly like dedup_embedding_ann — the
+    paper's k ∝ n choice — so the within-cluster pairwise work stays
+    Σ cell² ∝ n at any corpus size (a FIXED cluster count would be
+    the n² trap). Per-cell verdicts are one BLAS gram matrix per cell
+    (applyInPandas, the _verify_cell_blas shape) emitting one row per
+    vector. Shuffle volume: n assignment rows, nothing else.
+
+    Cross-cell misses are the probe-1 tradeoff the paper accepts
+    (duplicates straddling a Voronoi boundary survive as two
+    representatives); dedup_embedding_ann with probe {ANN_DEDUP_PROBE}
+    is the recall-oriented sibling.
+    """
+    emb = _unit_vectors(spark, sf_dir)
+    n = load_table(spark, sf_dir, "embeddings").count()
+    m = max(ANN_DEDUP_CELLS, n // ANN_DEDUP_TARGET_PER_CELL)
+    if m > ANN_DEDUP_MAX_LITERAL_CELLS:
+        raise ValueError(
+            "dedup_semantic: use the IMI assigner past the flat "
+            "ceiling (see dedup_embedding_ann)"
+        )
+    cs = DEDUP_CENTROIDS if m <= ANN_DEDUP_BANK else _dedup_centroids(m)
+    probes = emb.mapInPandas(
+        _make_assigner(cs[:m], probe=1),
+        "vec_id long, u array<double>, cell int",
+    )
+
+    def verdicts(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        u = np.vstack(pdf["u"].to_numpy())[order]
+        cell = int(pdf["cell"].iloc[0])
+        if len(ids) == 1:
+            keep = np.array([True])
+        else:
+            s = u @ u.T
+            # drop iff ANY lower-id row is within the ε-ball
+            dup = (s >= COSINE_DUP_THRESHOLD) & np.tri(
+                len(ids), k=-1, dtype=bool
+            )
+            keep = ~dup.any(axis=1)
+        return pd.DataFrame(
+            {"vec_id": ids, "cell": np.int64(cell), "keep": keep}
+        )
+
+    return probes.groupBy("cell").applyInPandas(
+        verdicts, "vec_id long, cell long, keep boolean"
     )

@@ -874,3 +874,124 @@ def agg_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("close_inter"),
     )
+
+
+# --- agg_quantile_sketch -----------------------------------------------------
+
+#: sample size per group — rank error is O(1/sqrt(K)); 256 gives
+#: ~±3pp standard error at the median, gated in tests
+QSK_K = 256
+QSK_QS = (25, 50, 75, 90, 99)
+
+
+def _qsketch_partial(batches):
+    """Map-side sketch builder: per Arrow batch, keep the QSK_K rows
+    with the smallest (h, vc) per group. Bottom-k is a MERGEABLE
+    sketch (KMV sample): bottom-k of a union of bottom-k partials is
+    the global bottom-k, so any partitioning/batching yields the
+    identical final sample."""
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        yield (
+            pdf.sort_values(["h", "vc"], kind="mergesort")
+            .groupby("flag", sort=False)
+            .head(QSK_K)
+        )[["flag", "h", "vc"]]
+
+
+def _qsketch_oracle() -> str:
+    h = TH.sql_portable_hash64(
+        "CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)"
+    )
+    qcols = ",\n           ".join(
+        f"vals[CAST(({q} * (n - 1)) // 100 AS BIGINT) + 1] AS q{q}"
+        for q in QSK_QS
+    )
+    return f"""
+    WITH x AS (
+      SELECT l_returnflag AS flag,
+             {h} AS h,
+             {sql_cents('l_extendedprice')} AS vc
+      FROM lineitem
+    ),
+    r AS (
+      SELECT flag, vc,
+             row_number() OVER (PARTITION BY flag ORDER BY h, vc) AS rn
+      FROM x
+    ),
+    v AS (
+      SELECT flag, list_sort(list(vc)) AS vals, count(*) AS n
+      FROM r WHERE rn <= {QSK_K} GROUP BY flag
+    )
+    SELECT flag AS l_returnflag,
+           CAST(n AS BIGINT) AS n_samp,
+           {qcols}
+    FROM v
+    """
+
+
+@query("agg_quantile_sketch", oracle=_qsketch_oracle())
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketch with an EXACT value oracle —
+    completing the repo's sketch family (HLL, count-min, one-perm
+    minhash, theta now have a quantile member). A t-digest's centroid
+    layout depends on merge order, so no cross-engine value oracle
+    can pin it; this operator instead uses the KMV-style
+    deterministic bottom-k sample: per group keep the {QSK_K} rows
+    whose portable 60-bit hash of a unique row key is smallest, then
+    read quantiles off the value-sorted sample (index
+    ⌊q·(k−1)/100⌋). The hash order is a fixed uniform permutation of
+    the group, so the sample is a uniform-without-replacement sample
+    — rank error O(1/√{QSK_K}), accuracy-gated in tests — while
+    every engine that agrees on the hash agrees on the sample
+    BIT-FOR-BIT, which is what lets the driver value-hash the output
+    (agg_approx_quantile gates a boolean instead; this one matches
+    values).
+
+    Scale shape — the mergeable-sketch contract, same as
+    agg_hll_partitioned: the map side (_qsketch_partial, one
+    mapInPandas pass) collapses every Arrow batch to ≤{QSK_K} rows
+    per group BEFORE any exchange, so the single groupBy shuffle
+    moves O(batches·groups·{QSK_K}) sketch rows, never the fact
+    table; the reduce side merges partials by sort+truncate (bottom-k
+    union IS bottom-k) inside one collect_list aggregate bounded at
+    partials·{QSK_K} elements per group. Adding more executors adds
+    partials, not shuffle width. l_orderkey·8 + l_linenumber is
+    unique per lineitem row (linenumber ≤ 7), so the hash is a
+    per-row permutation draw.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_returnflag").alias("flag"),
+        TH.portable_hash64(
+            (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+            .cast("long")
+            .cast("string")
+        ).alias("h"),
+        cents(F.col("l_extendedprice")).alias("vc"),
+    )
+    part = x.mapInPandas(_qsketch_partial, "flag string, h long, vc long")
+    merged = part.groupBy("flag").agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("h", "vc"))), 1, QSK_K
+        ).alias("samp")
+    )
+    v = merged.select(
+        "flag",
+        F.array_sort(F.transform("samp", lambda s: s["vc"])).alias("vals"),
+        F.size("samp").alias("n"),
+    )
+    # integer division: (q*(n-1)) div 100, matching the oracle
+    qcols = [
+        F.element_at(
+            "vals",
+            F.expr(f"CAST(({q} * (n - 1)) DIV 100 AS INT) + 1"),
+        ).alias(f"q{q}")
+        for q in QSK_QS
+    ]
+    return v.select(
+        F.col("flag").alias("l_returnflag"),
+        F.col("n").cast("long").alias("n_samp"),
+        *qcols,
+    )

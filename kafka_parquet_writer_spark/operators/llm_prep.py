@@ -378,3 +378,255 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tok").cast("long").alias("total_tokens"),
         F.expr("dup_tokens * 10000 div n_tok").alias("dup_frac_bp"),
     )
+
+
+# --- dedup_span_variable ----------------------------------------------------
+
+#: grams occurring in MORE than this many positions corpus-wide are
+#: excluded from per-PAIR chaining (each such gram is global
+#: boilerplate, already captured by dedup_span_exact's per-doc mass;
+#: including it would materialize C(df,2) pairs per position — the
+#: quadratic frequent-token blow-up every pair-expansion in this repo
+#: caps or restructures away)
+SPAN_PAIR_MAX_DF = 16
+
+
+def _span_var_oracle() -> str:
+    ln = SPAN_L
+    return f"""
+    WITH w AS (
+      SELECT doc_id, {TH.sql_words('text')} AS ws FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             r.i AS st,
+             {TH.sql_portable_hash64(
+                 f"array_to_string(ws[r.i : r.i + {ln} - 1], ' ')")} AS gh
+      FROM w, range(1, 1000000) AS r(i)
+      WHERE r.i + {ln} - 1 <= len(ws)
+    ),
+    dup AS (
+      SELECT gh FROM grams GROUP BY gh
+      HAVING count(*) > 1 AND count(*) <= {SPAN_PAIR_MAX_DF}
+    ),
+    h AS (
+      SELECT g.doc_id, g.st, g.gh FROM grams g JOIN dup d ON d.gh = g.gh
+    ),
+    p AS (
+      SELECT a.doc_id AS d1, a.st AS s1, b.doc_id AS d2, b.st AS s2,
+             a.st - b.st AS diag
+      FROM h a JOIN h b ON a.gh = b.gh AND a.doc_id < b.doc_id
+    ),
+    r AS (
+      SELECT *, s1 - row_number() OVER (
+               PARTITION BY d1, d2, diag ORDER BY s1) AS grp
+      FROM p
+    ),
+    runs AS (
+      SELECT d1, d2, diag, grp, count(*) + {ln} - 1 AS mlen
+      FROM r GROUP BY d1, d2, diag, grp
+    )
+    SELECT d1, d2,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(max(mlen) AS BIGINT) AS max_len,
+           CAST(sum(mlen) AS BIGINT) AS sum_len
+    FROM runs GROUP BY d1, d2
+    """
+
+
+@query("dedup_span_variable", oracle=_span_var_oracle())
+def dedup_span_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIABLE-LENGTH duplicated-span detection between document
+    PAIRS — the gram-chaining approximation of Lee et al. 2022's
+    suffix-array ExactSubstr, built entirely from shuffle/window
+    primitives. dedup_span_exact reports per-DOC merged duplicated
+    mass at a fixed {SPAN_L}-token floor; this operator recovers the
+    pairwise structure AND the true match lengths: two docs sharing a
+    maximal T-token verbatim span (T ≥ {SPAN_L}) produce exactly
+    T − {SPAN_L} + 1 consecutive matching {SPAN_L}-grams on one
+    (d1, d2, s1−s2) DIAGONAL, so chaining consecutive positions per
+    diagonal reconstructs the match and its exact length
+    (count + {SPAN_L} − 1). Emits per doc pair: number of maximal
+    matches, longest match length, and summed match length — the
+    evidence a curation pipeline ranks "which pairs share real
+    passages" by, where Jaccard-style set overlap loses all
+    positional/length information.
+
+    Scale shape: gram emission is the dedup_span_exact explode (only
+    8-byte hashes leave the task); the frequency filter is the same
+    one count-per-hash shuffle; pair expansion joins hits-to-hits on
+    gh with the corpus-wide frequency capped at {SPAN_PAIR_MAX_DF}
+    occurrences (≤ C({SPAN_PAIR_MAX_DF},2) pairs per gram — grams
+    above the cap are global boilerplate already summarized by
+    dedup_span_exact, and uncapped expansion is the Σ df² blow-up);
+    chaining is one window per (d1, d2, diagonal) over matched
+    positions only, then two grouped aggregations. The consecutive-
+    run trick (s1 − row_number) needs no iteration: maximal runs fall
+    out of one sort per diagonal group.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = TH.words_expr("text")
+    w = docs.select("doc_id", ws.alias("ws"), F.size(ws).alias("n_tok"))
+    grams = w.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.col("n_tok") >= SPAN_L,
+                F.sequence(F.lit(1), F.col("n_tok") - SPAN_L + 1),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("st"),
+        "ws",
+    ).select(
+        "doc_id",
+        "st",
+        TH.portable_hash64(
+            F.array_join(F.slice(F.col("ws"), F.col("st"), SPAN_L), " ")
+        ).alias("gh"),
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter((F.col("c") > 1) & (F.col("c") <= SPAN_PAIR_MAX_DF))
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh")
+    a = hits.select(
+        F.col("doc_id").alias("d1"), F.col("st").alias("s1"), "gh"
+    )
+    b = hits.select(
+        F.col("doc_id").alias("d2"), F.col("st").alias("s2"), "gh"
+    )
+    pairs = (
+        a.join(b, "gh")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "s1", "d2", "s2", (F.col("s1") - F.col("s2")).alias("diag"))
+    )
+    win = W.partitionBy("d1", "d2", "diag").orderBy("s1")
+    runs = (
+        pairs.withColumn("grp", F.col("s1") - F.row_number().over(win))
+        .groupBy("d1", "d2", "diag", "grp")
+        .agg((F.count(F.lit(1)) + F.lit(SPAN_L - 1)).alias("mlen"))
+    )
+    return runs.groupBy("d1", "d2").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max("mlen").cast("long").alias("max_len"),
+        F.sum("mlen").cast("long").alias("sum_len"),
+    )
+
+
+# --- mixture_dsir_weights ---------------------------------------------------
+
+DSIR_BUCKETS = 1024  #: hashed unigram feature space
+DSIR_TOPK = 100  #: selected docs reported
+
+
+def _dsir_oracle() -> str:
+    words = TH.sql_words("text")
+    tid = TH.sql_portable_tid("tok")
+    return f"""
+    WITH w AS (
+      SELECT doc_id, {words} AS ws,
+             doc_id % {DECON_BENCH_MOD} = 0 AS is_t
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, is_t, {tid} % {DSIR_BUCKETS} AS b
+      FROM (SELECT doc_id, is_t, unnest(ws) AS tok FROM w)
+    ),
+    cnt AS (
+      SELECT b,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tb,
+             sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS rb
+      FROM tok GROUP BY b
+    ),
+    tot AS (SELECT sum(tb) AS tt, sum(rb) AS rt FROM cnt),
+    lift AS (
+      SELECT b,
+             (tb + 1) * (rt + {DSIR_BUCKETS}) * 1000
+               // ((rb + 1) * (tt + {DSIR_BUCKETS})) AS lm
+      FROM cnt CROSS JOIN tot
+    ),
+    doc AS (
+      SELECT t.doc_id, count(*) AS n_tok, sum(lm) AS s
+      FROM tok t JOIN lift USING (b) WHERE NOT is_t GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(s // n_tok AS BIGINT) AS avg_lift_milli
+    FROM doc ORDER BY avg_lift_milli DESC, doc_id LIMIT {DSIR_TOPK}
+    """
+
+
+@query("mixture_dsir_weights", oracle=_dsir_oracle())
+def mixture_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023) in its hashed-unigram form: score every RAW-pool document
+    by how target-like its token distribution is, using importance
+    ratios between a target corpus (the benchmark stand-in, doc_id %
+    {DECON_BENCH_MOD} == 0 — the same split decontaminate_ngram
+    scrubs against) and the raw pool, over {DSIR_BUCKETS} hashed
+    unigram buckets; report the top-{DSIR_TOPK} most-target-like raw
+    docs. This is the data-SELECTION member of the curation family:
+    mixture_sample re-weights by metadata, text_quality_classifier
+    filters by intrinsic quality; DSIR selects by DISTRIBUTIONAL
+    closeness to a target domain.
+
+    Engine-exactness variant: the paper sums log importance ratios,
+    but float log reassociation differs across engines, so the score
+    is the SUM OF INTEGER MILLI-RATIOS (add-one smoothed, totals-
+    normalized: (t_b+1)(R+B)·1000 div (r_b+1)(T+B)) — order-free
+    int64 addition, same spirit (monotone in the per-bucket ratio),
+    value-hash-exact. Per-doc score is length-normalized (integer
+    avg). Bound: the t_b·R·1000 product stays in int64 to ~10^14
+    token-count×corpus products; past that compute lifts in doubles
+    and keep ranks (the BPE-lift caveat).
+
+    Scale shape: one explode → one {DSIR_BUCKETS}-key count shuffle
+    with map-side combine (the importance model is CONSTANT-size);
+    the model broadcasts back onto the cached token stream (map-side
+    join, no fact shuffle), one per-doc sum shuffle, and a
+    TakeOrderedAndProject top-{DSIR_TOPK} — never a global sort. The
+    token stream is cached across its two passes (model build,
+    scoring), mirroring the k-means access pattern.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") % DECON_BENCH_MOD == 0).alias("is_t"),
+            F.explode(TH.words_expr("text")).alias("tok"),
+        )
+        .select(
+            "doc_id",
+            "is_t",
+            (TH.portable_tid(F.col("tok")) % DSIR_BUCKETS).alias("b"),
+        )
+        .cache()
+    )
+    cnt = tok.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("tb"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("rb"),
+    )
+    tot = cnt.agg(F.sum("tb").alias("tt"), F.sum("rb").alias("rt"))
+    lift = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.expr(
+            f"(tb + 1) * (rt + {DSIR_BUCKETS}) * 1000"
+            f" div ((rb + 1) * (tt + {DSIR_BUCKETS}))"
+        ).alias("lm"),
+    )
+    doc = (
+        tok.filter(~F.col("is_t"))
+        .join(F.broadcast(lift), "b")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tok"), F.sum("lm").alias("s"))
+    )
+    return (
+        doc.select(
+            "doc_id",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            F.expr("s div n_tok").cast("long").alias("avg_lift_milli"),
+        )
+        .orderBy(F.col("avg_lift_milli").desc(), "doc_id")
+        .limit(DSIR_TOPK)
+    )

@@ -211,3 +211,55 @@ def table_zorder_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("vc").alias("vc_sum"),
         F.lit(bool(pruned)).alias("pruned_both_dims"),
     )
+
+
+@query(
+    "table_vacuum_retention",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(vc) AS BIGINT) AS sum_vc,
+           TRUE AS files_removed,
+           TRUE AS live_files_intact
+    FROM (
+      SELECT CASE WHEN o_orderkey % {MERGE_BUMP_MOD} = 0
+                  THEN {sql_cents('o_totalprice')} * 110 // 100
+                  ELSE {sql_cents('o_totalprice')} END AS vc
+      FROM orders)
+    """,
+)
+def table_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM's retention contract, value-checked: create (v0), merge
+    a bump batch (v1 rewrites the touched files), then vacuum
+    retaining only the latest version. The orphaned v0-only files
+    must actually be deleted (`files_removed` — DuckDB asserts the
+    literal TRUE, so a no-op vacuum flips the hash), every file the
+    live snapshot references must survive on disk
+    (`live_files_intact`), and the post-vacuum read must still
+    produce the exact merged state (n_rows + sum_vc against the
+    relational oracle) — space reclaimed, zero data damage.
+
+    Completes the table-format query family (MERGE upsert, time
+    travel, OPTIMIZE ZORDER, and now retention/GC). Scale shape:
+    vacuum is pure metadata work plus unlink calls — it lists
+    retained snapshots' file sets (file LISTS, not data) and walks
+    the data dir; no Spark job, no shuffle, cost ∝ file count. The
+    checkpoint rewrite at the horizon keeps log replay bounded after
+    old commits drop.
+    """
+    import os
+
+    base = _base(spark, sf_dir)
+    t = TxTable(tempfile.mkdtemp(prefix="kpws_tq_vac_"))
+    t.create(base)
+    t.merge(spark, _bump(base), keys=["o_orderkey"])
+    removed = t.vacuum(retain_versions=1)
+    live_ok = all(
+        os.path.exists(os.path.join(t.dir, rel))
+        for rel in t._snapshot(t._versions()[-1])["files"]
+    )
+    return t.read(spark).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("vc").cast("long").alias("sum_vc"),
+        F.lit(len(removed) > 0).alias("files_removed"),
+        F.lit(live_ok).alias("live_files_intact"),
+    )

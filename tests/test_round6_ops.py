@@ -131,3 +131,250 @@ def test_containment_positional_filter_lossless(spark):
         for r in E.queries()["dedup_containment"](spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_span_variable_recovers_exact_match_lengths(spark, tmp_path):
+    """A pair sharing one 25-token span and another pair sharing two
+    separate spans (15 and 12 tokens) must report exact per-match
+    lengths — the capability dedup_span_exact's fixed floor cannot
+    express (variable length, per-pair attribution)."""
+    from kafka_parquet_writer_spark.operators.llm_prep import (
+        dedup_span_variable,
+    )
+
+    s25 = " ".join(f"alpha{i}" for i in range(25))
+    s15 = " ".join(f"beta{i}" for i in range(15))
+    s12 = " ".join(f"gamma{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique one two {s25} three four", "en", "w", 0),
+            (2, f"{s25} entirely different tail tokens here", "en", "w", 0),
+            (3, f"aaa bbb {s15} ccc ddd eee fff ggg {s12} hhh", "en", "w", 0),
+            (4, f"xxx {s15} yyy zzz www vvv uuu ttt {s12} sss", "en", "w", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        (r["d1"], r["d2"]): r
+        for r in dedup_span_variable(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {(1, 2), (3, 4)}
+    assert rows[(1, 2)]["n_matches"] == 1
+    assert rows[(1, 2)]["max_len"] == 25
+    assert rows[(1, 2)]["sum_len"] == 25
+    assert rows[(3, 4)]["n_matches"] == 2
+    assert rows[(3, 4)]["max_len"] == 15
+    assert rows[(3, 4)]["sum_len"] == 27
+
+
+def test_bpe_replace_semantics_cross_engine(spark):
+    """The merge rewrite's correctness hinges on replace() having
+    identical leftmost non-overlapping sequential semantics in Spark
+    and DuckDB — including the overlap case ('a a a' under merge
+    (a, a) must yield [a a, a], BPE's greedy order) and full-token
+    sentinel boundaries ('ab' must not match pair (a, b))."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    cases = [
+        (["a", "a", "a"], "a", "a", ["a a", "a"]),
+        (["a", "a", "a", "a"], "a", "a", ["a a", "a a"]),
+        (["ab", "a", "b", "ab"], "a", "b", ["ab", "a b", "ab"]),
+        (["x", "a", "b", "a", "b", "y"], "a", "b", ["x", "a b", "a b", "y"]),
+        (["b", "a", "b"], "a", "b", ["b", "a b"]),
+    ]
+    con = duckdb.connect()
+    for ws, a, b, want in cases:
+        pat, rep = f";{a};;{b};", f";{a} {b};"
+        got_spark = (
+            spark.createDataFrame([(ws,)], "ws array<string>")
+            .select(
+                F.split(
+                    F.btrim(
+                        F.replace(
+                            F.concat(
+                                F.lit(";"),
+                                F.array_join("ws", ";;"),
+                                F.lit(";"),
+                            ),
+                            F.lit(pat),
+                            F.lit(rep),
+                        ),
+                        F.lit(";"),
+                    ),
+                    ";;",
+                ).alias("ws")
+            )
+            .collect()[0]["ws"]
+        )
+        lst = "[" + ", ".join(repr(w) for w in ws) + "]"
+        got_duck = con.execute(
+            f"SELECT str_split(trim(replace(';' || "
+            f"array_to_string({lst}, ';;') || ';', '{pat}', '{rep}'), "
+            f"';'), ';;')"
+        ).fetchone()[0]
+        assert got_spark == want, (ws, got_spark)
+        assert got_duck == want, (ws, got_duck)
+
+
+def test_quantile_sketch_accuracy_gate(spark):
+    """Sample quantiles must sit within 12 rank-percentage-points of
+    their nominal rank against the EXACT distribution (3.9σ for
+    K=256) — the accuracy half of the sketch contract; the
+    engine-equality half is the driver value oracle."""
+    import pyarrow.parquet as pq
+
+    from kafka_parquet_writer_spark.operators.governance import QSK_QS
+
+    rows = E.queries()["agg_quantile_sketch"](spark, SF_ORACLE).collect()
+    li = pq.read_table(
+        f"{SF_ORACLE}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice"],
+    ).to_pandas()
+    li["vc"] = np.floor(li["l_extendedprice"] * 100 + 0.5).astype("int64")
+    assert len(rows) == 3
+    for r in rows:
+        grp = np.sort(
+            li[li["l_returnflag"] == r["l_returnflag"]]["vc"].to_numpy()
+        )
+        for q in QSK_QS:
+            v = r[f"q{q}"]
+            rank = np.searchsorted(grp, v, side="right") / len(grp)
+            assert abs(rank - q / 100) <= 0.12, (r["l_returnflag"], q, rank)
+
+
+def test_quantile_sketch_merge_invariance():
+    """Bottom-k partials merged by sort+truncate must give the SAME
+    sample under any batching of the input — the mergeability claim
+    (KMV union) that makes the map-side collapse correct."""
+    from kafka_parquet_writer_spark.operators.governance import (
+        QSK_K,
+        _qsketch_partial,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    pdf = pd.DataFrame(
+        {
+            "flag": rng.choice(["A", "N", "R"], n),
+            "h": rng.randint(0, 2**60, n).astype("int64"),
+            "vc": rng.randint(0, 10**6, n).astype("int64"),
+        }
+    )
+
+    def run(chunks):
+        part = pd.concat(list(_qsketch_partial(chunks)), ignore_index=True)
+        return {
+            f: tuple(
+                map(
+                    tuple,
+                    g.sort_values(["h", "vc"]).head(QSK_K)[["h", "vc"]]
+                    .to_numpy(),
+                )
+            )
+            for f, g in part.groupby("flag")
+        }
+
+    one = run([pdf])
+    many = run([pdf.iloc[i : i + 611] for i in range(0, n, 611)])
+    shuffled = pdf.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    other = run([shuffled.iloc[i : i + 97] for i in range(0, n, 97)])
+    assert one == many == other
+
+
+def test_quantile_sketch_single_shuffle_plan(spark, sf_dir):
+    """Map-side collapse gate: the ONLY exchange is the final
+    per-group merge — the fact table never shuffles."""
+    from kafka_parquet_writer_spark.plans import (
+        count_exchanges,
+        formatted_plan,
+    )
+
+    spark.catalog.clearCache()
+    df = E.queries()["agg_quantile_sketch"](spark, sf_dir)
+    assert count_exchanges(df) == 1
+    assert "MapInPandas" in formatted_plan(df)
+
+
+def test_imi_single_shuffle_plan(spark, sf_dir):
+    """The IMI key keeps the flat path's shape: assignment is a
+    narrow mapInPandas over the scan; the only exchanges are the
+    per-cell verify grouping and the final distinct."""
+    from kafka_parquet_writer_spark.plans import (
+        count_exchanges,
+        formatted_plan,
+    )
+
+    spark.catalog.clearCache()
+    df = E.queries()["dedup_embedding_ann_imi"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) <= 2
+    assert "MapInPandas" in plan and "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_keeps_exactly_min_id_and_labels_everyone(spark):
+    """Every vector gets exactly one row; per cell the minimum vec_id
+    is ALWAYS kept (it has no lower-id neighbor by construction); a
+    dropped vector must have a lower-id same-cell neighbor within the
+    ε-ball; and the keep set is deterministic across runs."""
+    rows = E.queries()["dedup_semantic"](spark, SF_SMOKE).collect()
+    import pyarrow.parquet as pq
+
+    n = pq.read_table(f"{SF_SMOKE}/embeddings.parquet").num_rows
+    assert len(rows) == n
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, rs in by_cell.items():
+        min_id = min(r["vec_id"] for r in rs)
+        for r in rs:
+            if r["vec_id"] == min_id:
+                assert r["keep"], (cell, min_id)
+    again = E.queries()["dedup_semantic"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_dsir_selects_raw_docs_only_in_rank_order(spark):
+    """Output is top-100 RAW-pool docs (never the target split),
+    strictly rank-ordered by (avg_lift desc, doc_id), with positive
+    token counts."""
+    from kafka_parquet_writer_spark.operators.llm_prep import (
+        DECON_BENCH_MOD,
+        DSIR_TOPK,
+    )
+
+    rows = E.queries()["mixture_dsir_weights"](spark, SF_ORACLE).collect()
+    assert len(rows) == DSIR_TOPK
+    for r in rows:
+        assert r["doc_id"] % DECON_BENCH_MOD != 0
+        assert r["n_tok"] > 0
+    keys = [(-r["avg_lift_milli"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_vacuum_removes_old_version_readability(spark):
+    """After vacuum(retain=1), time travel to v0 must FAIL (the
+    retention contract: old snapshots become unreadable) while the
+    live read still works — the half of the contract the value
+    oracle's booleans cannot express."""
+    import tempfile
+
+    import pytest as _pytest
+
+    from kafka_parquet_writer_spark.operators.table_queries import (
+        _base,
+        _bump,
+    )
+    from kafka_parquet_writer_spark.tablefmt import TxTable
+
+    base = _base(spark, SF_SMOKE)
+    t = TxTable(tempfile.mkdtemp(prefix="kpws_vac_test_"))
+    t.create(base)
+    t.merge(spark, _bump(base), keys=["o_orderkey"])
+    assert len(t.vacuum(retain_versions=1)) > 0
+    assert t.read(spark).count() == base.count()
+    with _pytest.raises(Exception):
+        t.read(spark, version=0).collect()
