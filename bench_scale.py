@@ -375,6 +375,20 @@ def imi_ceiling_lane() -> None:
     main lanes."""
     import shutil
 
+    # BLAS thread pinning BEFORE the JVM forks its python daemon: with
+    # 32 workers each defaulting to all-core OpenBLAS, the flat
+    # point's gemms ran 1024 threads and made zero progress in 8 min.
+    # One thread per worker is the right shape on local[32].
+    for var in (
+        "OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"
+    ):
+        os.environ.setdefault(var, "1")
+    # keep glibc from mmap/munmap-ing the assigners' large score
+    # buffers every batch (the 32-worker page-fault storm): big
+    # allocations stay on the heap and get reused
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+
     from kafka_parquet_writer_spark import get_spark
     from kafka_parquet_writer_spark.operators import dedup as D
     from kafka_parquet_writer_spark.registry import (
@@ -384,6 +398,12 @@ def imi_ceiling_lane() -> None:
 
     load_all_operators()
     spark = get_spark("bench_scale_imi")
+    # The flat contrast at m = 16.5k/33k cells would otherwise build a
+    # (10000 × m) float64 score matrix per Arrow batch per worker
+    # (1.3-2.6 GB × 32 workers — memory thrash, the second half of the
+    # zero-progress stall). 2048-row batches bound it at ~270-540 MB
+    # per worker; the IMI batches are tiny either way.
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
 
     def run(df) -> None:
         df.write.format("noop").mode("overwrite").save()
