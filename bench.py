@@ -110,6 +110,9 @@ HEADLINE = [
     "dedup_semantic",
     "mixture_dsir_weights",
     "table_vacuum_retention",
+    "text_ppl_buckets",
+    "similarity_ann_imi",
+    "join_asof_tolerance",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming
@@ -126,6 +129,7 @@ STREAMING_HEADLINE = [
     "stream_cdc_apply",
     "stream_topk_trending",
     "stream_session_features",
+    "stream_static_enrich",
 ]
 
 

@@ -981,3 +981,123 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey % 10 = 0
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# as-of join with tolerance + direction (the pandas merge_asof contract)
+# ---------------------------------------------------------------------------
+
+ASOF_TOL_US = 3_600_000_000  #: 1 hour tolerance
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH ev AS (
+      SELECT * FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    wb AS (
+      SELECT *,
+        last_value(CASE WHEN event_type = 'click' THEN event_id END
+                   IGNORE NULLS) OVER back AS b_id,
+        last_value(CASE WHEN event_type = 'click' THEN ts END
+                   IGNORE NULLS) OVER back AS b_ts,
+        first_value(CASE WHEN event_type = 'click' THEN event_id END
+                    IGNORE NULLS) OVER fwd AS f_id,
+        first_value(CASE WHEN event_type = 'click' THEN ts END
+                    IGNORE NULLS) OVER fwd AS f_ts
+      FROM ev
+      WINDOW
+        back AS (PARTITION BY user_id
+                 ORDER BY ts, CAST(event_type = 'click' AS INT) DESC,
+                          event_id
+                 ROWS UNBOUNDED PRECEDING),
+        fwd AS (PARTITION BY user_id
+                ORDER BY ts, CAST(event_type = 'click' AS INT) ASC,
+                         event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    g AS (
+      SELECT event_id AS purchase_id, user_id,
+             b_id, f_id,
+             epoch_us(ts) - epoch_us(b_ts) AS gb,
+             epoch_us(f_ts) - epoch_us(ts) AS gf
+      FROM wb WHERE event_type = 'purchase'
+    )
+    SELECT purchase_id, user_id,
+           CASE WHEN b_id IS NOT NULL AND gb <= {ASOF_TOL_US}
+                     AND (f_id IS NULL OR gf > {ASOF_TOL_US} OR gb <= gf)
+                THEN b_id ELSE f_id END AS click_id,
+           CASE WHEN b_id IS NOT NULL AND gb <= {ASOF_TOL_US}
+                     AND (f_id IS NULL OR gf > {ASOF_TOL_US} OR gb <= gf)
+                THEN 'backward' ELSE 'forward' END AS direction,
+           CASE WHEN b_id IS NOT NULL AND gb <= {ASOF_TOL_US}
+                     AND (f_id IS NULL OR gf > {ASOF_TOL_US} OR gb <= gf)
+                THEN gb ELSE gf END AS gap_us
+    FROM g
+    WHERE (b_id IS NOT NULL AND gb <= {ASOF_TOL_US})
+       OR (f_id IS NOT NULL AND gf <= {ASOF_TOL_US})
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with the full pandas `merge_asof` contract —
+    direction='nearest' + tolerance: each purchase matches the CLOSEST
+    click within ±1 hour, in either direction, ties preferring
+    backward (pandas' rule). `join_asof` covers plain backward; real
+    feature pipelines (sensor alignment, price snapping, attribution
+    windows) need the bounded-staleness nearest form, and an
+    out-of-tolerance purchase must drop rather than silently match a
+    stale click.
+
+    Spark-first shape, no nested loop: the tagged union gets TWO
+    ignore-nulls windows over one user_id shuffle — last click at-or-
+    before (unbounded-preceding frame, clicks ordered before purchases
+    at equal ts so a same-instant click is backward with gap 0) and
+    first click at-or-after (current-row→unbounded-following frame,
+    purchases first at equal ts) — then a per-row CASE picks the
+    nearer in-tolerance candidate. Cost: one exchange + two sorts,
+    linear at any scale; DuckDB's ASOF JOIN cannot express
+    nearest/tolerance, so the oracle is the identical window algebra.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    is_click = F.col("event_type") == "click"
+    back = W.partitionBy("user_id").orderBy(
+        F.col("ts"), is_click.cast("int").desc(), F.col("event_id")
+    ).rowsBetween(W.unboundedPreceding, 0)
+    fwd = W.partitionBy("user_id").orderBy(
+        F.col("ts"), is_click.cast("int").asc(), F.col("event_id")
+    ).rowsBetween(0, W.unboundedFollowing)
+    click_id = F.when(is_click, F.col("event_id"))
+    click_ts = F.when(is_click, F.col("ts"))
+    g = (
+        ev.withColumn("b_id", F.last(click_id, ignorenulls=True).over(back))
+        .withColumn("b_ts", F.last(click_ts, ignorenulls=True).over(back))
+        .withColumn("f_id", F.first(click_id, ignorenulls=True).over(fwd))
+        .withColumn("f_ts", F.first(click_ts, ignorenulls=True).over(fwd))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "b_id",
+            "f_id",
+            (F.unix_micros("ts") - F.unix_micros("b_ts")).alias("gb"),
+            (F.unix_micros("f_ts") - F.unix_micros("ts")).alias("gf"),
+        )
+    )
+    tol = F.lit(ASOF_TOL_US)
+    valid_b = F.col("b_id").isNotNull() & (F.col("gb") <= tol)
+    valid_f = F.col("f_id").isNotNull() & (F.col("gf") <= tol)
+    take_b = valid_b & (
+        F.col("f_id").isNull() | (F.col("gf") > tol) | (F.col("gb") <= F.col("gf"))
+    )
+    return g.filter(valid_b | valid_f).select(
+        "purchase_id",
+        "user_id",
+        F.when(take_b, F.col("b_id")).otherwise(F.col("f_id")).alias(
+            "click_id"
+        ),
+        F.when(take_b, "backward").otherwise("forward").alias("direction"),
+        F.when(take_b, F.col("gb")).otherwise(F.col("gf")).alias("gap_us"),
+    )

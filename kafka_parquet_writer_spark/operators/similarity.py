@@ -952,3 +952,128 @@ def similarity_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("simq").cast("long").alias("simq"),
         F.col("mmr").cast("long").alias("mmr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# query-side top-k through the inverted multi-index
+# ---------------------------------------------------------------------------
+
+IMI_Q_NQ = 20  #: query vectors (vec_id < this)
+IMI_Q_TOPK = 3
+
+
+def _imi_query_oracle() -> str:
+    from kafka_parquet_writer_spark.operators.dedup import (
+        ANN_DEDUP_PROBE,
+        ANN_IMI_SIDE,
+        _imi_banks,
+    )
+
+    c1, c2 = _imi_banks(ANN_IMI_SIDE, ANN_IMI_SIDE)
+    l1 = ", ".join(
+        f"struct_pack(s := -list_dot_product(ua, {V.sql_lit_vector(c)}), "
+        f"c := {j})"
+        for j, c in enumerate(c1)
+    )
+    l2 = ", ".join(
+        f"struct_pack(s := -list_dot_product(ub, {V.sql_lit_vector(c)}), "
+        f"c := {j})"
+        for j, c in enumerate(c2)
+    )
+    return f"""
+    WITH n AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    e AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n),
+    sp AS (SELECT vec_id, u, u[1:32] AS ua, u[33:64] AS ub FROM e),
+    t AS (
+      SELECT vec_id, u,
+             list_sort([{l1}])[1:{ANN_DEDUP_PROBE}] AS t1,
+             list_sort([{l2}])[1:{ANN_DEDUP_PROBE}] AS t2
+      FROM sp
+    ),
+    combo AS (
+      SELECT vec_id, u,
+             list_sort(flatten(list_transform(t1, x ->
+               list_transform(t2, y ->
+                 struct_pack(s := x.s + y.s,
+                             c := x.c * {ANN_IMI_SIDE} + y.c)))))
+               [1:{ANN_DEDUP_PROBE}] AS cl
+      FROM t
+    ),
+    corpus AS (SELECT vec_id, u, (cl[1]).c AS cell FROM combo),
+    probes AS (
+      SELECT vec_id, u, p.c AS cell
+      FROM (SELECT vec_id, u, unnest(cl) AS p FROM combo
+            WHERE vec_id < {IMI_Q_NQ})
+    ),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             (floor(list_dot_product(q.u, c.u) * 1e6 + 0.5) / 1e6) AS cos
+      FROM probes q JOIN corpus c
+        ON q.cell = c.cell AND c.vec_id <> q.vec_id
+    )
+    SELECT q_id, n_id, cos FROM scored
+    QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
+            <= {IMI_Q_TOPK}
+    """
+
+
+@query("similarity_ann_imi", oracle=_imi_query_oracle())
+def similarity_ann_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-side ANN top-{IMI_Q_TOPK} through the inverted
+    multi-index — the retrieval twin of dedup_embedding_ann_imi:
+    corpus vectors land in their single nearest PRODUCT cell (probe
+    1 over the m₁·m₂ subspace-pair codebook), queries probe their 4
+    nearest product cells, and candidates are exact-cosine re-ranked.
+    This is the Babenko-Lempitsky query path: a query touches
+    m₁ + m₂ half-dim dots + 4 cells, while the effective cell count
+    m₁·m₂ keeps per-cell candidate lists ~n/(m₁·m₂) — at 100 TB the
+    banks grow as √m each, so the per-query cost grows as √(n/target)
+    where flat IVF's grows as n/target.
+
+    Scale shape: both assignment passes are the shared IMI
+    mapInPandas gemms (narrow, two half-dots per bank row); the only
+    exchange is the probe⋈corpus equi-join on cell id plus the
+    per-query top-k window (probe rows per query are distinct cells
+    and corpus rows live in one cell, so pairs are unique — no
+    distinct needed before the window).
+    """
+    from kafka_parquet_writer_spark.operators.dedup import (
+        ANN_IMI_SIDE,
+        _make_imi_assigner,
+        _unit_vectors,
+    )
+
+    emb = _unit_vectors(spark, sf_dir)
+    corpus = emb.mapInPandas(
+        _make_imi_assigner(ANN_IMI_SIDE, ANN_IMI_SIDE, probe=1),
+        "vec_id long, u array<double>, cell long",
+    ).select(
+        F.col("vec_id").alias("n_id"), F.col("u").alias("cv"), "cell"
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < IMI_Q_NQ)
+        .mapInPandas(
+            _make_imi_assigner(ANN_IMI_SIDE, ANN_IMI_SIDE),
+            "vec_id long, u array<double>, cell long",
+        )
+        .select(F.col("vec_id").alias("q_id"), F.col("u").alias("qv"), "cell")
+    )
+    cos = pround(V.dot_expr(F.col("qv"), F.col("cv")), 6)
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", cos.alias("cos"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= IMI_Q_TOPK)
+        .select("q_id", "n_id", "cos")
+    )

@@ -804,3 +804,148 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("score_sum") >= 0).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+PPL_SAMPLE_K = 256  #: KMV sample size for the tercile thresholds
+
+
+def _ppl_buckets_oracle() -> str:
+    w = TH.sql_words("text")
+    h = TH.sql_portable_hash64("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH base AS (SELECT doc_id, {w} AS w FROM documents),
+    toks AS (SELECT unnest(w) AS word FROM base),
+    uni AS (SELECT word, count(*) AS cu FROM toks GROUP BY word),
+    v AS (SELECT count(*) AS nv FROM uni),
+    pairs AS (
+      SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                      i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS bg
+        FROM base) t
+    ),
+    bi AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY 1, 2),
+    p6t AS (
+      SELECT p.doc_id,
+             CAST(floor(1e6 * (b.cb + 1) / (u.cu + (SELECT nv FROM v)) + 0.5)
+                  AS BIGINT) AS p6
+      FROM pairs p
+      JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+      JOIN uni u ON u.word = p.w1
+    ),
+    scored AS (
+      SELECT doc_id, CAST(sum(p6) // count(*) AS BIGINT) AS score6
+      FROM p6t GROUP BY doc_id
+    ),
+    samp AS (
+      SELECT score6 FROM (
+        SELECT score6,
+               row_number() OVER (ORDER BY {h}, score6) AS rn
+        FROM scored) WHERE rn <= {PPL_SAMPLE_K}
+    ),
+    th AS (
+      SELECT vals[CAST((33 * (n - 1)) // 100 AS BIGINT) + 1] AS t1,
+             vals[CAST((66 * (n - 1)) // 100 AS BIGINT) + 1] AS t2
+      FROM (SELECT list_sort(list(score6)) AS vals, count(*) AS n FROM samp)
+    )
+    SELECT s.doc_id, s.score6,
+           CASE WHEN s.score6 <= th.t1 THEN 'tail'
+                WHEN s.score6 <= th.t2 THEN 'middle'
+                ELSE 'head' END AS bucket
+    FROM scored s CROSS JOIN th
+    """
+
+
+@query("text_ppl_buckets", oracle=_ppl_buckets_oracle())
+def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail PARTITION (Wenzek et al. 2020): score
+    every document with the corpus bigram LM (docs_ngram_lm's
+    statistic as an exact integer per-doc score) and split the corpus
+    at the sample 33rd/66th percentiles — 'head' = most in-domain,
+    'tail' = the perplexity outliers a pre-training pipeline drops or
+    down-weights. This turns the LM score into the DECISION artifact
+    (like dedup_semantic does for the pair graph).
+
+    The tercile thresholds come from the agg_quantile_sketch
+    primitive — the {PPL_SAMPLE_K}-doc KMV bottom-k-by-hash sample of
+    the per-doc scores, quantiles read off the value-sorted sample —
+    NOT from an exact global percentile: a corpus-wide exact
+    percentile needs per-group state ∝ documents (billions at
+    100 TB), while the sample is constant-size, mergeable, and
+    engine-exact (so the driver can value-hash the buckets). Rank
+    error O(1/√{PPL_SAMPLE_K}) moves the two cut points by at most a
+    few percentile points — immaterial for a tercile split, and
+    deterministic either way.
+
+    Scale shape: the LM build is docs_ngram_lm's (two count shuffles,
+    broadcast model); scoring is one per-doc aggregate; thresholds
+    are one constant-size aggregate broadcast back; bucketing is a
+    per-row CASE. The scored table is cached across its two reads.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = TH.words_expr("text")
+    n = F.size(ws)
+    pair_structs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(ws, 1, n - 1),
+            F.slice(ws, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    base = docs.select("doc_id", ws.alias("w"))
+    uni = base.select(F.explode("w").alias("word")).groupBy("word").agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("nv"))
+    pairs = docs.select(
+        "doc_id", F.explode(pair_structs).alias("bg")
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    p6 = F.floor(
+        1e6 * (F.col("cb") + 1) / (F.col("cu") + F.col("nv")) + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        pairs.join(bi, ["w1", "w2"])
+        .join(uni.withColumnRenamed("word", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", p6.alias("p6"))
+        .groupBy("doc_id")
+        .agg(F.expr("CAST(sum(p6) DIV count(*) AS LONG)").alias("score6"))
+        .cache()
+    )
+    from pyspark.sql.window import Window
+
+    hh = TH.portable_hash64(F.col("doc_id").cast("string"))
+    w_rn = Window.orderBy(hh.asc(), F.col("score6").asc())
+    # KMV sample: the global row_number window runs over ONE column of
+    # ≤ |docs| rows — at true scale swap for the _qsketch_partial
+    # map-side collapse (same sample by construction); the threshold
+    # aggregate itself is constant-size either way
+    samp = (
+        scored.withColumn("rn", F.row_number().over(w_rn))
+        .filter(F.col("rn") <= PPL_SAMPLE_K)
+        .select("score6")
+    )
+    th = samp.agg(
+        F.expr(
+            f"sort_array(collect_list(score6))"
+            f"[CAST((33 * (count(score6) - 1)) DIV 100 AS INT)]"
+        ).alias("t1"),
+        F.expr(
+            f"sort_array(collect_list(score6))"
+            f"[CAST((66 * (count(score6) - 1)) DIV 100 AS INT)]"
+        ).alias("t2"),
+    )
+    return scored.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "score6",
+        F.when(F.col("score6") <= F.col("t1"), "tail")
+        .when(F.col("score6") <= F.col("t2"), "middle")
+        .otherwise("head")
+        .alias("bucket"),
+    )

@@ -378,3 +378,103 @@ def test_vacuum_removes_old_version_readability(spark):
     assert t.read(spark).count() == base.count()
     with _pytest.raises(Exception):
         t.read(spark, version=0).collect()
+
+
+def test_ppl_buckets_partition_and_monotone(spark):
+    """Every scored doc gets exactly one bucket; all three buckets are
+    populated at oracle SF; and the labeling is monotone in score:
+    max(tail) <= min(middle)-boundary <= max(middle) <= min(head)
+    via the threshold semantics (score<=t1 tail, <=t2 middle)."""
+    rows = E.queries()["text_ppl_buckets"](spark, SF_ORACLE).collect()
+    assert len(rows) == 500
+    by = {}
+    for r in rows:
+        by.setdefault(r["bucket"], []).append(r["score6"])
+    assert set(by) == {"head", "middle", "tail"}
+    assert max(by["tail"]) <= min(by["middle"])
+    assert max(by["middle"]) <= min(by["head"])
+
+
+def test_similarity_ann_imi_topk_shape(spark):
+    """Each query yields <= TOPK distinct neighbors, never itself, in
+    strict (cos desc, n_id) order."""
+    from kafka_parquet_writer_spark.operators.similarity import (
+        IMI_Q_NQ,
+        IMI_Q_TOPK,
+    )
+
+    rows = E.queries()["similarity_ann_imi"](spark, SF_ORACLE).collect()
+    by_q = {}
+    for r in rows:
+        assert r["q_id"] != r["n_id"]
+        assert r["q_id"] < IMI_Q_NQ
+        by_q.setdefault(r["q_id"], []).append((r["cos"], r["n_id"]))
+    for q, lst in by_q.items():
+        assert len(lst) <= IMI_Q_TOPK
+        assert len({n for _, n in lst}) == len(lst)
+        assert lst == sorted(lst, key=lambda t: (-t[0], t[1]))
+
+
+def test_asof_tolerance_contract(spark):
+    """Every match is within tolerance; direction labels agree with
+    the gap sign reconstruction; and nearest-with-backward-ties holds
+    against a pandas merge_asof-style reference built from the raw
+    events."""
+    import pyarrow.parquet as pq
+
+    from kafka_parquet_writer_spark.operators.relational import (
+        ASOF_TOL_US,
+    )
+
+    rows = E.queries()["join_asof_tolerance"](spark, SF_ORACLE).collect()
+    ev = pq.read_table(
+        f"{SF_ORACLE}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    ).to_pandas()
+    # pandas 2.x materializes parquet TIMESTAMP(NANOS) as
+    # datetime64[us]; normalize explicitly so int64 is microseconds
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    clicks = ev[ev["event_type"] == "click"]
+    purch = ev[ev["event_type"] == "purchase"].set_index("event_id")
+    got = {r["purchase_id"]: r for r in rows}
+    for pid, p in purch.iterrows():
+        cs = clicks[clicks["user_id"] == p["user_id"]]
+        best = None
+        for _, c in cs.iterrows():
+            gap = abs(int(c["us"]) - int(p["us"]))
+            if gap > ASOF_TOL_US:
+                continue
+            back = int(c["us"]) <= int(p["us"])
+            key = (gap, 0 if back else 1, int(c["event_id"]))
+            if best is None or key < best[0]:
+                best = (key, int(c["event_id"]))
+        if best is None:
+            assert pid not in got, pid
+        else:
+            assert pid in got, pid
+            assert got[pid]["click_id"] == best[1], pid
+            assert got[pid]["gap_us"] <= ASOF_TOL_US
+
+
+def test_stream_static_enrich_segments_complete(spark):
+    """The enrichment must cover every event (all user_ids resolve in
+    the dimension) and produce all five TPC-H market segments."""
+    rows = E.queries()["stream_static_enrich"](spark, SF_SMOKE).collect()
+    import pyarrow.parquet as pq
+
+    n_events = pq.read_table(f"{SF_SMOKE}/events.parquet").num_rows
+    assert sum(r["n"] for r in rows) == n_events
+    import duckdb
+
+    want = {
+        s
+        for (s,) in duckdb.connect()
+        .execute(
+            f"SELECT DISTINCT c.c_mktsegment"
+            f" FROM '{SF_SMOKE}/events.parquet' e"
+            f" JOIN '{SF_SMOKE}/customer.parquet' c"
+            f"   ON c.c_custkey = e.user_id"
+        )
+        .fetchall()
+    }
+    assert {r["segment"] for r in rows} == want
