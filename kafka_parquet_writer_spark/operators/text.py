@@ -918,27 +918,35 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("CAST(sum(p6) DIV count(*) AS LONG)").alias("score6"))
         .cache()
     )
-    from pyspark.sql.window import Window
-
+    # KMV sample via the agg_quantile_sketch map-side collapse — NOT a
+    # global row_number window (that is a single-partition sort of
+    # every doc score at scale): each Arrow batch keeps its bottom-K
+    # (hash, score) rows, the final bounded aggregate merges partials
+    # by sort+truncate (bottom-k union IS bottom-k), then reads the
+    # two cut points off the value-sorted sample
     hh = TH.portable_hash64(F.col("doc_id").cast("string"))
-    w_rn = Window.orderBy(hh.asc(), F.col("score6").asc())
-    # KMV sample: the global row_number window runs over ONE column of
-    # ≤ |docs| rows — at true scale swap for the _qsketch_partial
-    # map-side collapse (same sample by construction); the threshold
-    # aggregate itself is constant-size either way
-    samp = (
-        scored.withColumn("rn", F.row_number().over(w_rn))
-        .filter(F.col("rn") <= PPL_SAMPLE_K)
-        .select("score6")
+
+    def _part(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield pdf.sort_values(["h", "score6"]).head(PPL_SAMPLE_K)
+
+    samp_part = scored.select(hh.alias("h"), "score6").mapInPandas(
+        _part, "h long, score6 long"
     )
-    th = samp.agg(
+    merged = (
+        f"array_sort(transform(slice(array_sort("
+        f"collect_list(struct(h, score6))), 1, {PPL_SAMPLE_K}),"
+        f" x -> x.score6))"
+    )
+    th = samp_part.agg(
         F.expr(
-            f"sort_array(collect_list(score6))"
-            f"[CAST((33 * (count(score6) - 1)) DIV 100 AS INT)]"
+            f"{merged}[CAST((33 * (least(count(h), {PPL_SAMPLE_K}) - 1))"
+            f" DIV 100 AS INT)]"
         ).alias("t1"),
         F.expr(
-            f"sort_array(collect_list(score6))"
-            f"[CAST((66 * (count(score6) - 1)) DIV 100 AS INT)]"
+            f"{merged}[CAST((66 * (least(count(h), {PPL_SAMPLE_K}) - 1))"
+            f" DIV 100 AS INT)]"
         ).alias("t2"),
     )
     return scored.crossJoin(F.broadcast(th)).select(
