@@ -113,6 +113,8 @@ HEADLINE = [
     "text_ppl_buckets",
     "similarity_ann_imi",
     "join_asof_tolerance",
+    "scalar_url",
+    "basket_count_band",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming

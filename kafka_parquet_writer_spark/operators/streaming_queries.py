@@ -1151,7 +1151,12 @@ def make_sessionizer(gap: int):
 
     def sessionize(key, pdfs, state):
         pdf = pd.concat(list(pdfs), ignore_index=True)
-        pdf["es"] = pdf["ts"].astype("int64") // 1_000_000_000
+        # unit-safe second floor: Spark's Arrow bridge hands ts over as
+        # datetime64[ns] today, but a bare astype(int64)//1e9 would
+        # silently break if a pandas upgrade delivers datetime64[us]
+        # (plain-pyarrow reads already do) — cast to second precision
+        # first, then to int64
+        pdf["es"] = pdf["ts"].astype("datetime64[s]").astype("int64")
         pdf = pdf.sort_values(
             ["es", "event_id"], kind="mergesort", ignore_index=True
         )

@@ -412,3 +412,64 @@ def cross_channel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(sales).alias("sales_vc"),
         )
     )
+
+
+# --- basket_count_band (TPC-DS Q34 shape) -----------------------------------
+
+BASKET_LO, BASKET_HI = 4, 6  #: line-count band defining a "big basket"
+
+
+@query(
+    "basket_count_band",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT l_orderkey, count(*) AS cnt
+      FROM lineitem GROUP BY l_orderkey
+      HAVING count(*) BETWEEN {BASKET_LO} AND {BASKET_HI}
+    )
+    SELECT c.c_custkey, c.c_name, b.l_orderkey AS o_orderkey, 
+           CAST(b.cnt AS BIGINT) AS cnt
+    FROM baskets b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def basket_count_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q34's plan skeleton (frequent-buyer ticket-size band):
+    aggregate the FACT table per basket, keep baskets whose item count
+    falls in a band via HAVING, then join the survivors BACK to the
+    dimension for customer attribution — the
+    aggregate→HAVING→join-back composition none of the other TPC-DS
+    shapes (Q5/Q14/Q36/Q67/Q88) exercise. Fixture mapping: lineitem
+    per-order line counts in [{BASKET_LO}, {BASKET_HI}], finished
+    orders only, attributed to customer key+name.
+
+    Scale shape: the HAVING filter runs ON the aggregate (post
+    map-side-combine, so the shuffle carries partial counts, never
+    lines), and the surviving basket set — a small fraction of orders
+    — drives the join back, with AQE free to broadcast it against the
+    dimension side. The fact table is aggregated exactly once.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt").between(BASKET_LO, BASKET_HI))
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        baskets.join(
+            orders, baskets["l_orderkey"] == orders["o_orderkey"]
+        )
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+    )

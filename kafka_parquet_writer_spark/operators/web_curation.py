@@ -189,3 +189,75 @@ def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# URL component extraction (the parse_url scalar family)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_url",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, ({_synth_url_sql()}) AS url FROM documents)
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+           lower(regexp_replace(
+             regexp_extract(url, '^[a-z]+://([^/?#]*)', 1),
+             ':[0-9]+$', '')) AS host,
+           CASE WHEN regexp_extract(url, '^[a-z]+://[^/?#]*:([0-9]+)', 1)
+                     <> ''
+                THEN CAST(regexp_extract(url,
+                       '^[a-z]+://[^/?#]*:([0-9]+)', 1) AS BIGINT)
+                WHEN regexp_extract(url, '^([a-z]+)://', 1) = 'https'
+                THEN 443 ELSE 80 END AS port,
+           regexp_extract(regexp_replace(url, '[?#].*$', ''),
+                          '^[a-z]+://[^/]*(/.*)$', 1) AS path,
+           regexp_extract(url, '[?&]b=([^&#]*)', 1) AS qp_b,
+           regexp_extract(url, '#(.*)$', 1) <> '' AS has_fragment
+    FROM u
+    """,
+)
+def scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL component extraction — the `parse_url` scalar family over
+    the same synthetic crawl URLs dedup_url canonicalizes: scheme,
+    host (lowercased, port stripped), effective port (explicit, else
+    the scheme default), path, a named query-parameter lookup, and
+    fragment presence. Feature engineering over crawl metadata
+    (domain-level mixing, per-site quotas, path-depth filters) starts
+    with exactly these accessors; Spark ships `parse_url` but DuckDB
+    has no twin, so the portable formulation — and the one used here
+    on BOTH engines — is anchored regex extraction (Java-regex ∩ RE2
+    dialect, the text_pii_scrub rule).
+
+    Scale shape: pure per-row projections — parallelizes with the
+    scan, no shuffle, nothing to tune.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select("doc_id", _synth_url_col().alias("url"))
+    url = F.col("url")
+    scheme = F.regexp_extract(url, r"^([a-z]+)://", 1)
+    explicit_port = F.regexp_extract(url, r"^[a-z]+://[^/?#]*:([0-9]+)", 1)
+    return u.select(
+        "doc_id",
+        scheme.alias("scheme"),
+        F.lower(
+            F.regexp_replace(
+                F.regexp_extract(url, r"^[a-z]+://([^/?#]*)", 1),
+                r":[0-9]+$",
+                "",
+            )
+        ).alias("host"),
+        F.when(explicit_port != "", explicit_port.cast("long"))
+        .when(scheme == "https", F.lit(443))
+        .otherwise(F.lit(80))
+        .cast("long")
+        .alias("port"),
+        F.regexp_extract(
+            F.regexp_replace(url, r"[?#].*$", ""),
+            r"^[a-z]+://[^/]*(/.*)$",
+            1,
+        ).alias("path"),
+        F.regexp_extract(url, r"[?&]b=([^&#]*)", 1).alias("qp_b"),
+        (F.regexp_extract(url, r"#(.*)$", 1) != "").alias("has_fragment"),
+    )

