@@ -115,6 +115,8 @@ HEADLINE = [
     "join_asof_tolerance",
     "scalar_url",
     "basket_count_band",
+    "text_ngram_novelty",
+    "agg_decayed_value",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming

@@ -763,3 +763,73 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --- agg_decayed_value -------------------------------------------------------
+
+#: per-day halving — decay weight = 2^-(age_days), exact in integers
+DECAY_REF_DAYS = 19800  #: reference epoch-day (past the fixture's range)
+
+
+@query(
+    "agg_decayed_value",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+             CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS vc
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(vc) AS BIGINT) AS cents_raw,
+           CAST(sum(vc // CAST(pow(2, LEAST({DECAY_REF_DAYS} - d, 62))
+                               AS BIGINT)) AS BIGINT) AS cents_decayed
+    FROM e GROUP BY user_id
+    """,
+)
+def agg_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-DECAYED user value: each event's cents contribute halved
+    per day of age relative to a fixed reference day — the recency-
+    weighted engagement/LTV score ranking pipelines maintain (recent
+    activity dominates, old activity fades instead of being cliff-
+    dropped by a window). Float e^{{-λΔt}} weights would be engine-
+    unportable (pow/exp reassociation); per-day HALVING is the exact
+    integer form: weight = 2^-(age_days), contribution = vc div
+    2^age_days — order-free int64 addition, value-hash-exact, and the
+    half-life is tunable by rescaling the day bucket.
+
+    Scale shape: a pure per-row projection (epoch-day + shift) into
+    ONE map-side-combined groupBy(user) — the same single-shuffle
+    budget as agg_hash; nothing about decay changes the plan. An
+    incremental refresh folds new days in by adding their decayed
+    contributions and right-shifting the stored total per elapsed day
+    (2^-k decays compose) — the agg_incremental pattern applies
+    as-is.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    age = F.least(
+        F.lit(DECAY_REF_DAYS) - F.floor(F.unix_timestamp("ts") / 86400),
+        F.lit(62),
+    ).cast("int")
+    vc = cents(F.col("value"))
+    # exact integer division by 2^age (both engines truncate toward
+    # zero; all fixture values are positive so floor ≡ trunc anyway)
+    return (
+        ev.select(
+            "user_id",
+            vc.alias("vc"),
+            F.expr(
+                f"CAST(floor(value * 1e2 + 0.5) AS LONG)"
+                f" div shiftleft(CAST(1 AS LONG),"
+                f" CAST(least({DECAY_REF_DAYS} - floor(unix_timestamp(ts)"
+                f" / 86400), 62) AS INT))"
+            ).alias("dec"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("vc").cast("long").alias("cents_raw"),
+            F.sum("dec").cast("long").alias("cents_decayed"),
+        )
+    )

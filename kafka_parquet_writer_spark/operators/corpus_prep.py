@@ -1114,3 +1114,86 @@ def text_bpe_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         trace, "rnd int, a string, b string, n_ab long"
     )
+
+
+# --- text_ngram_novelty -------------------------------------------------------
+
+NOVELTY_N = 3  #: token n-gram size for the novelty profile
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {TH.sql_words('text')} AS ws FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             {TH.sql_portable_hash64(
+                 "ws[g.i] || ' ' || ws[g.i + 1] || ' ' || ws[g.i + 2]")} AS gh
+      FROM w, range(1, 1000000) AS g(i)
+      WHERE g.i + {NOVELTY_N} - 1 <= len(ws)
+    ),
+    d AS (SELECT DISTINCT doc_id, gh FROM grams),
+    first AS (SELECT gh, min(doc_id) AS first_doc FROM d GROUP BY gh)
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+                * 10000 // count(*) AS BIGINT) AS novelty_bp
+    FROM d JOIN first f ON f.gh = d.gh
+    GROUP BY d.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus NOVELTY profile: for each document, the fraction of its
+    distinct token {NOVELTY_N}-grams whose FIRST corpus occurrence
+    (min doc_id — ingestion order in this fixture) is this document.
+    The running-novelty curve is how corpus builders measure
+    saturation ("are new crawl snapshots still contributing content,
+    or re-crawling what we have?") and per-doc low novelty is a
+    cheap near-dup/boilerplate signal that needs no pair
+    materialization at all — it complements the pairwise dedup
+    family with an O(corpus) diagnostic.
+
+    Scale shape: explode to distinct (doc, gram-hash) — only 8-byte
+    hashes shuffle — then ONE min-per-gram aggregate (map-side
+    combine) joined back on the gram hash, and a per-doc count
+    aggregate. No self-join, no pair space; the same two-shuffle
+    budget as dedup_exact. At 100 TB "first occurrence" by an
+    explicit ingestion-order column replaces min(doc_id) with min of
+    that column — same plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = TH.words_expr("text")
+    w = docs.select("doc_id", ws.alias("ws"), F.size(ws).alias("n"))
+    grams = w.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.col("n") >= NOVELTY_N,
+                F.expr(
+                    f"transform(sequence(1, n - {NOVELTY_N} + 1),"
+                    " i -> ws[i - 1] || ' ' || ws[i] || ' ' || ws[i + 1])"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    ).select("doc_id", TH.portable_hash64(F.col("g")).alias("gh")).distinct()
+    first = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_novel").cast("long").alias("n_novel"),
+            F.expr("n_novel * 10000 div n_grams").alias("novelty_bp"),
+        )
+    )

@@ -550,3 +550,59 @@ def test_basket_band_having_runs_on_aggregate(spark, sf_dir):
     assert plan.count("lineitem") <= plan.count("Scan") or (
         "lineitem" in plan
     )
+
+
+def test_novelty_first_doc_gets_full_credit(spark, tmp_path):
+    """The first doc in id order owns every gram it introduces
+    (novelty 100%); an exact later copy owns none (novelty 0); a
+    half-overlapping doc sits strictly between."""
+    from kafka_parquet_writer_spark.operators.corpus_prep import (
+        text_ngram_novelty,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(20))
+    fresh = " ".join(f"new{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", "w", 0),
+            (2, base, "en", "w", 0),
+            (3, f"{base} {fresh}", "en", "w", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in text_ngram_novelty(spark, str(tmp_path)).collect()
+    }
+    assert rows[1]["novelty_bp"] == 10000
+    assert rows[2]["novelty_bp"] == 0
+    assert 0 < rows[3]["novelty_bp"] < 10000
+
+
+def test_decayed_value_bounds_and_monotonicity(spark):
+    """Decayed cents never exceed raw cents, are non-negative, and
+    per-user decayed totals equal an independent pandas recomputation
+    (shift semantics, age clamp at 62)."""
+    import pyarrow.parquet as pq
+
+    from kafka_parquet_writer_spark.operators.analytics import (
+        DECAY_REF_DAYS,
+    )
+
+    rows = E.queries()["agg_decayed_value"](spark, SF_SMOKE).collect()
+    ev = pq.read_table(
+        f"{SF_SMOKE}/events.parquet", columns=["user_id", "ts", "value"]
+    ).to_pandas()
+    ev["d"] = (
+        ev["ts"].astype("datetime64[s]").astype("int64") // 86400
+    )
+    ev["vc"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+    ev["age"] = np.minimum(DECAY_REF_DAYS - ev["d"], 62)
+    ev["dec"] = ev["vc"] // np.left_shift(
+        np.int64(1), ev["age"].to_numpy(dtype="int64")
+    )
+    want = ev.groupby("user_id")["dec"].sum().to_dict()
+    for r in rows:
+        assert 0 <= r["cents_decayed"] <= r["cents_raw"]
+        assert r["cents_decayed"] == want[r["user_id"]], r["user_id"]
