@@ -141,7 +141,27 @@ def _driver_evidence() -> dict[str, tuple[int, bool]]:
 # needs a green row with rows > 0. The force expires by itself: once
 # evidence from a round AFTER the flagged one exists, the key rejoins
 # normal rotation (no manual cleanup next round).
-_FORCE_RECHECK = {"dedup_url": 4}  # key -> round whose green is void
+#
+# r7: the round-6 verdict's git log -L audit found keys whose code
+# changed AFTER their latest driver green and which tier-2 staleness
+# ordering cannot reach (their evidence round sorts behind ~97 older
+# rows). Force them so every key is proven on the code that ships:
+#   dedup_containment        ev r4, rewritten r6 (commit 26a41bf)
+#   text_line_dedup          ev r4, r5 empty-doc guard
+#   stream_session_features  ev r5, r6 same-second ordering fix
+#   embedding_cluster_kmeans ev r5, r6 Lloyd-input cache change
+#   dedup_semantic           ev r6, r7 pround boundary compare (ADVICE)
+#   text_bpe_iterative       ev r6, r7 empty-pair guard + unpersist
+# (pack_sequences — ev r3, r4 change — rotates in naturally.)
+_FORCE_RECHECK = {  # key -> round whose green is void
+    "dedup_url": 4,
+    "dedup_containment": 4,
+    "text_line_dedup": 4,
+    "stream_session_features": 5,
+    "embedding_cluster_kmeans": 5,
+    "dedup_semantic": 6,
+    "text_bpe_iterative": 6,
+}
 
 
 def _ordered(keys: dict) -> dict:

@@ -1061,10 +1061,14 @@ def text_bpe_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined (a, b) count shuffle → a TakeOrderedAndProject
     top-1 (bounded 1-row collect, the k-means driver pattern) → the
     rewrite mapped over the cached previous round. Per-round cost is
-    two fact passes at any scale; rounds are a small constant.
+    two fact passes at any scale; rounds are a small constant. Each
+    round's top-1 action materializes the current round's cache, at
+    which point the superseded round's cache is dropped — cached
+    footprint is one corpus copy regardless of BPE_ROUNDS.
     """
     docs = load_table(spark, sf_dir, "documents")
     cur = docs.select(TH.words_expr("text").alias("ws")).cache()
+    prev = None
     trace = []
     for rnd in range(1, BPE_ROUNDS + 1):
         pairs = cur.select(
@@ -1075,13 +1079,21 @@ def text_bpe_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("p")
         ).select("p.a", "p.b")
-        top = (
+        top_rows = (
             pairs.groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("n_ab"))
             .orderBy(F.col("n_ab").desc(), "a", "b")
             .limit(1)
-            .collect()[0]
+            .take(1)
         )
+        # The TakeOrderedAndProject above fully scanned `cur`, so its
+        # cache is materialized; the round it superseded can go now.
+        if prev is not None:
+            prev.unpersist()
+            prev = None
+        if not top_rows:
+            break  # no adjacent pairs anywhere (every doc < 2 tokens)
+        top = top_rows[0]
         trace.append((rnd, top["a"], top["b"], int(top["n_ab"])))
         if rnd == BPE_ROUNDS:
             break
@@ -1110,7 +1122,11 @@ def text_bpe_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .alias("ws")
         ).cache()
+        prev = cur
         cur = nxt
+    if prev is not None:
+        prev.unpersist()
+    cur.unpersist()
     return spark.createDataFrame(
         trace, "rnd int, a string, b string, n_ab long"
     )
@@ -1119,6 +1135,11 @@ def text_bpe_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- text_ngram_novelty -------------------------------------------------------
 
 NOVELTY_N = 3  #: token n-gram size for the novelty profile
+# The gram body below (Spark transform lambda AND the DuckDB oracle)
+# spells out exactly three offsets; changing NOVELTY_N without
+# regenerating both would silently produce wrong grams while staying
+# engine-consistent. Fail loudly instead (r6 ADVICE).
+assert NOVELTY_N == 3, "regenerate the gram concat in BOTH engines first"
 
 
 @query(

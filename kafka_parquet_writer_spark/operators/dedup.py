@@ -1434,7 +1434,8 @@ def _semantic_oracle() -> str:
            NOT EXISTS (
              SELECT 1 FROM cells b
              WHERE b.cell = a.cell AND b.vec_id < a.vec_id
-               AND list_dot_product(a.u, b.u) >= {COSINE_DUP_THRESHOLD}
+               AND floor(list_dot_product(a.u, b.u) * 1e6 + 0.5) / 1e6
+                   >= {COSINE_DUP_THRESHOLD}
            ) AS keep
     FROM cells a
     """
@@ -1496,8 +1497,15 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             keep = np.array([True])
         else:
             s = u @ u.T
-            # drop iff ANY lower-id row is within the ε-ball
-            dup = (s >= COSINE_DUP_THRESHOLD) & np.tri(
+            # drop iff ANY lower-id row is within the ε-ball. The
+            # threshold compare runs on the 6-decimal pround value on
+            # BOTH engines (floor(x·1e6+0.5)/1e6, the repo-wide
+            # convention): BLAS reassociates the dot's float64 sum
+            # while DuckDB folds sequentially, so a raw compare could
+            # flip a pair sitting within ~1e-16 of the threshold —
+            # the same caveat documented for IVF cell choice.
+            sr = np.floor(s * 1e6 + 0.5) / 1e6
+            dup = (sr >= COSINE_DUP_THRESHOLD) & np.tri(
                 len(ids), k=-1, dtype=bool
             )
             keep = ~dup.any(axis=1)
