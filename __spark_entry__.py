@@ -152,6 +152,7 @@ def _driver_evidence() -> dict[str, tuple[int, bool]]:
 #   embedding_cluster_kmeans ev r5, r6 Lloyd-input cache change
 #   dedup_semantic           ev r6, r7 pround boundary compare (ADVICE)
 #   text_bpe_iterative       ev r6, r7 empty-pair guard + unpersist
+#   dedup_embedding_ann      ev r6, r7 trained-bank hook (default-off)
 # (pack_sequences — ev r3, r4 change — rotates in naturally.)
 _FORCE_RECHECK = {  # key -> round whose green is void
     "dedup_url": 4,
@@ -161,6 +162,7 @@ _FORCE_RECHECK = {  # key -> round whose green is void
     "embedding_cluster_kmeans": 5,
     "dedup_semantic": 6,
     "text_bpe_iterative": 6,
+    "dedup_embedding_ann": 6,
 }
 
 

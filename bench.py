@@ -4,7 +4,10 @@ ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
 Execution is forced with the noop sink (full plan runs, nothing
 materializes on the driver) — the honest way to time a distributed
-plan. Each query timed once after a session warm-up query.
+plan. Each query is the min over 2 interleaved full passes after a
+session warm-up (3 passes when the pre-session 1-min loadavg shows
+external contention); the JSON carries loadavg_start/passes so a
+contaminated headline is visible in the round-over-round record.
 """
 
 from __future__ import annotations
@@ -137,9 +140,32 @@ STREAMING_HEADLINE = [
 ]
 
 
+#: 1-min loadavg above which the box is considered contended BEFORE our
+#: own JVM starts (32 cores; anything >4 means a concurrent Spark JVM or
+#: similar is running — r6's driver bench ran under exactly that and its
+#: headline drifted ~7% vs the same-tree idle rerun)
+LOAD_WARN = 4.0
+
+
 def main() -> None:
     from kafka_parquet_writer_spark import get_spark
     from kafka_parquet_writer_spark.registry import QUERIES, load_all_operators
+
+    # Sample BEFORE the session starts: once our own executors run, the
+    # loadavg is dominated by our own work and says nothing about
+    # external contention. Under contention, add a third interleaved
+    # pass — min-of-N needs only ONE clean window per query, so an
+    # extra pass is the cheapest way to keep the headline robust.
+    load_at_start = os.getloadavg()[0]
+    n_passes = 2
+    if load_at_start > LOAD_WARN:
+        n_passes = 3
+        print(
+            f"WARNING: 1-min loadavg {load_at_start:.1f} > {LOAD_WARN} "
+            "before session start — box is contended; taking min over "
+            f"{n_passes} interleaved passes instead of 2",
+            file=sys.stderr,
+        )
 
     load_all_operators()
     spark = get_spark("bench")
@@ -174,7 +200,7 @@ def main() -> None:
     # interfere.
     timings: dict[str, float] = {}
     failed: list[str] = []
-    for _pass in range(2):
+    for _pass in range(n_passes):
         for name in HEADLINE:
             if name in failed:
                 continue
@@ -197,7 +223,7 @@ def main() -> None:
     # its windowed/stateful plan into a memory sink; min over two passes
     # (fresh checkpoint each — the memory sink name is counter-suffixed)
     streaming: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(n_passes):
         for name in STREAMING_HEADLINE:
             if name in failed:
                 continue
@@ -248,7 +274,7 @@ def main() -> None:
     def bench_ingest(tag: str, **cfg_kw) -> None:
         best = float("inf")
         try:
-            for attempt in range(2):
+            for attempt in range(n_passes):
                 cfg = IngestConfig(
                     target_dir=os.path.join(base, f"out_{tag}_{attempt}"),
                     checkpoint_dir=os.path.join(base, f"ckpt_{tag}_{attempt}"),
@@ -301,6 +327,13 @@ def main() -> None:
         },
         "sf": sf_val,
         "failed": failed,
+        # environmental context: external load before the session
+        # started and at the end of the run (the end sample includes
+        # our own just-finished work; the start sample is the one
+        # that flags a contaminated headline)
+        "loadavg_start": round(load_at_start, 2),
+        "loadavg_end": round(os.getloadavg()[0], 2),
+        "passes": n_passes,
     }
     # The driver records only the last 2000 chars of output; the full
     # per-query line outgrew that in round 4 (70+ keys) and the tail
@@ -341,6 +374,8 @@ def main() -> None:
         "ingest_rows_per_sec": result["ingest_rows_per_sec"],
         "sf": sf_val,
         "failed": failed,
+        "loadavg_start": result["loadavg_start"],
+        "passes": n_passes,
     }
     print(json.dumps(compact, separators=(",", ":")))
     sys.stdout.flush()

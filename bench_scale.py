@@ -358,6 +358,229 @@ def build_random_embeddings(spark, n: int) -> str:
     return out
 
 
+def build_clustered_embeddings(
+    spark, n_base: int, n_dup: int, clusters: int, sigma: float, eps: float
+) -> tuple[str, list[tuple[int, int]]]:
+    """Synthetic CLUSTERED embeddings corpus + planted near-dup pairs.
+
+    Every committed ANN lane so far ran on isotropic vectors — the one
+    regime where a seeded random centroid bank cannot skew. Real
+    embedding corpora cluster (crawl snapshots, version families,
+    topical modes), which is exactly the regime the dedup docstrings
+    invoke; this builder makes that corpus deterministically:
+
+    - `clusters` unit cluster centers (seeded randn, d=64), with
+      ZIPF-ISH SIZES: point i belongs to cluster ⌊C·(i/n)²⌋, so the
+      head cluster holds ~10% of the corpus and the tail ~0.5% — real
+      corpora have head topics, and the head is where a seeded bank's
+      hot-cell quadratic bites;
+    - base point i = normalize(center + sigma·g_i) with g_i from a
+      per-row Philox keyed by vec_id. NOTE sigma is PER-DIMENSION:
+      the noise VECTOR norm is sigma·√64, so pairwise intra-cluster
+      cosine ≈ 1/(1+64σ²) — sigma = 1/16 puts it ≈ 0.80, tight
+      real-corpus geometry below the lane's dup threshold (the first
+      cut of this lane used sigma = 1/3 thinking in vector norms and
+      produced a nearly isotropic corpus);
+    - `n_dup` planted dups: vec_id n_base+j copies base (37·j mod
+      n_base) plus eps-noise (again per-dim; eps = 0.0125 → dup
+      cosine ≈ 1/(1+64ε²) ≈ 0.990, above the threshold). The
+      (base, dup) list is the ground truth for recall.
+
+    Generation is distributed (mapInPandas over spark.range) and
+    keyed by vec_id, so any partitioning yields the same corpus.
+    """
+    import numpy as np
+
+    from kafka_parquet_writer_spark.catalog import table_path
+
+    rng = np.random.RandomState(777)
+    centers = rng.randn(clusters, 64)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    def gen(batches, centers=centers):
+        import pandas as pd
+
+        def base_vec(i: int):
+            g = np.random.Generator(np.random.Philox(key=int(i)))
+            cl = min(clusters - 1, int(clusters * (i / n_base) ** 2))
+            x = centers[cl] + sigma * g.standard_normal(64)
+            return x / np.linalg.norm(x)
+
+        for pdf in batches:
+            out = []
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            for i in ids:
+                if i < n_base:
+                    v = base_vec(i)
+                else:
+                    b = base_vec((37 * (i - n_base)) % n_base)
+                    g = np.random.Generator(np.random.Philox(key=int(i)))
+                    v = b + eps * g.standard_normal(64)
+                    v = v / np.linalg.norm(v)
+                out.append(v.astype(np.float32))
+            yield pd.DataFrame({"vec_id": ids, "embedding": out})
+
+    out_dir = tempfile.mkdtemp(prefix=f"kpws_skew_n{n_base + n_dup}_")
+    (
+        spark.range(n_base + n_dup)
+        .repartition(32)
+        .mapInPandas(gen, "vec_id long, embedding array<float>")
+        .write.mode("overwrite")
+        .parquet(table_path(out_dir, "embeddings"))
+    )
+    planted = [
+        ((37 * j) % n_base, n_base + j) for j in range(n_dup)
+    ]
+    return out_dir, planted
+
+
+def clustered_skew_lane() -> None:
+    """Opt-in lane (`python bench_scale.py skew`): measure seeded vs
+    TRAINED centroid banks on a CLUSTERED corpus — the one untested
+    assumption in the 100 TB dedup story (r6 verdict): every committed
+    bank is seeded isotropic randn, and no lane had measured
+    cell-population skew where the data actually clusters.
+
+    For each bank the lane reports, at the operator's own geometry
+    (m = n/target cells, probe-1 Voronoi populations + the probe-4
+    populations the verify actually runs on):
+      max_cell, Σcell² (the verify's pair budget), and
+      max_cell²/Σcell² (hot-cell concentration — the fraction of all
+      pairwise work sitting in the single largest cell);
+      wall time of the full assignment+verify+distinct pipeline at a
+      0.95 threshold (clustered corpora verify at tight thresholds;
+      0.4 on cos≈0.9 clusters would emit every intra-cluster pair);
+      recall of the planted near-dup pairs.
+    The trained bank is train_centroid_bank's 5 Lloyd passes from the
+    SAME seeded bank (train time reported separately — at 100 TB the
+    trainer runs on a sample). Merged into BENCH_SCALE.json under
+    "clustered_skew"."""
+    import shutil
+
+    for var in (
+        "OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"
+    ):
+        os.environ.setdefault(var, "1")
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+
+    from kafka_parquet_writer_spark import get_spark
+    from kafka_parquet_writer_spark.operators import dedup as D
+
+    N_BASE, N_DUP, CLUSTERS = 100_000, 2_000, 100
+    # sigma/eps are PER-DIMENSION (see build_clustered_embeddings):
+    # intra-cluster cos ≈ 1/(1+64σ²) ≈ 0.80, planted-dup cos ≈ 0.99,
+    # threshold between them with margin on both sides
+    # 10 rounds: split-reseeding needs ~log2(816/100) ≈ 4 rounds just
+    # to activate the bank on a 100-mode corpus; the remaining rounds
+    # are the actual Lloyd refinement (5 rounds measured: hot-share
+    # improved 3.7x but Σcell² only 16% — unconverged)
+    SIGMA, EPS, THRESHOLD, ROUNDS = 1.0 / 16.0, 0.0125, 0.95, 10
+
+    spark = get_spark("bench_scale_skew")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    d, planted = build_clustered_embeddings(
+        spark, N_BASE, N_DUP, CLUSTERS, SIGMA, EPS
+    )
+    out: dict[str, object] = {
+        "n": N_BASE + N_DUP,
+        "clusters": CLUSTERS,
+        "sigma": round(SIGMA, 4),
+        "eps": EPS,
+        "threshold": THRESHOLD,
+        "planted_pairs": N_DUP,
+        "train_rounds": ROUNDS,
+    }
+    try:
+        emb = D._unit_vectors(spark, d)
+        n_total = N_BASE + N_DUP
+        m = max(D.ANN_DEDUP_CELLS, n_total // D.ANN_DEDUP_TARGET_PER_CELL)
+        out["m"] = m
+        seeded = D._dedup_centroids(m)
+        t0 = time.time()
+        trained = D.train_centroid_bank(emb, seeded, ROUNDS)
+        out["train_sec"] = round(time.time() - t0, 3)
+        print(f"trained {m} cells in {out['train_sec']}s", file=sys.stderr)
+
+        planted_df = spark.createDataFrame(planted, "v1 long, v2 long")
+        verify = D._make_verifier(THRESHOLD)
+
+        def pairs_for(bank):
+            return (
+                emb.mapInPandas(
+                    D._make_assigner(bank),
+                    "vec_id long, u array<double>, cell int",
+                )
+                .groupBy("cell")
+                .applyInPandas(verify, "v1 long, v2 long, cos double")
+                .distinct()
+            )
+
+        modes = (("seeded", seeded), ("trained", trained))
+        results: dict[str, dict] = {tag: {} for tag, _ in modes}
+        for tag, bank in modes:
+            stats = results[tag]
+            for probe, pfx in ((1, "p1"), (D.ANN_DEDUP_PROBE, "p4")):
+                pops = [
+                    r["count"]
+                    for r in emb.mapInPandas(
+                        D._make_assigner(bank, probe=probe),
+                        "vec_id long, u array<double>, cell int",
+                    )
+                    .groupBy("cell")
+                    .count()
+                    .collect()
+                ]
+                sumsq = float(sum(p * p for p in pops))
+                stats[f"{pfx}_max_cell"] = max(pops)
+                stats[f"{pfx}_sumsq"] = sumsq
+                stats[f"{pfx}_hot_share"] = round(
+                    max(pops) ** 2 / sumsq, 4
+                )
+                stats[f"{pfx}_cells_used"] = len(pops)
+        # one untimed warm-up (python worker pool + codegen), then the
+        # two modes INTERLEAVED min-of-2 — the first cut timed seeded
+        # first and charged it the whole pool fork cost
+        run(pairs_for(seeded))
+        for _pass in range(2):
+            for tag, bank in modes:
+                t0 = time.time()
+                run(pairs_for(bank))
+                dt = time.time() - t0
+                prev = results[tag].get("pairs_sec")
+                results[tag]["pairs_sec"] = round(
+                    dt if prev is None else min(prev, dt), 3
+                )
+        for tag, bank in modes:
+            pairs = pairs_for(bank)
+            results[tag]["pairs_out"] = pairs.count()
+            found = planted_df.join(
+                pairs, ["v1", "v2"], "left_semi"
+            ).count()
+            results[tag]["recall"] = round(found / N_DUP, 4)
+            out[tag] = results[tag]
+            print(f"{tag}: {results[tag]}", file=sys.stderr)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json"
+    )
+    try:
+        with open(path) as f:
+            blob = json.load(f)
+    except (OSError, ValueError):
+        blob = {}
+    blob["clustered_skew"] = out
+    with open(path, "w") as f:
+        f.write(json.dumps(blob) + "\n")
+    print(json.dumps({"clustered_skew": out}))
+
+
 def imi_ceiling_lane() -> None:
     """Opt-in lane (`python bench_scale.py imi`): measure the ANN dedup
     operator PAST the 64k-cell flat-assignment ceiling — the scale the
@@ -569,8 +792,9 @@ def main() -> None:
     try:
         with open(path) as f:
             prev = json.load(f)
-        if "imi_ceiling" in prev:
-            result["imi_ceiling"] = prev["imi_ceiling"]
+        for lane in ("imi_ceiling", "clustered_skew"):
+            if lane in prev:
+                result[lane] = prev[lane]
     except (OSError, ValueError):
         pass
     line = json.dumps(result)
@@ -582,5 +806,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "imi":
         imi_ceiling_lane()
+    elif len(sys.argv) > 1 and sys.argv[1] == "skew":
+        clustered_skew_lane()
     else:
         main()

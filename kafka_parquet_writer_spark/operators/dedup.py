@@ -677,6 +677,164 @@ def _dedup_centroids(bank: int = ANN_DEDUP_BANK) -> list[list[float]]:
 
 DEDUP_CENTROIDS = _dedup_centroids()
 
+#: Lloyd refinement rounds applied to the active centroid bank before
+#: assignment. 0 (the default, and the declared-key / oracle geometry)
+#: = pure seeded isotropic bank. On REAL corpora embeddings cluster,
+#: and a seeded bank's cell populations then skew — hot cells make the
+#: per-cell quadratic verify concentrate (Σ cell² grows). Setting this
+#: >0 refines the seeded bank with that many spherical-k-means passes
+#: over the corpus (train_centroid_bank below) so cells track the data
+#: density; the bench_scale.py `skew` lane measures the effect on a
+#: clustered synthetic corpus. At 100 TB a deployment trains on a
+#: sample (pass a pre-sampled frame to the trainer), then assigns the
+#: full corpus with the frozen bank.
+ANN_TRAINED_ROUNDS = 0
+
+
+def train_centroid_bank(
+    emb: DataFrame,
+    bank: list[list[float]],
+    rounds: int,
+    dims: tuple[int, int] | None = None,
+    norm: float = 1.0,
+) -> list[list[float]]:
+    """Refine `bank` with `rounds` exact spherical-k-means Lloyd passes
+    over `emb` (any frame with a unit-vector column ``u``): assign each
+    vector to its max-dot centroid (probe-1; argmax first-occurrence ==
+    the stable lowest-index tie-break used everywhere else), then move
+    each centroid to the renormalized mean direction of its members —
+    the same Lloyd loop embedding_cluster_kmeans (mlfeat.py) runs, but
+    emitting a BANK instead of labels.
+
+    Scale shape per round: per-cell (count, Σu, min-id example)
+    partials are collapsed INSIDE each Arrow batch (np.add.at — ≤m
+    rows leave a batch no matter how many vectors it holds), so the
+    only shuffle carries ≤ partitions·m tiny partial rows, then a
+    ≤m-row collect updates the bank on the driver — the
+    map-side-combine contract every mergeable sketch in this repo
+    follows. The input is cached across rounds (the r6
+    embedding_cluster_kmeans lesson: one source scan, not `rounds`
+    scans).
+
+    Empty cells SPLIT the heaviest cells instead of idling: each empty
+    centroid is reseeded at the donor's new mean nudged a quarter of
+    the way toward the donor's min-vec_id member (one donation per
+    donor per round, donors in descending population order). Plain
+    keep-the-old-row Lloyd stagnates on clustered data: a
+    signal-dominated corpus assigns each mode to ONE centroid, the
+    other centroids never gain members, and the hot-cell quadratic
+    survives training. The SMALL nudge matters: reseeding AT a member
+    (the first cut) captures only that member's tiny neighborhood,
+    because on the sphere the mean direction out-scores any individual
+    member for almost every other member; a mean+ε·(member−mean)
+    centroid instead puts the Voronoi boundary right next to the mean,
+    splitting the donor population roughly in half (the FAISS
+    ±ε-perturbation split, made deterministic by the min-id example).
+    Splitting roughly doubles the active cells per round, so
+    ~log₂(m/modes) rounds activate the whole bank.
+
+    `dims` trains on a half-space slice of ``u`` (IMI half-banks;
+    `bank` rows must have width hi−lo) and `norm` sets the output row
+    norm (1 for flat spherical banks, 1/√2 for IMI half-banks so the
+    concatenated product centroid stays unit). Rows round to 6
+    decimals, matching the seeded-bank convention.
+    """
+    import numpy as np
+
+    cs = np.asarray(bank, dtype=np.float64)
+    m, width = cs.shape
+    lo, hi = (0, cs.shape[1]) if dims is None else dims
+    if hi - lo != width:
+        raise ValueError(f"bank width {width} != dims slice {hi - lo}")
+    u_only = emb.select("vec_id", "u").cache()
+    try:
+        for _ in range(max(0, rounds)):
+            c = cs.copy()
+
+            def partials(batches, c=c, lo=lo, hi=hi):
+                import pandas as pd
+
+                mm = c.shape[0]
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                    order = np.argsort(ids, kind="stable")
+                    ids = ids[order]
+                    u = np.vstack(pdf["u"].to_numpy())[order][:, lo:hi]
+                    cells = np.argmax(u @ c.T, axis=1)
+                    cnt = np.bincount(cells, minlength=mm)
+                    acc = np.zeros((mm, hi - lo))
+                    np.add.at(acc, cells, u)
+                    # rows sorted by id, so the first occurrence of a
+                    # cell is its min-id member in this batch
+                    nz, first = np.unique(cells, return_index=True)
+                    yield pd.DataFrame(
+                        {
+                            "cell": nz.astype(np.int64),
+                            "cnt": cnt[nz].astype(np.int64),
+                            "s": list(acc[nz]),
+                            "ex_id": ids[first],
+                            "ex": list(u[first]),
+                        }
+                    )
+
+            def reduce_cells(pdf):
+                import pandas as pd
+
+                k = int(pdf["ex_id"].to_numpy().argmin())
+                return pd.DataFrame(
+                    {
+                        "cell": [int(pdf["cell"].iloc[0])],
+                        "cnt": [int(pdf["cnt"].sum())],
+                        "s": [np.vstack(pdf["s"].to_numpy()).sum(axis=0)],
+                        "ex_id": [int(pdf["ex_id"].iloc[k])],
+                        "ex": [np.asarray(pdf["ex"].iloc[k])],
+                    }
+                )
+
+            schema = (
+                "cell long, cnt long, s array<double>, "
+                "ex_id long, ex array<double>"
+            )
+            rows = (
+                u_only.mapInPandas(partials, schema)
+                .groupBy("cell")
+                .applyInPandas(reduce_cells, schema)
+                .collect()
+            )
+            new = cs.copy()
+            seen: dict[int, int] = {}
+            examples: dict[int, np.ndarray] = {}
+            for r in rows:
+                v = np.asarray(r["s"], dtype=np.float64)
+                nv = float(np.linalg.norm(v))
+                if nv > 0.0:
+                    new[r["cell"]] = v / nv * norm
+                seen[r["cell"]] = int(r["cnt"])
+                examples[r["cell"]] = np.asarray(r["ex"], dtype=np.float64)
+            empty = [j for j in range(m) if j not in seen]
+            donors = [
+                cell
+                for cell, cnt in sorted(
+                    seen.items(), key=lambda kv: (-kv[1], kv[0])
+                )
+                if cnt >= 2
+            ]
+            for j, donor in zip(empty, donors):
+                ex = examples[donor]
+                nv = float(np.linalg.norm(ex))
+                if nv <= 0.0:
+                    continue
+                cand = new[donor] + 0.25 * (ex / nv * norm - new[donor])
+                cn = float(np.linalg.norm(cand))
+                if cn > 1e-12:
+                    new[j] = cand / cn * norm
+            cs = new
+    finally:
+        u_only.unpersist()
+    return [[round(float(x), 6) for x in row] for row in cs]
+
 
 def _ann_dedup_oracle() -> str:
     from kafka_parquet_writer_spark.functions.vector import sql_lit_vector
@@ -783,8 +941,19 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         import math as _math
 
         side = int(_math.ceil(_math.sqrt(m)))
+        banks = None
+        if ANN_TRAINED_ROUNDS:
+            c1, c2 = _imi_banks(side, side)
+            half = 2.0 ** -0.5
+            c1 = train_centroid_bank(
+                emb, c1, ANN_TRAINED_ROUNDS, dims=(0, 32), norm=half
+            )
+            c2 = train_centroid_bank(
+                emb, c2, ANN_TRAINED_ROUNDS, dims=(32, 64), norm=half
+            )
+            banks = (c1, c2)
         probes = emb.mapInPandas(
-            _make_imi_assigner(side, side),
+            _make_imi_assigner(side, side, banks=banks),
             "vec_id long, u array<double>, cell long",
         )
         return (
@@ -793,6 +962,10 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
     cs = DEDUP_CENTROIDS if m <= ANN_DEDUP_BANK else _dedup_centroids(m)
+    if ANN_TRAINED_ROUNDS:
+        # opt-in Lloyd refinement (clustered corpora — see the flag's
+        # docstring); 0 keeps the exact seeded/oracle geometry
+        cs = train_centroid_bank(emb, cs[:m], ANN_TRAINED_ROUNDS)
     # BLAS batch assignment (mapInPandas), not a per-centroid catalyst
     # expression: the n·m dot products are one gemm per Arrow batch.
     # The r4 literal-transform assignment (one 2-D SQL literal + an
@@ -904,6 +1077,43 @@ def _make_assigner(centroids: list[list[float]], probe: int = ANN_DEDUP_PROBE):
     return assign
 
 
+def _make_verifier(threshold: float = COSINE_DUP_THRESHOLD):
+    """Factory for the per-cell exact-cosine verify, with the dup
+    threshold carried in the closure: python workers re-import this
+    module, so a driver-side override of the module global would never
+    reach them — opt-in lanes that verify clustered corpora at a
+    tighter threshold (bench_scale.py `skew`) build their own."""
+
+    def verify(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {
+                    "v1": pd.Series(dtype="int64"),
+                    "v2": pd.Series(dtype="int64"),
+                    "cos": pd.Series(dtype="float64"),
+                }
+            )
+        u = np.vstack(pdf["u"].to_numpy())
+        s = u @ u.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        cos = s[iu, ju]
+        keep = cos >= threshold
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame(
+            {
+                "v1": np.minimum(a, b),
+                "v2": np.maximum(a, b),
+                "cos": np.floor(cos[keep] * 1e6 + 0.5) / 1e6,
+            }
+        )
+
+    return verify
+
+
 def _verify_cell_blas(pdf):
     """Exact-cosine verify of one IVF cell: full dot block via gemm,
     upper triangle, threshold, portable floor-round (identical to
@@ -911,31 +1121,7 @@ def _verify_cell_blas(pdf):
     float64 end-to-end, so values match the JVM/DuckDB sequential
     folds exactly at 6-decimal rounding (same guarantee the
     similarity_topk_blas oracle already proves)."""
-    import numpy as np
-    import pandas as pd
-
-    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-    if len(ids) < 2:
-        return pd.DataFrame(
-            {
-                "v1": pd.Series(dtype="int64"),
-                "v2": pd.Series(dtype="int64"),
-                "cos": pd.Series(dtype="float64"),
-            }
-        )
-    u = np.vstack(pdf["u"].to_numpy())
-    s = u @ u.T
-    iu, ju = np.triu_indices(len(ids), k=1)
-    cos = s[iu, ju]
-    keep = cos >= COSINE_DUP_THRESHOLD
-    a, b = ids[iu[keep]], ids[ju[keep]]
-    return pd.DataFrame(
-        {
-            "v1": np.minimum(a, b),
-            "v2": np.maximum(a, b),
-            "cos": np.floor(cos[keep] * 1e6 + 0.5) / 1e6,
-        }
-    )
+    return _make_verifier()(pdf)
 
 
 # ---------------------------------------------------------------------------
@@ -974,7 +1160,12 @@ def _imi_banks(
     return out[0], out[1]
 
 
-def _make_imi_assigner(m1: int, m2: int, probe: int = ANN_DEDUP_PROBE):
+def _make_imi_assigner(
+    m1: int,
+    m2: int,
+    probe: int = ANN_DEDUP_PROBE,
+    banks: tuple[list[list[float]], list[list[float]]] | None = None,
+):
     """mapInPandas factory for the two-level assignment: per Arrow
     batch, TWO half-dim gemms (m1 + m2 dots per row), then the probe
     nearest of the m1·m2 product cells via the top-probe × top-probe
@@ -986,10 +1177,12 @@ def _make_imi_assigner(m1: int, m2: int, probe: int = ANN_DEDUP_PROBE):
     engines (stable argsort here ≡ the oracle's list_sort(struct(s,
     c))). Cell id = i·m2 + j as int64. Closure ships two (side × 32)
     float64 banks — 64 KB at side 256 (m = 65 k), still closure-sized
-    at every realistic m (side 4096 → 2 MB)."""
+    at every realistic m (side 4096 → 2 MB). `banks` overrides the
+    seeded half-banks with trained ones (train_centroid_bank with
+    dims/norm for each half); None keeps the seeded/oracle geometry."""
     import numpy as np
 
-    c1l, c2l = _imi_banks(m1, m2)
+    c1l, c2l = banks if banks is not None else _imi_banks(m1, m2)
     c1 = np.asarray(c1l, dtype=np.float64)
     c2 = np.asarray(c2l, dtype=np.float64)
 

@@ -1,0 +1,128 @@
+"""Round-7 coverage: the trained-centroid-bank path for the ANN dedup
+family (train_centroid_bank + the ANN_TRAINED_ROUNDS hook), and the
+threshold-parameterized cell verifier.
+
+The seeded bank stays the declared-key / oracle geometry; these tests
+pin the trainer's contracts — determinism, norm preservation,
+empty-cell splitting, and that the flag-on operator still emits only
+true (exactly verified) duplicate pairs.
+"""
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_ORACLE
+
+
+def _clustered_frame(spark, n=600, modes=3, sigma=0.05, seed=11):
+    """Tiny clustered (vec_id, u) frame: `modes` tight unit modes with
+    per-dim noise sigma (intra-mode cosine ≈ 1/(1+64σ²) ≈ 0.86)."""
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(modes, 64)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(n):
+        x = centers[i % modes] + sigma * rng.randn(64)
+        rows.append((i, [float(v) for v in x / np.linalg.norm(x)]))
+    return spark.createDataFrame(rows, "vec_id long, u array<double>")
+
+
+def test_trainer_deterministic_and_unit_norm(spark):
+    from kafka_parquet_writer_spark.operators import dedup as D
+
+    emb = _clustered_frame(spark)
+    bank = D._dedup_centroids(16)
+    t1 = D.train_centroid_bank(emb, bank, 3)
+    t2 = D.train_centroid_bank(emb, bank, 3)
+    assert t1 == t2, "same input + same bank must train identically"
+    norms = np.linalg.norm(np.asarray(t1), axis=1)
+    assert np.allclose(norms, 1.0, atol=1e-5)
+    assert t1 != bank, "3 rounds on clustered data must move the bank"
+
+
+def test_trainer_splits_hot_cells(spark):
+    """On a 3-mode corpus a seeded bank captures members in only a few
+    cells; split-reseeding must activate (far) more of the bank and
+    shrink the hottest Voronoi cell."""
+    from kafka_parquet_writer_spark.operators import dedup as D
+
+    emb = _clustered_frame(spark)
+
+    def pops(bank):
+        probes = emb.mapInPandas(
+            D._make_assigner(bank, probe=1),
+            "vec_id long, u array<double>, cell int",
+        )
+        return {
+            r["cell"]: r["count"]
+            for r in probes.groupBy("cell").count().collect()
+        }
+
+    bank = D._dedup_centroids(16)
+    before = pops(bank)
+    trained = D.train_centroid_bank(emb, bank, 6)
+    after = pops(trained)
+    assert len(after) > len(before)
+    assert max(after.values()) < max(before.values())
+    assert sum(after.values()) == sum(before.values()) == 600
+
+
+def test_trainer_half_bank_norm_and_width_check(spark):
+    from kafka_parquet_writer_spark.operators import dedup as D
+
+    emb = _clustered_frame(spark, n=200)
+    c1, _ = D._imi_banks(8, 8)
+    trained = D.train_centroid_bank(
+        emb, c1, 2, dims=(0, 32), norm=2.0 ** -0.5
+    )
+    norms = np.linalg.norm(np.asarray(trained), axis=1)
+    assert np.allclose(norms, 2.0 ** -0.5, atol=1e-5)
+    with pytest.raises(ValueError, match="width"):
+        D.train_centroid_bank(emb, c1, 1, dims=(0, 64))
+
+
+def test_flag_on_ann_pairs_are_exact_subset(spark):
+    """With ANN_TRAINED_ROUNDS on, dedup_embedding_ann may bucket
+    differently (recall can change) but every emitted pair must still
+    be exactly verified — a subset of the exact all-pairs operator."""
+    import __spark_entry__ as E
+    from kafka_parquet_writer_spark.operators import dedup as D
+
+    qs = E.queries()
+    exact = {
+        (r["v1"], r["v2"])
+        for r in qs["dedup_embedding"](spark, SF_ORACLE).collect()
+    }
+    old = D.ANN_TRAINED_ROUNDS
+    D.ANN_TRAINED_ROUNDS = 2
+    try:
+        got = {
+            (r["v1"], r["v2"])
+            for r in qs["dedup_embedding_ann"](spark, SF_ORACLE).collect()
+        }
+    finally:
+        D.ANN_TRAINED_ROUNDS = old
+    assert got, "trained-bank run found no pairs at all"
+    assert got <= exact
+
+
+def test_verifier_threshold_is_closure_carried():
+    """_make_verifier(t) must compare against t, not the module
+    global — python workers re-import the module, so a global override
+    would silently fall back to the default threshold."""
+    import pandas as pd
+
+    from kafka_parquet_writer_spark.operators import dedup as D
+
+    u1 = np.zeros(64)
+    u1[0] = 1.0
+    u2 = np.zeros(64)
+    u2[0] = 0.8
+    u2[1] = 0.6
+    pdf = pd.DataFrame({"vec_id": [1, 2], "u": [u1, u2]})  # cos = 0.8
+    assert len(D._make_verifier(0.75)(pdf)) == 1
+    assert len(D._make_verifier(0.95)(pdf)) == 0
+    # default must equal the module constant's behavior
+    assert len(D._verify_cell_blas(pdf)) == (
+        1 if 0.8 >= D.COSINE_DUP_THRESHOLD else 0
+    )
