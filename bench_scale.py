@@ -686,6 +686,152 @@ def imi_ceiling_lane() -> None:
     print(json.dumps({"imi_ceiling": out}))
 
 
+def _completed_stages(spark) -> dict[int, dict]:
+    """Per-stage metrics from the session's own status REST API
+    (local UI, no event-log parsing): stageId -> {name, wall_sec,
+    cpu_sec, shuffle_read_mb, shuffle_write_mb, input_mb, tasks}."""
+    import datetime as dt
+    import urllib.request
+
+    sc = spark.sparkContext
+    url = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}/stages"
+    with urllib.request.urlopen(url, timeout=30) as r:
+        stages = json.loads(r.read().decode())
+
+    def ts(s):
+        try:
+            return dt.datetime.strptime(
+                s.replace("GMT", "+0000"), "%Y-%m-%dT%H:%M:%S.%f%z"
+            ).timestamp()
+        except (ValueError, AttributeError):
+            return None
+
+    out = {}
+    for st in stages:
+        if st.get("status") != "COMPLETE":
+            continue
+        sub, comp = ts(st.get("submissionTime")), ts(st.get("completionTime"))
+        out[st["stageId"]] = {
+            "name": st.get("name", "")[:80],
+            "wall_sec": round(comp - sub, 2) if sub and comp else None,
+            # task-OCCUPANCY seconds (includes blocking on python
+            # workers and I/O) vs actual JVM CPU seconds — the gap is
+            # time the executor thread spent WAITING
+            "task_sec": round(st.get("executorRunTime", 0) / 1000.0, 1),
+            "jvm_cpu_sec": round(
+                st.get("executorCpuTime", 0) / 1e9, 1
+            ),
+            "gc_sec": round(st.get("jvmGcTime", 0) / 1000.0, 1),
+            "shuffle_write_sec": round(
+                st.get("shuffleWriteTime", 0) / 1e9, 1
+            ),
+            "shuffle_read_mb": round(
+                st.get("shuffleReadBytes", 0) / 1e6, 1
+            ),
+            "shuffle_write_mb": round(
+                st.get("shuffleWriteBytes", 0) / 1e6, 1
+            ),
+            "input_mb": round(st.get("inputBytes", 0) / 1e6, 1),
+            "tasks": st.get("numTasks", 0),
+        }
+    return out
+
+
+def imi_stage_receipts_lane() -> None:
+    """Opt-in lane (`python bench_scale.py imistages`): per-STAGE
+    receipts for the IMI ceiling points. The r6 lane measured a 1.244
+    doubling exponent for the IMI path and SURVEY attributed the
+    super-linearity to the probe shuffle + Arrow ser/de against one
+    box's page cache (assignment flops being ~1 s) — a plausible
+    decomposition but not a measurement (r6 verdict). This lane runs
+    the 4.125M and 8.25M IMI points once each and records every
+    stage's wall/cpu/shuffle-bytes from the status API, so the claim
+    becomes a table: whichever stage's wall time doubles
+    super-linearly IS the bottleneck. Merged into BENCH_SCALE.json
+    under "imi_stage_receipts"."""
+    import shutil
+
+    for var in (
+        "OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"
+    ):
+        os.environ.setdefault(var, "1")
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+
+    from kafka_parquet_writer_spark import get_spark
+    from kafka_parquet_writer_spark.operators import dedup as D
+    from kafka_parquet_writer_spark.registry import (
+        QUERIES,
+        load_all_operators,
+    )
+
+    load_all_operators()
+    # the status REST API needs the UI server, which sessions normally
+    # disable; its overhead is irrelevant next to minutes-long points
+    spark = get_spark(
+        "bench_scale_imistages",
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    n8 = 8_250_000
+    out: dict[str, object] = {}
+    # warm-up: one small IMI pass first — forks the full python worker
+    # pool and touches every code path, so the first measured point
+    # does not carry the fork/allocation cold-start (the 5-run
+    # protocols measure run 1 at ~2.5x steady state; r6's imi lane was
+    # implicitly warmed by the flat run preceding it at the same n)
+    wd = build_random_embeddings(spark, 500_000)
+    try:
+        old = D.ANN_DEDUP_MAX_LITERAL_CELLS
+        D.ANN_DEDUP_MAX_LITERAL_CELLS = 1
+        try:
+            run(QUERIES["dedup_embedding_ann"](spark, wd))
+        finally:
+            D.ANN_DEDUP_MAX_LITERAL_CELLS = old
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+    for n in (n8 // 2, n8):
+        d = build_random_embeddings(spark, n)
+        try:
+            before = set(_completed_stages(spark))
+            old = D.ANN_DEDUP_MAX_LITERAL_CELLS
+            D.ANN_DEDUP_MAX_LITERAL_CELLS = 1  # force the IMI path
+            try:
+                t0 = time.time()
+                run(QUERIES["dedup_embedding_ann"](spark, d))
+                total = round(time.time() - t0, 2)
+            finally:
+                D.ANN_DEDUP_MAX_LITERAL_CELLS = old
+            after = _completed_stages(spark)
+            stages = [
+                {"stageId": sid, **after[sid]}
+                for sid in sorted(set(after) - before)
+            ]
+            out[str(n)] = {"total_sec": total, "stages": stages}
+            print(f"imi n={n}: {total}s", file=sys.stderr)
+            for st in stages:
+                print(f"  {st}", file=sys.stderr)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json"
+    )
+    try:
+        with open(path) as f:
+            blob = json.load(f)
+    except (OSError, ValueError):
+        blob = {}
+    blob["imi_stage_receipts"] = out
+    with open(path, "w") as f:
+        f.write(json.dumps(blob) + "\n")
+    print(json.dumps({"imi_stage_receipts": out}))
+
+
 def main() -> None:
     from kafka_parquet_writer_spark import get_spark
     from kafka_parquet_writer_spark.registry import (
@@ -792,7 +938,7 @@ def main() -> None:
     try:
         with open(path) as f:
             prev = json.load(f)
-        for lane in ("imi_ceiling", "clustered_skew"):
+        for lane in ("imi_ceiling", "clustered_skew", "imi_stage_receipts"):
             if lane in prev:
                 result[lane] = prev[lane]
     except (OSError, ValueError):
@@ -808,5 +954,7 @@ if __name__ == "__main__":
         imi_ceiling_lane()
     elif len(sys.argv) > 1 and sys.argv[1] == "skew":
         clustered_skew_lane()
+    elif len(sys.argv) > 1 and sys.argv[1] == "imistages":
+        imi_stage_receipts_lane()
     else:
         main()

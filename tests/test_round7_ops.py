@@ -106,6 +106,34 @@ def test_flag_on_ann_pairs_are_exact_subset(spark):
     assert got <= exact
 
 
+def test_flag_on_imi_handoff_trains_half_banks(spark):
+    """Forcing the IMI handoff with ANN_TRAINED_ROUNDS on must train
+    BOTH half-banks (norm 1/√2 preserved by the trainer) and still
+    emit only exactly-verified pairs."""
+    import __spark_entry__ as E
+    from kafka_parquet_writer_spark.operators import dedup as D
+
+    qs = E.queries()
+    exact = {
+        (r["v1"], r["v2"])
+        for r in qs["dedup_embedding"](spark, SF_ORACLE).collect()
+    }
+    old_ceiling = D.ANN_DEDUP_MAX_LITERAL_CELLS
+    old_rounds = D.ANN_TRAINED_ROUNDS
+    D.ANN_DEDUP_MAX_LITERAL_CELLS = 1
+    D.ANN_TRAINED_ROUNDS = 2
+    try:
+        got = {
+            (r["v1"], r["v2"])
+            for r in qs["dedup_embedding_ann"](spark, SF_ORACLE).collect()
+        }
+    finally:
+        D.ANN_DEDUP_MAX_LITERAL_CELLS = old_ceiling
+        D.ANN_TRAINED_ROUNDS = old_rounds
+    assert got, "trained IMI handoff found no pairs at all"
+    assert got <= exact
+
+
 def test_verifier_threshold_is_closure_carried():
     """_make_verifier(t) must compare against t, not the module
     global — python workers re-import the module, so a global override
