@@ -767,7 +767,15 @@ def imi_stage_receipts_lane() -> None:
 
     load_all_operators()
     # the status REST API needs the UI server, which sessions normally
-    # disable; its overhead is irrelevant next to minutes-long points
+    # disable; its overhead is irrelevant next to minutes-long points.
+    # The 2048-row Arrow batch clamp was inherited from the imi_ceiling
+    # lane (where it protects the FLAT path's giant score matrices) and
+    # then MEASURED for the IMI path itself: at Spark's default 10k
+    # batches the same points run 373.0/684.3 s vs 316.8/441.2 s
+    # clamped (batch_size_experiment in BENCH_SCALE.json) — the bigger
+    # per-batch object arrays and temporaries cost more than the saved
+    # per-batch overhead (the malloc/page-cache wall again), so the
+    # clamp stays, now by receipt rather than inheritance.
     spark = get_spark(
         "bench_scale_imistages",
         extra_conf={"spark.ui.enabled": "true"},

@@ -661,6 +661,16 @@ ANN_DEDUP_PROBE = 4
 #: quadratic-reintroducing bug this bound replaces (r4: hard cap 64 →
 #: Σcell² ∝ n² past ×4).
 ANN_DEDUP_MAX_LITERAL_CELLS = 65536
+#: corpus size past which dedup_embedding_ann feeds the assigner RAW
+#: float32 embeddings and normalizes numpy-side (assigner
+#: normalize=True) instead of Catalyst-normalizing first: halves the
+#: JVM→python Arrow stream and removes the interpreted higher-order
+#: `transform` from the hot stage (r7 stage receipts: the assignment
+#: stage is input-side-bound — shrinking its OUTPUT did not move wall
+#: time, see probe_rejoin_experiment in BENCH_SCALE.json). Below this
+#: size the Catalyst-normalized plan is kept — it is the
+#: oracle-fixture plan and the difference is noise at fixture scale.
+ANN_RAW_INPUT_MIN_ROWS = 2_000_000
 
 
 def _dedup_centroids(bank: int = ANN_DEDUP_BANK) -> list[list[float]]:
@@ -952,15 +962,23 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                 emb, c2, ANN_TRAINED_ROUNDS, dims=(32, 64), norm=half
             )
             banks = (c1, c2)
-        probes = emb.mapInPandas(
-            _make_imi_assigner(side, side, banks=banks),
-            "vec_id long, u array<double>, cell long",
+        # past the ceiling n ≥ ANN_RAW_INPUT_MIN_ROWS always holds:
+        # feed raw float32 embeddings, normalize numpy-side, and ship
+        # the float32 sources through the probe shuffle (the verifier
+        # normalizes per cell — bit-identical cos, half the bytes)
+        raw = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").alias("u")
         )
-        return (
-            probes.groupBy("cell")
-            .applyInPandas(_verify_cell_blas, "v1 long, v2 long, cos double")
-            .distinct()
+        probes = raw.mapInPandas(
+            _make_imi_assigner(
+                side, side, banks=banks, normalize=True, raw_u=True
+            ),
+            "vec_id long, u array<float>, cell long",
         )
+        # multi-cell streaming verify (see _make_stream_verifier):
+        # same shuffle+sort applyInPandas plans, minus ~45 ms/cell of
+        # per-group overhead — decisive at this path's 33k+ cells
+        return _stream_verify(probes)
     cs = DEDUP_CENTROIDS if m <= ANN_DEDUP_BANK else _dedup_centroids(m)
     if ANN_TRAINED_ROUNDS:
         # opt-in Lloyd refinement (clustered corpora — see the flag's
@@ -985,6 +1003,23 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rides in the
     # UDF closure (m×64 float64 — bounded by the literal-cells
     # assertion above; past that, broadcast + two-level assignment).
+    if n >= ANN_RAW_INPUT_MIN_ROWS:
+        # large-corpus input form (see ANN_RAW_INPUT_MIN_ROWS): raw
+        # float32 in, numpy normalization for scoring, float32
+        # sources through the probe shuffle with a normalizing
+        # verifier — same pairs, bit-identical cos, half the Arrow
+        # bytes on every crossing and no interpreted per-element
+        # transform in the hot stage
+        raw = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").alias("u")
+        )
+        probes = raw.mapInPandas(
+            _make_assigner(cs[:m], normalize=True, raw_u=True),
+            "vec_id long, u array<float>, cell int",
+        )
+        # multi-cell streaming verify — same pairs as the fixture
+        # plan's applyInPandas, overhead amortized across cells
+        return _stream_verify(probes)
     probes = emb.mapInPandas(
         _make_assigner(cs[:m]), "vec_id long, u array<double>, cell int"
     )
@@ -1008,12 +1043,33 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _make_assigner(centroids: list[list[float]], probe: int = ANN_DEDUP_PROBE):
+def _make_assigner(
+    centroids: list[list[float]],
+    probe: int = ANN_DEDUP_PROBE,
+    normalize: bool = False,
+    raw_u: bool = False,
+):
     """mapInPandas factory: per Arrow batch, score all m centroids in
     one gemm and emit the `probe` nearest cells per vector (default
     ANN_DEDUP_PROBE; dedup_semantic uses probe=1 for a Voronoi
     partition). Stable argsort on score = -dot reproduces the
-    oracle's list_sort(struct(-dot, idx)) tie-breaking exactly."""
+    oracle's list_sort(struct(-dot, idx)) tie-breaking exactly.
+
+    `normalize=True` takes RAW (float32) embeddings in the ``u``
+    column and unit-normalizes them numpy-side after the float64
+    cast — the large-corpus input form: it halves the JVM→python
+    Arrow stream (float32 in) and moves normalization off Catalyst's
+    interpreted higher-order `transform` (never whole-stage-codegen'd)
+    into one vectorized divide. The float32→float64 cast is
+    value-exact on both routes; only the norm SUM's association order
+    differs from the SQL fold (~1e-16 — the same accepted class as
+    the BLAS dot caveat in dedup_embedding_ann's docstring). With
+    `raw_u=True` the emitted ``u`` is the UNTOUCHED float32 source
+    vector (array<float> schema) and the verifier normalizes per cell
+    (`_make_verifier(normalize=True)`) — the probe-table shuffle and
+    both of its Arrow crossings halve, with bit-identical cos values
+    (the float64 normalize runs on the same exact float32 sources,
+    just on the other side of the shuffle)."""
     import numpy as np
 
     c = np.asarray(centroids, dtype=np.float64)
@@ -1027,6 +1083,16 @@ def _make_assigner(centroids: list[list[float]], probe: int = ANN_DEDUP_PROBE):
             if not len(pdf):
                 continue
             u = np.vstack(pdf["u"].to_numpy())
+            if normalize:
+                u = u.astype(np.float64, copy=False)
+                u = u / np.linalg.norm(u, axis=1, keepdims=True)
+                if raw_u:
+                    uo = pdf["u"].to_numpy()
+                else:
+                    uo = np.empty(len(u), dtype=object)
+                    uo[:] = list(u)
+            else:
+                uo = pdf["u"].to_numpy()
             if m <= 2048:
                 # full stable argsort: exact (score, idx) order — the
                 # oracle-checked regime (every oracle fixture has
@@ -1069,7 +1135,7 @@ def _make_assigner(centroids: list[list[float]], probe: int = ANN_DEDUP_PROBE):
                     "vec_id": np.repeat(
                         pdf["vec_id"].to_numpy(dtype=np.int64), probe
                     ),
-                    "u": np.repeat(pdf["u"].to_numpy(), probe),
+                    "u": np.repeat(uo, probe),
                     "cell": order.ravel().astype(np.int32),
                 }
             )
@@ -1077,12 +1143,20 @@ def _make_assigner(centroids: list[list[float]], probe: int = ANN_DEDUP_PROBE):
     return assign
 
 
-def _make_verifier(threshold: float = COSINE_DUP_THRESHOLD):
+def _make_verifier(
+    threshold: float = COSINE_DUP_THRESHOLD, normalize: bool = False
+):
     """Factory for the per-cell exact-cosine verify, with the dup
     threshold carried in the closure: python workers re-import this
     module, so a driver-side override of the module global would never
     reach them — opt-in lanes that verify clustered corpora at a
-    tighter threshold (bench_scale.py `skew`) build their own."""
+    tighter threshold (bench_scale.py `skew`) build their own.
+
+    `normalize=True` pairs with the assigners' `raw_u` form: the cell
+    rows carry the UNTOUCHED float32 source vectors (half the probe
+    shuffle and both Arrow crossings) and the float64 unit-normalize
+    runs here instead — on the same exact float32 values, so the cos
+    output is bit-identical to normalizing before the shuffle."""
 
     def verify(pdf):
         import numpy as np
@@ -1098,6 +1172,9 @@ def _make_verifier(threshold: float = COSINE_DUP_THRESHOLD):
                 }
             )
         u = np.vstack(pdf["u"].to_numpy())
+        if normalize:
+            u = u.astype(np.float64, copy=False)
+            u = u / np.linalg.norm(u, axis=1, keepdims=True)
         s = u @ u.T
         iu, ju = np.triu_indices(len(ids), k=1)
         cos = s[iu, ju]
@@ -1122,6 +1199,125 @@ def _verify_cell_blas(pdf):
     folds exactly at 6-decimal rounding (same guarantee the
     similarity_topk_blas oracle already proves)."""
     return _make_verifier()(pdf)
+
+
+def _make_stream_verifier(
+    threshold: float = COSINE_DUP_THRESHOLD, normalize: bool = False
+):
+    """mapInPandas twin of _make_verifier for the large-corpus path:
+    verifies MANY cells per python call instead of one-group-per-call.
+
+    groupBy("cell").applyInPandas already plans the same physical
+    shuffle + within-partition sort this form spells out — but then
+    makes one python round-trip and one Arrow batch PER GROUP. The r7
+    stage receipts price that overhead at ~45 ms of JVM CPU per cell
+    (Arrow writer setup/flush + per-group plumbing) against ~2 ms of
+    actual gemm: at the 33k/66k-cell ceiling points the verify stage
+    is ~95% per-group overhead. This verifier consumes the SAME
+    shuffled rows as a plain cell-sorted stream (repartition(cell) +
+    sortWithinPartitions(cell) + mapInPandas), slicing cells out of
+    each 2048-row Arrow batch and carrying the trailing incomplete
+    cell across batch boundaries — worker memory stays
+    O(batch + largest cell), the same bound applyInPandas gives,
+    with per-call overhead amortized over whole batches of cells.
+
+    Pair output is IDENTICAL to _make_verifier cell by cell: same
+    float64 normalize (with `normalize=True`, on the same exact
+    float32 sources), same gemm, same threshold compare, same
+    portable floor-round — pinned by tests/test_round7_ops.py both
+    at the python level (split-cell batches) and end-to-end against
+    the applyInPandas fixture plan."""
+
+    def verify(batches):
+        import numpy as np
+        import pandas as pd
+
+        def emit(pdf):
+            # pdf holds ≥1 COMPLETE cells, rows cell-contiguous
+            cells = pdf["cell"].to_numpy()
+            ids_all = pdf["vec_id"].to_numpy(dtype=np.int64)
+            u_all = pdf["u"].to_numpy()
+            starts = np.flatnonzero(
+                np.r_[True, cells[1:] != cells[:-1]]
+            )
+            ends = np.r_[starts[1:], len(cells)]
+            v1s, v2s, coss = [], [], []
+            for s0, e0 in zip(starts, ends):
+                p = int(e0 - s0)
+                if p < 2:
+                    continue
+                u = np.vstack(u_all[s0:e0])
+                if normalize:
+                    u = u.astype(np.float64, copy=False)
+                    u = u / np.linalg.norm(u, axis=1, keepdims=True)
+                s = u @ u.T
+                iu, ju = np.triu_indices(p, k=1)
+                cos = s[iu, ju]
+                keep = cos >= threshold
+                if not keep.any():
+                    continue
+                ids = ids_all[s0:e0]
+                a, b = ids[iu[keep]], ids[ju[keep]]
+                v1s.append(np.minimum(a, b))
+                v2s.append(np.maximum(a, b))
+                coss.append(np.floor(cos[keep] * 1e6 + 0.5) / 1e6)
+            if not v1s:
+                return None
+            return pd.DataFrame(
+                {
+                    "v1": np.concatenate(v1s),
+                    "v2": np.concatenate(v2s),
+                    "cos": np.concatenate(coss),
+                }
+            )
+
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            cells = pdf["cell"].to_numpy()
+            # hold back the trailing cell — its rows may continue in
+            # the next batch (input is cell-sorted within partition)
+            cut = int(np.searchsorted(cells, cells[-1], side="left"))
+            if cut == 0:
+                carry = pdf
+                continue
+            carry = pdf.iloc[cut:]
+            if not len(carry):
+                carry = None
+            out = emit(pdf.iloc[:cut])
+            if out is not None:
+                yield out
+        if carry is not None and len(carry):
+            out = emit(carry)
+            if out is not None:
+                yield out
+        # mapInPandas tolerates zero yielded batches; nothing else to do
+
+    return verify
+
+
+def _stream_verify(probes, normalize: bool = True):
+    """Plan wrapper for _make_stream_verifier: the explicit
+    hash-exchange + within-partition sort that applyInPandas would
+    have planned anyway, feeding the multi-cell streaming verifier.
+    Bare repartition(col) is deliberate: the stage is byte-HEAVY
+    (the probe table is GBs at every n that reaches this path), so
+    AQE's size-based coalescing keeps real parallelism — this is not
+    the CPU-heavy-but-byte-small shape repartition_for_compute
+    exists for."""
+    return (
+        probes.repartition("cell")
+        .sortWithinPartitions("cell")
+        .mapInPandas(
+            _make_stream_verifier(normalize=normalize),
+            "v1 long, v2 long, cos double",
+        )
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1165,6 +1361,8 @@ def _make_imi_assigner(
     m2: int,
     probe: int = ANN_DEDUP_PROBE,
     banks: tuple[list[list[float]], list[list[float]]] | None = None,
+    normalize: bool = False,
+    raw_u: bool = False,
 ):
     """mapInPandas factory for the two-level assignment: per Arrow
     batch, TWO half-dim gemms (m1 + m2 dots per row), then the probe
@@ -1179,7 +1377,11 @@ def _make_imi_assigner(
     float64 banks — 64 KB at side 256 (m = 65 k), still closure-sized
     at every realistic m (side 4096 → 2 MB). `banks` overrides the
     seeded half-banks with trained ones (train_centroid_bank with
-    dims/norm for each half); None keeps the seeded/oracle geometry."""
+    dims/norm for each half); None keeps the seeded/oracle geometry.
+    `normalize` / `raw_u` as in _make_assigner: raw float32
+    embeddings in, numpy normalization for scoring, and with raw_u
+    the float32 source vectors passed through for a per-cell
+    normalizing verifier — the large-corpus input form."""
     import numpy as np
 
     c1l, c2l = banks if banks is not None else _imi_banks(m1, m2)
@@ -1193,6 +1395,16 @@ def _make_imi_assigner(
             if not len(pdf):
                 continue
             u = np.vstack(pdf["u"].to_numpy())
+            if normalize:
+                u = u.astype(np.float64, copy=False)
+                u = u / np.linalg.norm(u, axis=1, keepdims=True)
+                if raw_u:
+                    uo = pdf["u"].to_numpy()
+                else:
+                    uo = np.empty(len(u), dtype=object)
+                    uo[:] = list(u)
+            else:
+                uo = pdf["u"].to_numpy()
             rows = len(u)
             s1 = -(u[:, :32] @ c1.T)
             s2 = -(u[:, 32:] @ c2.T)
@@ -1220,7 +1432,7 @@ def _make_imi_assigner(
                     "vec_id": np.repeat(
                         pdf["vec_id"].to_numpy(dtype=np.int64), probe
                     ),
-                    "u": np.repeat(pdf["u"].to_numpy(), probe),
+                    "u": np.repeat(uo, probe),
                     "cell": best.ravel(),
                 }
             )

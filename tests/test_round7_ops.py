@@ -134,6 +134,33 @@ def test_flag_on_imi_handoff_trains_half_banks(spark):
     assert got <= exact
 
 
+def test_raw_input_form_matches_catalyst_normalize(spark):
+    """The large-corpus input form (raw float32 embeddings,
+    numpy-side normalization) must produce the same pairs as the
+    Catalyst-normalized fixture plan — same (v1, v2) set, cos equal
+    to float64-reassociation tolerance."""
+    import __spark_entry__ as E
+    from kafka_parquet_writer_spark.operators import dedup as D
+
+    qs = E.queries()
+    base = {
+        (r["v1"], r["v2"]): r["cos"]
+        for r in qs["dedup_embedding_ann"](spark, SF_ORACLE).collect()
+    }
+    old = D.ANN_RAW_INPUT_MIN_ROWS
+    D.ANN_RAW_INPUT_MIN_ROWS = 1  # force the raw form at sf0.01
+    try:
+        got = {
+            (r["v1"], r["v2"]): r["cos"]
+            for r in qs["dedup_embedding_ann"](spark, SF_ORACLE).collect()
+        }
+    finally:
+        D.ANN_RAW_INPUT_MIN_ROWS = old
+    assert set(got) == set(base) and len(got) > 0
+    for k, v in got.items():
+        assert abs(v - base[k]) <= 1e-6
+
+
 def test_verifier_threshold_is_closure_carried():
     """_make_verifier(t) must compare against t, not the module
     global — python workers re-import the module, so a global override
@@ -154,3 +181,52 @@ def test_verifier_threshold_is_closure_carried():
     assert len(D._verify_cell_blas(pdf)) == (
         1 if 0.8 >= D.COSINE_DUP_THRESHOLD else 0
     )
+
+
+def test_stream_verifier_matches_per_cell_across_batch_splits():
+    """_make_stream_verifier must emit exactly the per-cell pairs of
+    _make_verifier regardless of how cells are split across Arrow
+    batches — including a cell spanning three batches, a batch that is
+    entirely one cell's interior, singleton cells, and a final
+    partial-cell carry."""
+    import pandas as pd
+
+    from kafka_parquet_writer_spark.operators import dedup as D
+
+    rng = np.random.RandomState(3)
+    # 7 cells of very different sizes, raw float32 vectors (raw_u form)
+    sizes = {0: 1, 1: 5, 2: 120, 3: 2, 4: 60, 5: 1, 6: 9}
+    rows = []
+    vid = 0
+    for cell, p in sizes.items():
+        center = rng.randn(64)
+        for _ in range(p):
+            x = (center + 0.05 * rng.randn(64)).astype(np.float32)
+            rows.append((vid, x, cell))
+            vid += 1
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [r[0] for r in rows],
+            "u": [r[1] for r in rows],
+            "cell": [r[2] for r in rows],
+        }
+    )
+    # expected: per-cell verifier with the same normalize=True math
+    per_cell = D._make_verifier(normalize=True)
+    want = set()
+    for cell in sizes:
+        out = per_cell(pdf[pdf["cell"] == cell].reset_index(drop=True))
+        for r in out.itertuples(index=False):
+            want.add((r.v1, r.v2, r.cos))
+    assert len(want) > 50  # the clusters genuinely produce pairs
+
+    for bs in (1, 7, 50, len(pdf)):  # batch splits incl. degenerate
+        batches = [
+            pdf.iloc[i : i + bs].reset_index(drop=True)
+            for i in range(0, len(pdf), bs)
+        ]
+        got = set()
+        for out in D._make_stream_verifier(normalize=True)(iter(batches)):
+            for r in out.itertuples(index=False):
+                got.add((r.v1, r.v2, r.cos))
+        assert got == want, f"batch size {bs} diverged"
