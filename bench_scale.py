@@ -840,6 +840,144 @@ def imi_stage_receipts_lane() -> None:
     print(json.dumps({"imi_stage_receipts": out}))
 
 
+def verify_ab_lane() -> None:
+    """Opt-in lane (`python bench_scale.py verifyab`): SAME-BOX-STATE
+    interleaved comparison of the two surviving large-corpus verify
+    plans at the 4.125M IMI point — per-cell groupBy("cell")
+    applyInPandas (shipped) vs bucketed groupBy(cell % 1024) with a
+    multi-cell verifier per group.
+
+    Why interleaved: the first round-7 comparison ran the three
+    verify forms in SEPARATE lane invocations ~25 min apart, and the
+    box degraded monotonically between them (khugepaged THP
+    compaction climbing to ~60% of a core after a day of heavy JVM
+    churn — the per-cell plan re-measured 3× its own committed
+    receipt on IDENTICAL code). Sequential cross-run comparisons on
+    this box are load-noise-dominated; A/B/A/B within one session on
+    one shared dataset is the only trustworthy ordering. Records
+    per-run wall, the verify stage's task/cpu/gc seconds, and the
+    1-min loadavg before each run, under "verify_ab_experiment"."""
+    import shutil
+
+    for var in (
+        "OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"
+    ):
+        os.environ.setdefault(var, "1")
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+
+    from pyspark.sql import functions as F
+
+    from kafka_parquet_writer_spark import get_spark
+    from kafka_parquet_writer_spark.catalog import load_table
+    from kafka_parquet_writer_spark.operators import dedup as D
+    from kafka_parquet_writer_spark.registry import (
+        QUERIES,
+        load_all_operators,
+    )
+
+    load_all_operators()
+    spark = get_spark(
+        "bench_scale_verifyab",
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # warm-up: small forced-IMI pass through the shipped operator
+    wd = build_random_embeddings(spark, 500_000)
+    try:
+        old = D.ANN_DEDUP_MAX_LITERAL_CELLS
+        D.ANN_DEDUP_MAX_LITERAL_CELLS = 1
+        try:
+            run(QUERIES["dedup_embedding_ann"](spark, wd))
+        finally:
+            D.ANN_DEDUP_MAX_LITERAL_CELLS = old
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+    n = 4_125_000
+    d = build_random_embeddings(spark, n)
+
+    def probes():
+        # the IMI branch's own assignment (raw float32 input form),
+        # rebuilt per run so each variant pays identical upstream cost
+        m = max(D.ANN_DEDUP_CELLS, n // D.ANN_DEDUP_TARGET_PER_CELL)
+        side = int(math.ceil(math.sqrt(m)))
+        raw = load_table(spark, d, "embeddings").select(
+            "vec_id", F.col("embedding").alias("u")
+        )
+        return raw.mapInPandas(
+            D._make_imi_assigner(side, side, normalize=True, raw_u=True),
+            "vec_id long, u array<float>, cell long",
+        )
+
+    def percell(p):
+        # the superseded per-cell form, kept lane-local so the A/B
+        # stays reproducible after the operator shipped the winner
+        return (
+            p.groupBy("cell")
+            .applyInPandas(
+                D._make_verifier(normalize=True),
+                "v1 long, v2 long, cos double",
+            )
+            .distinct()
+        )
+
+    def bucketed(p):
+        # the shipped plan (dedup.py::_raw_verify)
+        return D._raw_verify(p)
+
+    out: list[dict] = []
+    try:
+        for label, plan in (
+            ("percell", percell),
+            ("bucket", bucketed),
+            ("percell", percell),
+            ("bucket", bucketed),
+        ):
+            load1 = open("/proc/loadavg").read().split()[0]
+            before = set(_completed_stages(spark))
+            t0 = time.time()
+            run(plan(probes()))
+            total = round(time.time() - t0, 2)
+            after = _completed_stages(spark)
+            new = [
+                {"stageId": sid, **after[sid]}
+                for sid in sorted(set(after) - before)
+            ]
+            # the verify stage is the one that reads the probe shuffle
+            ver = max(new, key=lambda s: s["shuffle_read_mb"])
+            rec = {
+                "variant": label,
+                "total_sec": total,
+                "loadavg_before": float(load1),
+                "verify_wall_sec": ver["wall_sec"],
+                "verify_task_sec": ver["task_sec"],
+                "verify_jvm_cpu_sec": ver["jvm_cpu_sec"],
+                "verify_gc_sec": ver["gc_sec"],
+            }
+            out.append(rec)
+            print(json.dumps(rec), file=sys.stderr)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json"
+    )
+    try:
+        with open(path) as f:
+            blob = json.load(f)
+    except (OSError, ValueError):
+        blob = {}
+    blob["verify_ab_experiment"] = {"n": n, "runs": out}
+    with open(path, "w") as f:
+        f.write(json.dumps(blob) + "\n")
+    print(json.dumps({"verify_ab_experiment": out}))
+
+
 def main() -> None:
     from kafka_parquet_writer_spark import get_spark
     from kafka_parquet_writer_spark.registry import (
@@ -964,5 +1102,7 @@ if __name__ == "__main__":
         clustered_skew_lane()
     elif len(sys.argv) > 1 and sys.argv[1] == "imistages":
         imi_stage_receipts_lane()
+    elif len(sys.argv) > 1 and sys.argv[1] == "verifyab":
+        verify_ab_lane()
     else:
         main()

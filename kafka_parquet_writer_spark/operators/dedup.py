@@ -975,10 +975,9 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "vec_id long, u array<float>, cell long",
         )
-        # multi-cell streaming verify (see _make_stream_verifier):
-        # same shuffle+sort applyInPandas plans, minus ~45 ms/cell of
-        # per-group overhead — decisive at this path's 33k+ cells
-        return _stream_verify(probes)
+        # per-cell verify with in-verifier normalization (see
+        # _raw_verify for why per-cell beat both multi-cell forms)
+        return _raw_verify(probes)
     cs = DEDUP_CENTROIDS if m <= ANN_DEDUP_BANK else _dedup_centroids(m)
     if ANN_TRAINED_ROUNDS:
         # opt-in Lloyd refinement (clustered corpora — see the flag's
@@ -1017,9 +1016,9 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             _make_assigner(cs[:m], normalize=True, raw_u=True),
             "vec_id long, u array<float>, cell int",
         )
-        # multi-cell streaming verify — same pairs as the fixture
-        # plan's applyInPandas, overhead amortized across cells
-        return _stream_verify(probes)
+        # per-cell verify with in-verifier normalization — same
+        # pairs as the fixture plan (see _raw_verify)
+        return _raw_verify(probes)
     probes = emb.mapInPandas(
         _make_assigner(cs[:m]), "vec_id long, u array<double>, cell int"
     )
@@ -1201,119 +1200,115 @@ def _verify_cell_blas(pdf):
     return _make_verifier()(pdf)
 
 
-def _make_stream_verifier(
+#: cell-bucket count for the large-corpus verify: cells are grouped
+#: modulo this into applyInPandas groups of ~dozens of whole cells,
+#: so the per-group JVM cost (Arrow writer setup/flush + group
+#: plumbing) is paid 1024 times instead of once per cell (33k-66k+
+#: at the ceiling points), while each group stays small enough
+#: (~16-32k rows, ≤8 MB of float32) to keep worker temporaries
+#: bounded. 1024 gives ≥32 groups per task for balance.
+VERIFY_CELL_BUCKETS = 1024
+
+
+def _make_bucket_verifier(
     threshold: float = COSINE_DUP_THRESHOLD, normalize: bool = False
 ):
-    """mapInPandas twin of _make_verifier for the large-corpus path:
-    verifies MANY cells per python call instead of one-group-per-call.
+    """applyInPandas factory for the large-corpus verify: one GROUP =
+    one cell BUCKET (cell % VERIFY_CELL_BUCKETS) holding ~dozens of
+    whole cells. Sorts the bucket's rows by cell (numpy stable
+    argsort — applyInPandas guarantees group completeness, not row
+    order), then runs _make_verifier's exact per-cell math on each
+    contiguous cell slice: same float64 normalize (with
+    `normalize=True`, on the same exact float32 sources), same gemm,
+    same threshold compare, same portable floor-round. Equivalence to
+    the per-cell verifier is pinned by tests/test_round7_ops.py both
+    python-level and end-to-end against the fixture plan."""
 
-    groupBy("cell").applyInPandas already plans the same physical
-    shuffle + within-partition sort this form spells out — but then
-    makes one python round-trip and one Arrow batch PER GROUP. The r7
-    stage receipts price that overhead at ~45 ms of JVM CPU per cell
-    (Arrow writer setup/flush + per-group plumbing) against ~2 ms of
-    actual gemm: at the 33k/66k-cell ceiling points the verify stage
-    is ~95% per-group overhead. This verifier consumes the SAME
-    shuffled rows as a plain cell-sorted stream (repartition(cell) +
-    sortWithinPartitions(cell) + mapInPandas), slicing cells out of
-    each 2048-row Arrow batch and carrying the trailing incomplete
-    cell across batch boundaries — worker memory stays
-    O(batch + largest cell), the same bound applyInPandas gives,
-    with per-call overhead amortized over whole batches of cells.
-
-    Pair output is IDENTICAL to _make_verifier cell by cell: same
-    float64 normalize (with `normalize=True`, on the same exact
-    float32 sources), same gemm, same threshold compare, same
-    portable floor-round — pinned by tests/test_round7_ops.py both
-    at the python level (split-cell batches) and end-to-end against
-    the applyInPandas fixture plan."""
-
-    def verify(batches):
+    def verify(pdf):
         import numpy as np
         import pandas as pd
 
-        def emit(pdf):
-            # pdf holds ≥1 COMPLETE cells, rows cell-contiguous
-            cells = pdf["cell"].to_numpy()
-            ids_all = pdf["vec_id"].to_numpy(dtype=np.int64)
-            u_all = pdf["u"].to_numpy()
-            starts = np.flatnonzero(
-                np.r_[True, cells[1:] != cells[:-1]]
-            )
-            ends = np.r_[starts[1:], len(cells)]
-            v1s, v2s, coss = [], [], []
-            for s0, e0 in zip(starts, ends):
-                p = int(e0 - s0)
-                if p < 2:
-                    continue
-                u = np.vstack(u_all[s0:e0])
-                if normalize:
-                    u = u.astype(np.float64, copy=False)
-                    u = u / np.linalg.norm(u, axis=1, keepdims=True)
-                s = u @ u.T
-                iu, ju = np.triu_indices(p, k=1)
-                cos = s[iu, ju]
-                keep = cos >= threshold
-                if not keep.any():
-                    continue
-                ids = ids_all[s0:e0]
-                a, b = ids[iu[keep]], ids[ju[keep]]
-                v1s.append(np.minimum(a, b))
-                v2s.append(np.maximum(a, b))
-                coss.append(np.floor(cos[keep] * 1e6 + 0.5) / 1e6)
-            if not v1s:
-                return None
+        order = np.argsort(pdf["cell"].to_numpy(), kind="stable")
+        cells = pdf["cell"].to_numpy()[order]
+        ids_all = pdf["vec_id"].to_numpy(dtype=np.int64)[order]
+        u_all = pdf["u"].to_numpy()[order]
+        starts = np.flatnonzero(np.r_[True, cells[1:] != cells[:-1]])
+        ends = np.r_[starts[1:], len(cells)]
+        v1s, v2s, coss = [], [], []
+        for s0, e0 in zip(starts, ends):
+            p = int(e0 - s0)
+            if p < 2:
+                continue
+            u = np.vstack(u_all[s0:e0])
+            if normalize:
+                u = u.astype(np.float64, copy=False)
+                u = u / np.linalg.norm(u, axis=1, keepdims=True)
+            s = u @ u.T
+            iu, ju = np.triu_indices(p, k=1)
+            cos = s[iu, ju]
+            keep = cos >= threshold
+            if not keep.any():
+                continue
+            ids = ids_all[s0:e0]
+            a, b = ids[iu[keep]], ids[ju[keep]]
+            v1s.append(np.minimum(a, b))
+            v2s.append(np.maximum(a, b))
+            coss.append(np.floor(cos[keep] * 1e6 + 0.5) / 1e6)
+        if not v1s:
             return pd.DataFrame(
                 {
-                    "v1": np.concatenate(v1s),
-                    "v2": np.concatenate(v2s),
-                    "cos": np.concatenate(coss),
+                    "v1": np.array([], dtype=np.int64),
+                    "v2": np.array([], dtype=np.int64),
+                    "cos": np.array([], dtype=np.float64),
                 }
             )
-
-        carry = None
-        for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if not len(pdf):
-                continue
-            cells = pdf["cell"].to_numpy()
-            # hold back the trailing cell — its rows may continue in
-            # the next batch (input is cell-sorted within partition)
-            cut = int(np.searchsorted(cells, cells[-1], side="left"))
-            if cut == 0:
-                carry = pdf
-                continue
-            carry = pdf.iloc[cut:]
-            if not len(carry):
-                carry = None
-            out = emit(pdf.iloc[:cut])
-            if out is not None:
-                yield out
-        if carry is not None and len(carry):
-            out = emit(carry)
-            if out is not None:
-                yield out
-        # mapInPandas tolerates zero yielded batches; nothing else to do
+        return pd.DataFrame(
+            {
+                "v1": np.concatenate(v1s),
+                "v2": np.concatenate(v2s),
+                "cos": np.concatenate(coss),
+            }
+        )
 
     return verify
 
 
-def _stream_verify(probes, normalize: bool = True):
-    """Plan wrapper for _make_stream_verifier: the explicit
-    hash-exchange + within-partition sort that applyInPandas would
-    have planned anyway, feeding the multi-cell streaming verifier.
-    Bare repartition(col) is deliberate: the stage is byte-HEAVY
-    (the probe table is GBs at every n that reaches this path), so
-    AQE's size-based coalescing keeps real parallelism — this is not
-    the CPU-heavy-but-byte-small shape repartition_for_compute
-    exists for."""
+def _raw_verify(probes):
+    """Plan wrapper for the large-corpus verify: bucketed
+    groupBy(cell % VERIFY_CELL_BUCKETS).applyInPandas. Chosen by a
+    SAME-BOX-STATE interleaved A/B at the 4.125M IMI point
+    (`verify_ab_experiment` in BENCH_SCALE.json, two runs each,
+    alternating): verify wall 32.3/23.0 s bucketed vs 87.3/54.1 s
+    per-cell, with ~2.4× less JVM CPU (529/350 vs 1241/922 s) — the
+    per-group Arrow-writer overhead at 33k+ groups is real, and
+    coarsening the group key removes it.
+
+    Two methodology notes that shaped this choice:
+
+    - A cell-sorted mapInPandas stream (repartition(cell) +
+      sortWithinPartitions + a carry-across-batches verifier) was
+      built and REJECTED: Spark 4.1's single-threaded PythonRunner
+      only reads UDF output once its pending input write flushes,
+      and this stage moves GBs in BOTH directions, so it DEADLOCKED
+      1-in-32 tasks — worker blocked in write() with a full output
+      socket while the JVM blocked writing input (observed directly;
+      `stream_verify_experiment`). groupBy().applyInPandas
+      alternates at group granularity and has never wedged.
+      High-volume bidirectional mapInPandas is a deadlock hazard on
+      this Spark version regardless of speed.
+    - SEQUENTIAL cross-run comparisons first ranked these forms the
+      OTHER way (per-cell 107 s total vs bucketed 169 s) and were
+      wrong: the box degrades monotonically under heavy JVM churn
+      (khugepaged THP compaction reached ~60% of a core; identical
+      per-cell code re-measured 3× its own receipt an hour later).
+      Only the interleaved A/B in one session on one dataset gave a
+      stable ordering — and it reproduced 2.3-2.7× in both pairs."""
     return (
-        probes.repartition("cell")
-        .sortWithinPartitions("cell")
-        .mapInPandas(
-            _make_stream_verifier(normalize=normalize),
+        probes.groupBy(
+            (F.col("cell") % VERIFY_CELL_BUCKETS).alias("bkt")
+        )
+        .applyInPandas(
+            _make_bucket_verifier(normalize=True),
             "v1 long, v2 long, cos double",
         )
         .distinct()

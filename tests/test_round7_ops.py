@@ -183,17 +183,55 @@ def test_verifier_threshold_is_closure_carried():
     )
 
 
-def test_stream_verifier_matches_per_cell_across_batch_splits():
-    """_make_stream_verifier must emit exactly the per-cell pairs of
-    _make_verifier regardless of how cells are split across Arrow
-    batches — including a cell spanning three batches, a batch that is
-    entirely one cell's interior, singleton cells, and a final
-    partial-cell carry."""
+def test_normalizing_verifier_matches_prenormalized():
+    """_make_verifier(normalize=True) (raw float32 in, float64
+    normalize in the verifier) must emit BIT-identical pairs to
+    _make_verifier() fed the float64-normalized versions of the same
+    float32 sources — the exact claim the raw-input form's
+    shuffle-halving rests on."""
     import pandas as pd
 
     from kafka_parquet_writer_spark.operators import dedup as D
 
     rng = np.random.RandomState(3)
+    center = rng.randn(64)
+    raw = [
+        (center + 0.05 * rng.randn(64)).astype(np.float32)
+        for _ in range(120)
+    ]
+    ids = list(range(120))
+    pdf_raw = pd.DataFrame({"vec_id": ids, "u": raw})
+    pre = []
+    for x in raw:
+        x64 = x.astype(np.float64)
+        pre.append(x64 / np.linalg.norm(x64))
+    pdf_pre = pd.DataFrame({"vec_id": ids, "u": pre})
+
+    got = {
+        (r.v1, r.v2, r.cos)
+        for r in D._make_verifier(normalize=True)(pdf_raw).itertuples(
+            index=False
+        )
+    }
+    want = {
+        (r.v1, r.v2, r.cos)
+        for r in D._make_verifier()(pdf_pre).itertuples(index=False)
+    }
+    assert len(want) > 50  # the cluster genuinely produces pairs
+    assert got == want  # bit-identical incl. the rounded cos values
+
+
+def test_bucket_verifier_matches_per_cell():
+    """_make_bucket_verifier must emit exactly the union of
+    _make_verifier's per-cell pairs for every cell in the bucket —
+    regardless of row order (applyInPandas guarantees group
+    completeness, not order), including singleton cells, an empty
+    bucket result, and cells of very different sizes."""
+    import pandas as pd
+
+    from kafka_parquet_writer_spark.operators import dedup as D
+
+    rng = np.random.RandomState(7)
     # 7 cells of very different sizes, raw float32 vectors (raw_u form)
     sizes = {0: 1, 1: 5, 2: 120, 3: 2, 4: 60, 5: 1, 6: 9}
     rows = []
@@ -211,7 +249,6 @@ def test_stream_verifier_matches_per_cell_across_batch_splits():
             "cell": [r[2] for r in rows],
         }
     )
-    # expected: per-cell verifier with the same normalize=True math
     per_cell = D._make_verifier(normalize=True)
     want = set()
     for cell in sizes:
@@ -220,13 +257,16 @@ def test_stream_verifier_matches_per_cell_across_batch_splits():
             want.add((r.v1, r.v2, r.cos))
     assert len(want) > 50  # the clusters genuinely produce pairs
 
-    for bs in (1, 7, 50, len(pdf)):  # batch splits incl. degenerate
-        batches = [
-            pdf.iloc[i : i + bs].reset_index(drop=True)
-            for i in range(0, len(pdf), bs)
-        ]
-        got = set()
-        for out in D._make_stream_verifier(normalize=True)(iter(batches)):
-            for r in out.itertuples(index=False):
-                got.add((r.v1, r.v2, r.cos))
-        assert got == want, f"batch size {bs} diverged"
+    bucket = D._make_bucket_verifier(normalize=True)
+    for seed in (0, 1, 2):  # row orders incl. cell-interleaved
+        shuf = pdf.sample(frac=1.0, random_state=seed).reset_index(
+            drop=True
+        )
+        got = {
+            (r.v1, r.v2, r.cos)
+            for r in bucket(shuf).itertuples(index=False)
+        }
+        assert got == want, f"row order seed {seed} diverged"
+    # pair-free bucket -> empty typed frame, not a crash
+    empty = bucket(pdf[pdf["cell"] == 0].reset_index(drop=True))
+    assert len(empty) == 0 and list(empty.columns) == ["v1", "v2", "cos"]
