@@ -6,6 +6,13 @@ oracle, compares row count, column names, and order-insensitive values
 tolerance so near-misses are visible).
 
 Usage: python tools/verify_oracle.py [query ...]
+
+Set SPARK_GRAFT_ORACLE_SF_DIR to cross-check at a different scale
+(e.g. sf0.1 — 10× the driver's gate). Caveat at larger SFs: keys
+whose ORACLE text embeds data-size-derived literals with bounded
+coverage (the ANN centroid bank covers m ≤ 64 ⟺ n ≤ 8000; see
+dedup_embedding_ann's docstring) mismatch BY DESIGN past their
+coverage — the operator is then checked by recall tests instead.
 """
 
 from __future__ import annotations
@@ -17,7 +24,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
