@@ -898,7 +898,7 @@ def verify_ab_lane() -> None:
     finally:
         shutil.rmtree(wd, ignore_errors=True)
 
-    n = 4_125_000
+    n = int(os.environ.get("SPARK_GRAFT_VERIFYAB_N", 4_125_000))
     d = build_random_embeddings(spark, n)
 
     def probes():
@@ -972,10 +972,14 @@ def verify_ab_lane() -> None:
             blob = json.load(f)
     except (OSError, ValueError):
         blob = {}
-    blob["verify_ab_experiment"] = {"n": n, "runs": out}
+    prev = blob.get("verify_ab_experiment", {})
+    if "runs" in prev:  # legacy single-point shape -> re-key by its n
+        prev = {str(prev["n"]): prev["runs"]}
+    prev[str(n)] = out
+    blob["verify_ab_experiment"] = prev
     with open(path, "w") as f:
         f.write(json.dumps(blob) + "\n")
-    print(json.dumps({"verify_ab_experiment": out}))
+    print(json.dumps({"verify_ab_experiment": {str(n): out}}))
 
 
 def main() -> None:
