@@ -1302,7 +1302,15 @@ def _raw_verify(probes):
       (khugepaged THP compaction reached ~60% of a core; identical
       per-cell code re-measured 3× its own receipt an hour later).
       Only the interleaved A/B in one session on one dataset gave a
-      stable ordering — and it reproduced 2.3-2.7× in both pairs."""
+      stable ordering — and it reproduced 2.3-2.7× in both pairs at
+      33k cells and 1.3× at 66k (verify_ab_experiment has both).
+
+    Skew note: bucketing never splits a cell, so a clustered
+    corpus's hot cell dominates whichever group holds it — the
+    straggler bound is IDENTICAL to the per-cell plan's, and the
+    mitigation is the same one the clustered_skew lane measures:
+    trained centroid banks (ANN_TRAINED_ROUNDS) that bound hot-cell
+    population, not the verify's group shape."""
     return (
         probes.groupBy(
             (F.col("cell") % VERIFY_CELL_BUCKETS).alias("bkt")
