@@ -927,8 +927,11 @@ def verify_ab_lane() -> None:
         )
 
     def bucketed(p):
-        # the shipped plan (dedup.py::_raw_verify)
-        return D._raw_verify(p)
+        # the shipped plan (dedup.py::_raw_verify), sized like the
+        # IMI branch sizes it
+        m = max(D.ANN_DEDUP_CELLS, n // D.ANN_DEDUP_TARGET_PER_CELL)
+        side = int(math.ceil(math.sqrt(m)))
+        return D._raw_verify(p, cells=side * side)
 
     out: list[dict] = []
     try:

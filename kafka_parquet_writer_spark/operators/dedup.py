@@ -975,9 +975,9 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "vec_id long, u array<float>, cell long",
         )
-        # per-cell verify with in-verifier normalization (see
-        # _raw_verify for why per-cell beat both multi-cell forms)
-        return _raw_verify(probes)
+        # bucketed verify sized to the IMI product-cell space (see
+        # _raw_verify for the A/B that chose this form)
+        return _raw_verify(probes, cells=side * side)
     cs = DEDUP_CENTROIDS if m <= ANN_DEDUP_BANK else _dedup_centroids(m)
     if ANN_TRAINED_ROUNDS:
         # opt-in Lloyd refinement (clustered corpora — see the flag's
@@ -1016,9 +1016,9 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             _make_assigner(cs[:m], normalize=True, raw_u=True),
             "vec_id long, u array<float>, cell int",
         )
-        # per-cell verify with in-verifier normalization — same
-        # pairs as the fixture plan (see _raw_verify)
-        return _raw_verify(probes)
+        # bucketed verify sized to the flat bank — same pairs as the
+        # fixture plan's per-cell applyInPandas (see _raw_verify)
+        return _raw_verify(probes, cells=m)
     probes = emb.mapInPandas(
         _make_assigner(cs[:m]), "vec_id long, u array<double>, cell int"
     )
@@ -1200,22 +1200,26 @@ def _verify_cell_blas(pdf):
     return _make_verifier()(pdf)
 
 
-#: cell-bucket count for the large-corpus verify: cells are grouped
-#: modulo this into applyInPandas groups of ~dozens of whole cells,
-#: so the per-group JVM cost (Arrow writer setup/flush + group
-#: plumbing) is paid 1024 times instead of once per cell (33k-66k+
-#: at the ceiling points), while each group stays small enough
-#: (~16-32k rows, ≤8 MB of float32) to keep worker temporaries
-#: bounded. 1024 gives ≥32 groups per task for balance.
-VERIFY_CELL_BUCKETS = 1024
+#: cells per verify bucket: the large-corpus verify groups cells
+#: modulo ceil(m / this) into applyInPandas groups of ~this many
+#: whole cells, so the per-group JVM cost (Arrow writer setup/flush
+#: + group plumbing) is paid once per bucket instead of once per
+#: cell (33k-66k+ at the ceiling points). A CELLS-PER-BUCKET policy,
+#: not a fixed bucket count: with cell population pinned at
+#: ANN_DEDUP_TARGET_PER_CELL, group size stays ~64·125·probe rows
+#: (≈8 MB of float32) at EVERY corpus size — a fixed 1024 buckets
+#: would grow groups as n/1024 and blow worker memory at billions
+#: of vectors. 64 reproduces the measured ceiling configuration
+#: (66k cells → 1032 buckets ≈ the 1024 the A/B and receipts ran).
+VERIFY_CELLS_PER_BUCKET = 64
 
 
 def _make_bucket_verifier(
     threshold: float = COSINE_DUP_THRESHOLD, normalize: bool = False
 ):
     """applyInPandas factory for the large-corpus verify: one GROUP =
-    one cell BUCKET (cell % VERIFY_CELL_BUCKETS) holding ~dozens of
-    whole cells. Sorts the bucket's rows by cell (numpy stable
+    one cell BUCKET (cell % ceil(m / VERIFY_CELLS_PER_BUCKET))
+    holding ~VERIFY_CELLS_PER_BUCKET whole cells. Sorts the bucket's rows by cell (numpy stable
     argsort — applyInPandas guarantees group completeness, not row
     order), then runs _make_verifier's exact per-cell math on each
     contiguous cell slice: same float64 normalize (with
@@ -1273,9 +1277,11 @@ def _make_bucket_verifier(
     return verify
 
 
-def _raw_verify(probes):
+def _raw_verify(probes, cells: int):
     """Plan wrapper for the large-corpus verify: bucketed
-    groupBy(cell % VERIFY_CELL_BUCKETS).applyInPandas. Chosen by a
+    groupBy(cell % ceil(cells / VERIFY_CELLS_PER_BUCKET))
+    .applyInPandas — `cells` is the operator's active cell count m,
+    so worker group size is corpus-size-invariant. Chosen by a
     SAME-BOX-STATE interleaved A/B at the 4.125M IMI point
     (`verify_ab_experiment` in BENCH_SCALE.json, two runs each,
     alternating): verify wall 32.3/23.0 s bucketed vs 87.3/54.1 s
@@ -1311,10 +1317,9 @@ def _raw_verify(probes):
     mitigation is the same one the clustered_skew lane measures:
     trained centroid banks (ANN_TRAINED_ROUNDS) that bound hot-cell
     population, not the verify's group shape."""
+    buckets = max(1, -(-cells // VERIFY_CELLS_PER_BUCKET))
     return (
-        probes.groupBy(
-            (F.col("cell") % VERIFY_CELL_BUCKETS).alias("bkt")
-        )
+        probes.groupBy((F.col("cell") % buckets).alias("bkt"))
         .applyInPandas(
             _make_bucket_verifier(normalize=True),
             "v1 long, v2 long, cos double",
