@@ -154,6 +154,18 @@ def _driver_evidence() -> dict[str, tuple[int, bool]]:
 #   text_bpe_iterative       ev r6, r7 empty-pair guard + unpersist
 #   dedup_embedding_ann      ev r6, r7 trained-bank hook (default-off)
 # (pack_sequences — ev r3, r4 change — rotates in naturally.)
+#
+# r8: the round-7 verdict's helper-closure audit found two keys whose
+# decorated bodies are unchanged but which execute helpers rewritten in
+# r7 (`_make_imi_assigner` dedup.py:1367, `_verify_cell_blas` :1193)
+# on r6 evidence; neither rotates into the r8 window naturally:
+#   dedup_embedding_ann_imi  ev r6, helpers rewritten r7
+#   similarity_ann_imi       ev r6, imports the same rewritten helpers
+# From r8 on this list is GENERATED, not hand-audited: see
+# tools/evidence_audit.py (static AST closure of each operator over
+# in-repo helpers, diffed against each round's changed line ranges) and
+# tests/test_evidence_audit.py which fails if this dict drifts from the
+# tool's output.
 _FORCE_RECHECK = {  # key -> round whose green is void
     "dedup_url": 4,
     "dedup_containment": 4,
@@ -163,6 +175,8 @@ _FORCE_RECHECK = {  # key -> round whose green is void
     "dedup_semantic": 6,
     "text_bpe_iterative": 6,
     "dedup_embedding_ann": 6,
+    "dedup_embedding_ann_imi": 6,
+    "similarity_ann_imi": 6,
 }
 
 
