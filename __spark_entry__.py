@@ -172,9 +172,9 @@ _FORCE_RECHECK = {  # key -> round whose green is void
     "text_line_dedup": 4,
     "stream_session_features": 5,
     "embedding_cluster_kmeans": 5,
-    "dedup_semantic": 6,
+    "dedup_semantic": 7,  # r8 zero-norm guard in _make_assigner (ADVICE)
     "text_bpe_iterative": 6,
-    "dedup_embedding_ann": 6,
+    "dedup_embedding_ann": 7,  # r8 zero-norm guard in _make_assigner
     "dedup_embedding_ann_imi": 6,
     "similarity_ann_imi": 6,
 }

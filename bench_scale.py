@@ -686,10 +686,13 @@ def imi_ceiling_lane() -> None:
     print(json.dumps({"imi_ceiling": out}))
 
 
-def _completed_stages(spark) -> dict[int, dict]:
+def _completed_stages(spark) -> dict[tuple[int, int], dict]:
     """Per-stage metrics from the session's own status REST API
-    (local UI, no event-log parsing): stageId -> {name, wall_sec,
-    cpu_sec, shuffle_read_mb, shuffle_write_mb, input_mb, tasks}."""
+    (local UI, no event-log parsing): (stageId, attemptId) ->
+    {name, wall_sec, cpu_sec, shuffle_read_mb, shuffle_write_mb,
+    input_mb, tasks}. Keyed by attempt too (r7 ADVICE): a retried
+    stage reports one record per attempt and keying by stageId alone
+    would overwrite the first attempt's task/cpu receipts."""
     import datetime as dt
     import urllib.request
 
@@ -711,7 +714,7 @@ def _completed_stages(spark) -> dict[int, dict]:
         if st.get("status") != "COMPLETE":
             continue
         sub, comp = ts(st.get("submissionTime")), ts(st.get("completionTime"))
-        out[st["stageId"]] = {
+        out[(st["stageId"], st.get("attemptId", 0))] = {
             "name": st.get("name", "")[:80],
             "wall_sec": round(comp - sub, 2) if sub and comp else None,
             # task-OCCUPANCY seconds (includes blocking on python
@@ -816,8 +819,8 @@ def imi_stage_receipts_lane() -> None:
                 D.ANN_DEDUP_MAX_LITERAL_CELLS = old
             after = _completed_stages(spark)
             stages = [
-                {"stageId": sid, **after[sid]}
-                for sid in sorted(set(after) - before)
+                {"stageId": sid, "attemptId": att, **after[(sid, att)]}
+                for sid, att in sorted(set(after) - before)
             ]
             out[str(n)] = {"total_sec": total, "stages": stages}
             print(f"imi n={n}: {total}s", file=sys.stderr)
@@ -948,19 +951,25 @@ def verify_ab_lane() -> None:
             total = round(time.time() - t0, 2)
             after = _completed_stages(spark)
             new = [
-                {"stageId": sid, **after[sid]}
-                for sid in sorted(set(after) - before)
+                {"stageId": sid, "attemptId": att, **after[(sid, att)]}
+                for sid, att in sorted(set(after) - before)
             ]
-            # the verify stage is the one that reads the probe shuffle
-            ver = max(new, key=lambda s: s["shuffle_read_mb"])
+            # the verify stage is the one that reads the probe shuffle;
+            # if the REST snapshot caught no new COMPLETE stage (r7
+            # ADVICE), record nulls instead of crashing the lane
+            ver = (
+                max(new, key=lambda s: s["shuffle_read_mb"])
+                if new
+                else None
+            )
             rec = {
                 "variant": label,
                 "total_sec": total,
                 "loadavg_before": float(load1),
-                "verify_wall_sec": ver["wall_sec"],
-                "verify_task_sec": ver["task_sec"],
-                "verify_jvm_cpu_sec": ver["jvm_cpu_sec"],
-                "verify_gc_sec": ver["gc_sec"],
+                "verify_wall_sec": ver["wall_sec"] if ver else None,
+                "verify_task_sec": ver["task_sec"] if ver else None,
+                "verify_jvm_cpu_sec": ver["jvm_cpu_sec"] if ver else None,
+                "verify_gc_sec": ver["gc_sec"] if ver else None,
             }
             out.append(rec)
             print(json.dumps(rec), file=sys.stderr)
@@ -1083,17 +1092,20 @@ def main() -> None:
         "zorder_skip": zorder,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
     }
-    # carry forward the opt-in imi_ceiling lane's numbers if present
-    # (it is run separately: `python bench_scale.py imi`)
+    # carry forward EVERY key the opt-in lanes wrote that main() does
+    # not itself produce (imi_ceiling, clustered_skew, the *_experiment
+    # receipts, ...). r7 ADVICE: an allowlist here silently deleted the
+    # experiment receipts that dedup.py docstrings and SURVEY.md cite
+    # as evidence whenever someone re-ran the default lane.
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json"
     )
     try:
         with open(path) as f:
             prev = json.load(f)
-        for lane in ("imi_ceiling", "clustered_skew", "imi_stage_receipts"):
-            if lane in prev:
-                result[lane] = prev[lane]
+        for lane, blob in prev.items():
+            if lane not in result:
+                result[lane] = blob
     except (OSError, ValueError):
         pass
     line = json.dumps(result)

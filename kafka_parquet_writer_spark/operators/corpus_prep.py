@@ -1138,8 +1138,10 @@ NOVELTY_N = 3  #: token n-gram size for the novelty profile
 # The gram body below (Spark transform lambda AND the DuckDB oracle)
 # spells out exactly three offsets; changing NOVELTY_N without
 # regenerating both would silently produce wrong grams while staying
-# engine-consistent. Fail loudly instead (r6 ADVICE).
-assert NOVELTY_N == 3, "regenerate the gram concat in BOTH engines first"
+# engine-consistent. Fail loudly instead (r6 ADVICE) — as a raise, not
+# an assert, so the guard survives `python -O` (r7 ADVICE).
+if NOVELTY_N != 3:
+    raise AssertionError("regenerate the gram concat in BOTH engines first")
 
 
 @query(

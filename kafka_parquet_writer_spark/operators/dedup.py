@@ -1084,7 +1084,12 @@ def _make_assigner(
             u = np.vstack(pdf["u"].to_numpy())
             if normalize:
                 u = u.astype(np.float64, copy=False)
-                u = u / np.linalg.norm(u, axis=1, keepdims=True)
+                nrm = np.linalg.norm(u, axis=1, keepdims=True)
+                if not np.all(nrm > 0.0):  # catches 0 and NaN norms
+                    raise ValueError(
+                        "zero/NaN-norm embedding: cosine undefined"
+                    )
+                u = u / nrm
                 if raw_u:
                     uo = pdf["u"].to_numpy()
                 else:
@@ -1173,7 +1178,10 @@ def _make_verifier(
         u = np.vstack(pdf["u"].to_numpy())
         if normalize:
             u = u.astype(np.float64, copy=False)
-            u = u / np.linalg.norm(u, axis=1, keepdims=True)
+            nrm = np.linalg.norm(u, axis=1, keepdims=True)
+            if not np.all(nrm > 0.0):  # catches 0 and NaN norms
+                raise ValueError("zero/NaN-norm embedding: cosine undefined")
+            u = u / nrm
         s = u @ u.T
         iu, ju = np.triu_indices(len(ids), k=1)
         cos = s[iu, ju]
@@ -1246,7 +1254,12 @@ def _make_bucket_verifier(
             u = np.vstack(u_all[s0:e0])
             if normalize:
                 u = u.astype(np.float64, copy=False)
-                u = u / np.linalg.norm(u, axis=1, keepdims=True)
+                nrm = np.linalg.norm(u, axis=1, keepdims=True)
+                if not np.all(nrm > 0.0):  # catches 0 and NaN norms
+                    raise ValueError(
+                        "zero/NaN-norm embedding: cosine undefined"
+                    )
+                u = u / nrm
             s = u @ u.T
             iu, ju = np.triu_indices(p, k=1)
             cos = s[iu, ju]
@@ -1405,7 +1418,12 @@ def _make_imi_assigner(
             u = np.vstack(pdf["u"].to_numpy())
             if normalize:
                 u = u.astype(np.float64, copy=False)
-                u = u / np.linalg.norm(u, axis=1, keepdims=True)
+                nrm = np.linalg.norm(u, axis=1, keepdims=True)
+                if not np.all(nrm > 0.0):  # catches 0 and NaN norms
+                    raise ValueError(
+                        "zero/NaN-norm embedding: cosine undefined"
+                    )
+                u = u / nrm
                 if raw_u:
                     uo = pdf["u"].to_numpy()
                 else:

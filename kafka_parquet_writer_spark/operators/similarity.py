@@ -362,7 +362,10 @@ def brute_force_topk_matrix(
 
     q_ids = np.array([q[0] for q in queries], dtype=np.int64)
     q_mat = np.array([q[1] for q in queries], dtype=np.float64)
-    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_nrm = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    if not np.all(q_nrm > 0.0):  # catches 0 and NaN norms
+        raise ValueError("zero/NaN-norm query embedding: cosine undefined")
+    q_mat = q_mat / q_nrm
 
     def score(batches):
         for pdf in batches:
