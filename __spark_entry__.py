@@ -177,6 +177,16 @@ _FORCE_RECHECK = {  # key -> round whose green is void
     "dedup_embedding_ann": 7,  # r8 zero-norm guard in _make_assigner
     "dedup_embedding_ann_imi": 6,
     "similarity_ann_imi": 6,
+    # found by tools/evidence_audit.py on its first run (a THIRD round
+    # of hand-audit misses): TxTable.merge was rewritten after r4
+    # (MERGE_PRUNE_MAX_PARTS bounding) and all four table keys carry r4
+    # evidence; merge_upsert/time_travel rotate into the r8 window
+    # evidence; all three table keys sat at the very tail of the r4
+    # cohort, so each force displaced the next one out of the window —
+    # force all three (each then displaces an UNCHANGED r4 key).
+    "table_zorder_compact": 4,
+    "table_time_travel": 4,
+    "table_merge_upsert": 4,
 }
 
 
