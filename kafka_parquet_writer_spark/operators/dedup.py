@@ -700,6 +700,16 @@ DEDUP_CENTROIDS = _dedup_centroids()
 #: full corpus with the frozen bank.
 ANN_TRAINED_ROUNDS = 0
 
+#: Fixed geometry of the DECLARED trained-bank key
+#: (dedup_embedding_ann_trained): small enough that the oracle can
+#: carry the expected trained bank as literals, large enough that the
+#: empty-cell SPLIT path actually executes on the sf0.01 fixture
+#: (128 cells over 500 vectors → 4 empty cells per round, measured —
+#: at 16 or 64 cells every cell stays populated and the split branch
+#: would ship without driver evidence).
+TRAINED_KEY_M = 128
+TRAINED_KEY_ROUNDS = 4
+
 
 def train_centroid_bank(
     emb: DataFrame,
@@ -707,6 +717,7 @@ def train_centroid_bank(
     rounds: int,
     dims: tuple[int, int] | None = None,
     norm: float = 1.0,
+    stats: dict | None = None,
 ) -> list[list[float]]:
     """Refine `bank` with `rounds` exact spherical-k-means Lloyd passes
     over `emb` (any frame with a unit-vector column ``u``): assign each
@@ -792,6 +803,13 @@ def train_centroid_bank(
             def reduce_cells(pdf):
                 import pandas as pd
 
+                # sort partials by their (unique, batch-disjoint) min-id
+                # example before summing: the float fold over per-batch
+                # partials is then order-DETERMINISTIC regardless of
+                # shuffle arrival order, so a trained bank is bit-stable
+                # across sessions (required by dedup_embedding_ann_trained,
+                # whose oracle pins the trained bank as literals)
+                pdf = pdf.sort_values("ex_id", kind="stable")
                 k = int(pdf["ex_id"].to_numpy().argmin())
                 return pd.DataFrame(
                     {
@@ -831,6 +849,7 @@ def train_centroid_bank(
                 )
                 if cnt >= 2
             ]
+            splits = 0
             for j, donor in zip(empty, donors):
                 ex = examples[donor]
                 nv = float(np.linalg.norm(ex))
@@ -840,6 +859,10 @@ def train_centroid_bank(
                 cn = float(np.linalg.norm(cand))
                 if cn > 1e-12:
                     new[j] = cand / cn * norm
+                    splits += 1
+            if stats is not None:
+                stats.setdefault("empty_per_round", []).append(len(empty))
+                stats.setdefault("splits_per_round", []).append(splits)
             cs = new
     finally:
         u_only.unpersist()
@@ -1551,6 +1574,136 @@ def dedup_embedding_ann_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes.groupBy("cell")
         .applyInPandas(_verify_cell_blas, "v1 long, v2 long, cos double")
         .distinct()
+    )
+
+
+def _ann_trained_oracle() -> str:
+    """Oracle for dedup_embedding_ann_trained: the EXPECTED trained bank
+    rides as literals (generated by tools/gen_trained_pins.py from the
+    same train_centroid_bank the key runs live), selected by an
+    order-free integer fingerprint of the embeddings table — count(*)
+    alone cannot distinguish the sf0.001 and sf0.01 fixtures (both 500
+    rows, different content). An unpinned fixture errors loudly
+    (the repo's literal-oracle rule) instead of hash-mismatching."""
+    from kafka_parquet_writer_spark.functions.vector import sql_lit_vector
+    from kafka_parquet_writer_spark.operators.ann_trained_pins import PINS
+
+    rows = ",\n        ".join(
+        f"({fp}, {j}, {sql_lit_vector(c)})"
+        for fp, bank in PINS.items()
+        for j, c in enumerate(bank)
+    )
+    if not rows:  # bootstrap state while gen_trained_pins.py runs
+        rows = "(0, -1, CAST([0.0] AS DOUBLE[]))"
+    return f"""
+    WITH fp AS (
+      SELECT sum((vec_id + 1) *
+                 (CAST(floor(abs(embedding[1]) * 10000) AS BIGINT) + 7))
+             AS f
+      FROM embeddings
+    ),
+    pins AS (
+      SELECT * FROM (VALUES
+        {rows}
+      ) t(f, cell, c)
+    ),
+    bank AS (SELECT p.cell AS cell, p.c AS c FROM pins p JOIN fp ON p.f = fp.f),
+    chk AS (
+      SELECT CASE WHEN count(*) = {TRAINED_KEY_M} THEN 1
+             ELSE CAST(error(
+               'dedup_embedding_ann_trained oracle has no pinned trained '
+               || 'bank for this fixture; run tools/gen_trained_pins.py')
+               AS INTEGER) END AS ok
+      FROM bank
+    ),
+    n AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    e AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n),
+    a AS (
+      SELECT e.vec_id,
+             (list_sort(list(struct_pack(
+                s := -list_dot_product(e.u, bank.c),
+                c := bank.cell)))[1]).c AS cell
+      FROM e CROSS JOIN bank
+      GROUP BY e.vec_id
+    ),
+    bc AS (
+      SELECT cell,
+             CAST(list_sum(list_transform(c,
+                x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT))) AS BIGINT)
+               AS c_sum
+      FROM bank
+    )
+    SELECT CAST(b.cell AS INTEGER) AS cell,
+           CAST(count(a.vec_id) AS BIGINT) AS n_vecs,
+           CAST(coalesce(sum(a.vec_id), 0) AS BIGINT) AS sum_vec,
+           b.c_sum AS c_sum
+    FROM bc b CROSS JOIN chk
+    LEFT JOIN a ON a.cell = b.cell
+    GROUP BY b.cell, b.c_sum
+    """
+
+
+@query("dedup_embedding_ann_trained", oracle=_ann_trained_oracle())
+def dedup_embedding_ann_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINED centroid bank under the driver's value-hash gate —
+    the r7 verdict's one load-bearing scale component with no DuckDB
+    evidence (the skew lane measured a 3.1× verify-wall win at recall
+    1.00 from trained banks, but every declared ANN key ran the seeded
+    geometry).
+
+    Runs ``train_centroid_bank`` LIVE at a fixed small geometry
+    (``TRAINED_KEY_M`` = 128 cells, ``TRAINED_KEY_ROUNDS`` = 4 Lloyd
+    passes — chosen so the empty-cell split path executes on the
+    fixture, see the constants' docstring), assigns every vector to its
+    trained cell (probe-1, the training assignment itself), and emits
+    one row per cell: population, Σ vec_id of members (both int64 —
+    order-free), and an int64 checksum of the trained centroid's
+    6-decimal coordinates. The oracle carries the EXPECTED bank as
+    literals (tools/gen_trained_pins.py runs the identical trainer
+    offline — deterministic per fixture: stable argmax, index-order
+    np.add.at within batches, ex_id-sorted partial reduction across
+    batches) and recomputes assignment + checksum in SQL; any drift in
+    the trainer's assign / mean-update / split math flips the hash.
+
+    Scale shape: training is the mergeable-sketch pattern (≤m partial
+    rows leave each Arrow batch, one ≤m-row collect per round — at
+    100 TB you train on a sample and freeze the bank); assignment is
+    one gemm per batch; the per-cell stats are a single hash
+    aggregation; the bank join is a 128-row broadcast.
+    """
+    import math as _math
+
+    emb = _unit_vectors(spark, sf_dir)
+    seed = _dedup_centroids(max(TRAINED_KEY_M, ANN_DEDUP_BANK))[
+        :TRAINED_KEY_M
+    ]
+    bank = train_centroid_bank(emb, seed, TRAINED_KEY_ROUNDS)
+    probes = emb.mapInPandas(
+        _make_assigner(bank, probe=1),
+        "vec_id long, u array<double>, cell int",
+    )
+    stats = probes.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("vec_id").alias("sum_vec"),
+    )
+    bdf = spark.createDataFrame(
+        [
+            (j, sum(int(_math.floor(x * 1e6 + 0.5)) for x in row))
+            for j, row in enumerate(bank)
+        ],
+        "cell int, c_sum long",
+    )
+    return bdf.join(stats, "cell", "left").select(
+        "cell",
+        F.coalesce("n_vecs", F.lit(0)).cast("long").alias("n_vecs"),
+        F.coalesce("sum_vec", F.lit(0)).cast("long").alias("sum_vec"),
+        "c_sum",
     )
 
 
