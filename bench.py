@@ -120,6 +120,8 @@ HEADLINE = [
     "basket_count_band",
     "text_ngram_novelty",
     "agg_decayed_value",
+    # round 8
+    "dedup_embedding_ann_trained",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming

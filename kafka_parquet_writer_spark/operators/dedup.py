@@ -768,6 +768,12 @@ def train_centroid_bank(
     if hi - lo != width:
         raise ValueError(f"bank width {width} != dims slice {hi - lo}")
     u_only = emb.select("vec_id", "u").cache()
+    # ≤ partitions·m partial rows leave the map side per round; when that
+    # bound is small (each row ~1 KB ⇒ ≤64 MB here) fold on the driver
+    # and skip the shuffle+applyInPandas stage — at trainer scale-out
+    # geometry (thousands of tasks × 64k cells) the distributed
+    # merge-reduce below is the correct path and stays the default
+    direct_reduce = u_only.rdd.getNumPartitions() * m <= 65536
     try:
         for _ in range(max(0, rounds)):
             c = cs.copy()
@@ -825,12 +831,40 @@ def train_centroid_bank(
                 "cell long, cnt long, s array<double>, "
                 "ex_id long, ex array<double>"
             )
-            rows = (
-                u_only.mapInPandas(partials, schema)
-                .groupBy("cell")
-                .applyInPandas(reduce_cells, schema)
-                .collect()
-            )
+            if direct_reduce:
+                # bounded geometry: collect the ≤ partitions·m partial
+                # rows directly and fold on the driver — one single-stage
+                # job per round instead of map + shuffle + applyInPandas
+                # (≈0.5 s/round of fixed cost at fixture scale). The fold
+                # is BIT-IDENTICAL to reduce_cells: per cell, partials
+                # sorted by their batch-unique ex_id, then the same
+                # vstack pairwise sum — so pinned trained banks are
+                # unaffected by which path ran.
+                praw = u_only.mapInPandas(partials, schema).collect()
+                by_cell: dict[int, list] = {}
+                for r in praw:
+                    by_cell.setdefault(int(r["cell"]), []).append(r)
+                rows = []
+                for cell, rs in by_cell.items():
+                    rs.sort(key=lambda r: int(r["ex_id"]))
+                    k = min(range(len(rs)), key=lambda i: int(rs[i]["ex_id"]))
+                    rows.append(
+                        {
+                            "cell": cell,
+                            "cnt": sum(int(r["cnt"]) for r in rs),
+                            "s": np.vstack(
+                                [np.asarray(r["s"]) for r in rs]
+                            ).sum(axis=0),
+                            "ex": np.asarray(rs[k]["ex"]),
+                        }
+                    )
+            else:
+                rows = (
+                    u_only.mapInPandas(partials, schema)
+                    .groupBy("cell")
+                    .applyInPandas(reduce_cells, schema)
+                    .collect()
+                )
             new = cs.copy()
             seen: dict[int, int] = {}
             examples: dict[int, np.ndarray] = {}
