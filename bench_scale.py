@@ -994,6 +994,25 @@ def verify_ab_lane() -> None:
     print(json.dumps({"verify_ab_experiment": {str(n): out}}))
 
 
+def _carry_forward(result: dict, path: str) -> None:
+    """Merge EVERY key of the existing BENCH_SCALE.json that ``result``
+    does not itself produce (imi_ceiling, clustered_skew, the
+    *_experiment receipts, jaccard_repin, ...). r7 ADVICE: the previous
+    three-lane allowlist silently deleted the experiment receipts that
+    dedup.py docstrings and SURVEY.md cite as evidence whenever someone
+    re-ran the default ladder."""
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        return
+    if not isinstance(prev, dict):
+        return
+    for lane, blob in prev.items():
+        if lane not in result:
+            result[lane] = blob
+
+
 def main() -> None:
     from kafka_parquet_writer_spark import get_spark
     from kafka_parquet_writer_spark.registry import (
@@ -1092,22 +1111,10 @@ def main() -> None:
         "zorder_skip": zorder,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
     }
-    # carry forward EVERY key the opt-in lanes wrote that main() does
-    # not itself produce (imi_ceiling, clustered_skew, the *_experiment
-    # receipts, ...). r7 ADVICE: an allowlist here silently deleted the
-    # experiment receipts that dedup.py docstrings and SURVEY.md cite
-    # as evidence whenever someone re-ran the default lane.
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json"
     )
-    try:
-        with open(path) as f:
-            prev = json.load(f)
-        for lane, blob in prev.items():
-            if lane not in result:
-                result[lane] = blob
-    except (OSError, ValueError):
-        pass
+    _carry_forward(result, path)
     line = json.dumps(result)
     print(line)
     with open(path, "w") as f:

@@ -102,3 +102,33 @@ def test_zero_norm_embedding_raises_loudly():
     )
     with pytest.raises(ValueError, match="zero/NaN-norm"):
         list(assign([pdf]))
+
+
+def test_bench_scale_carry_forward_preserves_lane_receipts(tmp_path):
+    """r7 ADVICE (medium): re-running the default ladder must never
+    delete opt-in lane receipts (experiment keys, imi_ceiling, ...)."""
+    import json
+
+    from bench_scale import _carry_forward
+
+    path = tmp_path / "BENCH_SCALE.json"
+    prev = {
+        "metric": "scale_exponents",
+        "timings": {"old": 1},
+        "imi_ceiling": {"a": 1},
+        "verify_ab_experiment": {"runs": []},
+        "probe_rejoin_experiment": {"r": 1},
+        "jaccard_repin": {"min_sec": 3.97},
+    }
+    path.write_text(json.dumps(prev))
+    result = {"metric": "scale_exponents", "timings": {"new": 2}}
+    _carry_forward(result, str(path))
+    # main()'s own keys win; everything else survives verbatim
+    assert result["timings"] == {"new": 2}
+    for k in (
+        "imi_ceiling",
+        "verify_ab_experiment",
+        "probe_rejoin_experiment",
+        "jaccard_repin",
+    ):
+        assert result[k] == prev[k]
