@@ -132,3 +132,32 @@ def test_bench_scale_carry_forward_preserves_lane_receipts(tmp_path):
         "jaccard_repin",
     ):
         assert result[k] == prev[k]
+
+
+def test_trained_bank_pin_is_layout_invariant(spark):
+    """The pinned bank must survive a different partition/batch layout —
+    the one environmental variable another session (the driver's) could
+    plausibly change. Different partition boundaries regroup the
+    per-batch np.add.at partials, changing the float-sum ASSOCIATION;
+    the 6-decimal bank rounding must absorb those ~1e-15 deltas (margin
+    to the nearest rounding boundary is ~5e-7). Probed across 1/2/8/32
+    partitions and a 64-row Arrow batch clamp at build time — pinned
+    here at the two layouts most unlike the default."""
+    import tools.gen_trained_pins as G
+
+    fp = G.fingerprint(SF_ORACLE)
+    seed = D._dedup_centroids(max(D.TRAINED_KEY_M, D.ANN_DEDUP_BANK))[
+        : D.TRAINED_KEY_M
+    ]
+    emb8 = D._unit_vectors(spark, SF_ORACLE).repartition(8, "vec_id")
+    assert D.train_centroid_bank(emb8, seed, D.TRAINED_KEY_ROUNDS) == PINS[fp]
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", 64)
+    try:
+        emb = D._unit_vectors(spark, SF_ORACLE)
+        assert (
+            D.train_centroid_bank(emb, seed, D.TRAINED_KEY_ROUNDS)
+            == PINS[fp]
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
