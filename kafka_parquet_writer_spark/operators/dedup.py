@@ -1733,7 +1733,10 @@ def dedup_embedding_ann_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "cell int, c_sum long",
     )
-    return bdf.join(stats, "cell", "left").select(
+    # stats is ≤m rows post-aggregation: broadcast it explicitly so the
+    # plan never sort-merge-shuffles the 128-row dimension (left-outer
+    # keeps bdf, the preserved side, un-broadcast)
+    return bdf.join(F.broadcast(stats), "cell", "left").select(
         "cell",
         F.coalesce("n_vecs", F.lit(0)).cast("long").alias("n_vecs"),
         F.coalesce("sum_vec", F.lit(0)).cast("long").alias("sum_vec"),

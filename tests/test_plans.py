@@ -503,3 +503,17 @@ def test_mmr_rerank_rounds_materialize_and_shortlist_is_topk(spark, sf_dir):
     splan = formatted_plan(shortlist)
     assert "TakeOrderedAndProject" in splan
     assert "CartesianProduct" not in splan
+
+
+def test_trained_key_broadcasts_stats_join(spark, sf_dir):
+    """dedup_embedding_ann_trained's final bank⋈stats join is 128 rows
+    on each side — it must plan as a broadcast hash join (never a
+    sort-merge shuffle of a 128-row dimension), and the assignment must
+    stay a mapInPandas closure with no residual join against the
+    corpus."""
+    plan = formatted_plan(
+        E.queries()["dedup_embedding_ann_trained"](spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
