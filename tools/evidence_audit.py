@@ -236,12 +236,16 @@ def _referenced(node: ast.AST) -> tuple[set[str], set[tuple[str, str]], set[str]
     return names, attrs, qkeys
 
 
-def closure_of(fn) -> dict[str, set[tuple[int, int]]]:
+def closure_of(fn, _stack: frozenset = frozenset()) -> dict[str, set[tuple[int, int]]]:
     """file -> set of (start, end) line intervals the operator's
-    behavior transitively depends on, in the current working tree."""
+    behavior transitively depends on, in the current working tree.
+
+    ``_stack`` guards QUERIES["k"] composition against (hypothetical)
+    mutual references — without it two keys referencing each other
+    would recurse forever, since each closure_of call starts fresh."""
     intervals: dict[str, set[tuple[int, int]]] = {}
     seen: set[tuple[str, str]] = set()  # (modname, symbol)
-    seen_keys: set[str] = set()
+    seen_keys: set[str] = set(_stack)
 
     def add(path: str, span: tuple[int, int]) -> None:
         rel = os.path.relpath(path, REPO)
@@ -320,7 +324,8 @@ def closure_of(fn) -> dict[str, set[tuple[int, int]]]:
 
         sub = QUERIES.get(key)
         if sub is not None:
-            for rel, spans in closure_of(sub).items():
+            child = closure_of(sub, _stack=frozenset(seen_keys))
+            for rel, spans in child.items():
                 intervals.setdefault(rel, set()).update(spans)
 
     modname = fn.__module__
