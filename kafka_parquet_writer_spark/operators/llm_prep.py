@@ -630,3 +630,129 @@ def mixture_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("avg_lift_milli").desc(), "doc_id")
         .limit(DSIR_TOPK)
     )
+
+
+# --- mixture_dsir_bigram ------------------------------------------------------
+
+
+def _dsir_bigram_oracle() -> str:
+    words = TH.sql_words("text")
+    tid = TH.sql_portable_tid("tok")
+    return f"""
+    WITH w AS (
+      SELECT doc_id, {words} AS ws,
+             doc_id % {DECON_BENCH_MOD} = 0 AS is_t
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, is_t, {tid} % {DSIR_BUCKETS} AS b
+      FROM (
+        SELECT doc_id, is_t, ws[g.i] || ' ' || ws[g.i + 1] AS tok
+        FROM w, range(1, 1000000) AS g(i)
+        WHERE g.i + 1 <= len(ws)
+      )
+    ),
+    cnt AS (
+      SELECT b,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tb,
+             sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS rb
+      FROM tok GROUP BY b
+    ),
+    tot AS (SELECT sum(tb) AS tt, sum(rb) AS rt FROM cnt),
+    lift AS (
+      SELECT b,
+             (tb + 1) * (rt + {DSIR_BUCKETS}) * 1000
+               // ((rb + 1) * (tt + {DSIR_BUCKETS})) AS lm
+      FROM cnt CROSS JOIN tot
+    ),
+    doc AS (
+      SELECT t.doc_id, count(*) AS n_big, sum(lm) AS s
+      FROM tok t JOIN lift USING (b) WHERE NOT is_t GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_big AS BIGINT) AS n_big,
+           CAST(s // n_big AS BIGINT) AS avg_lift_milli
+    FROM doc ORDER BY avg_lift_milli DESC, doc_id LIMIT {DSIR_TOPK}
+    """
+
+
+@query("mixture_dsir_bigram", oracle=_dsir_bigram_oracle())
+def mixture_dsir_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR in the paper's actual feature space: Xie et al. 2023 use
+    HASHED BIGRAMS (n = 2), not unigrams — bigram buckets capture
+    collocational structure ("supreme court" vs the two words apart)
+    that unigram ratios miss, which is what makes the importance model
+    domain-discriminative. Identical engine-exact integer milli-ratio
+    scoring and plan shape as `mixture_dsir_weights` (the unigram
+    baseline kept for comparison); only the feature stream differs:
+    each doc contributes its n−1 consecutive word pairs, hashed into
+    the same {DSIR_BUCKETS}-bucket space.
+
+    The `n >= 2` guard is load-bearing: Spark's `sequence(1, n-1)`
+    DESCENDS for n < 2 ([1, 0]), which would fabricate a null-concat
+    gram; short docs contribute no bigrams and drop out of scoring on
+    both engines.
+
+    Scale shape (same as unigram DSIR): one explode → one constant-size
+    ({DSIR_BUCKETS}-key) count shuffle with map-side combine, model
+    broadcast back onto the cached bigram stream, one per-doc sum
+    shuffle, TakeOrderedAndProject top-{DSIR_TOPK}. Bigrams double
+    neither shuffle: the model is still {DSIR_BUCKETS} rows and the
+    stream carries one int64 bucket per bigram.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = TH.words_expr("text")
+    w = docs.select(
+        "doc_id",
+        (F.col("doc_id") % DECON_BENCH_MOD == 0).alias("is_t"),
+        ws.alias("ws"),
+        F.size(ws).alias("n"),
+    )
+    tok = (
+        w.select(
+            "doc_id",
+            "is_t",
+            F.explode(
+                F.when(
+                    F.col("n") >= 2,
+                    F.expr(
+                        "transform(sequence(1, n - 1),"
+                        " i -> ws[i - 1] || ' ' || ws[i])"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("tok"),
+        )
+        .select(
+            "doc_id",
+            "is_t",
+            (TH.portable_tid(F.col("tok")) % DSIR_BUCKETS).alias("b"),
+        )
+        .cache()
+    )
+    cnt = tok.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("tb"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("rb"),
+    )
+    tot = cnt.agg(F.sum("tb").alias("tt"), F.sum("rb").alias("rt"))
+    lift = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.expr(
+            f"(tb + 1) * (rt + {DSIR_BUCKETS}) * 1000"
+            f" div ((rb + 1) * (tt + {DSIR_BUCKETS}))"
+        ).alias("lm"),
+    )
+    doc = (
+        tok.filter(~F.col("is_t"))
+        .join(F.broadcast(lift), "b")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_big"), F.sum("lm").alias("s"))
+    )
+    return (
+        doc.select(
+            "doc_id",
+            F.col("n_big").cast("long").alias("n_big"),
+            F.expr("s div n_big").cast("long").alias("avg_lift_milli"),
+        )
+        .orderBy(F.col("avg_lift_milli").desc(), "doc_id")
+        .limit(DSIR_TOPK)
+    )
