@@ -122,6 +122,7 @@ HEADLINE = [
     "agg_decayed_value",
     # round 8
     "dedup_embedding_ann_trained",
+    "mixture_dsir_bigram",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming
