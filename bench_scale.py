@@ -994,13 +994,37 @@ def verify_ab_lane() -> None:
     print(json.dumps({"verify_ab_experiment": {str(n): out}}))
 
 
+# Every lane name this file can itself write (opt-in sub-commands
+# included). _carry_forward preserves unknown lanes too — deleting
+# receipts is worse than keeping a renamed one — but stamps them and
+# warns, so a renamed/obsolete lane's receipt cannot silently read as
+# current evidence forever (r8 ADVICE).
+KNOWN_LANES = frozenset({
+    "metric", "exponents", "streaming_affine", "timings",
+    "ks_linear", "ks_ann", "ks_quadratic", "linear_short_keys",
+    "streaming_keys", "ks_stream", "zorder_skip", "sf",
+    "imi_ceiling", "clustered_skew", "imi_stage_receipts",
+    "imi_stage_receipts_percell", "probe_rejoin_experiment",
+    "batch_size_experiment", "bucket_verify_experiment",
+    "stream_verify_experiment", "verify_ab_experiment",
+    "jaccard_repin",
+})
+
+
 def _carry_forward(result: dict, path: str) -> None:
     """Merge EVERY key of the existing BENCH_SCALE.json that ``result``
     does not itself produce (imi_ceiling, clustered_skew, the
     *_experiment receipts, jaccard_repin, ...). r7 ADVICE: the previous
     three-lane allowlist silently deleted the experiment receipts that
     dedup.py docstrings and SURVEY.md cite as evidence whenever someone
-    re-ran the default ladder."""
+    re-ran the default ladder.
+
+    r8 ADVICE follow-up: each carried lane gets a ``carried_receipts``
+    provenance entry recording the ``sf`` the PREVIOUS file was written
+    at (preserved from the lane's FIRST carry, i.e. closest to its
+    measurement) and whether the lane name is still in ``KNOWN_LANES``;
+    unknown lanes additionally warn on stderr so a rename shows up the
+    next time the ladder runs instead of never."""
     try:
         with open(path) as f:
             prev = json.load(f)
@@ -1008,9 +1032,26 @@ def _carry_forward(result: dict, path: str) -> None:
         return
     if not isinstance(prev, dict):
         return
+    prev_meta = prev.get("carried_receipts")
+    if not isinstance(prev_meta, dict):
+        prev_meta = {}
+    meta: dict[str, dict] = {}
     for lane, blob in prev.items():
-        if lane not in result:
-            result[lane] = blob
+        if lane == "carried_receipts" or lane in result:
+            continue
+        result[lane] = blob
+        entry = dict(prev_meta.get(lane) or {"sf": prev.get("sf")})
+        entry["known"] = lane in KNOWN_LANES
+        if lane not in KNOWN_LANES:
+            print(
+                f"bench_scale: carrying forward UNKNOWN lane {lane!r} "
+                "(renamed or obsolete? its receipt may predate the "
+                "file's current sf) — see KNOWN_LANES",
+                file=sys.stderr,
+            )
+        meta[lane] = entry
+    if meta:
+        result["carried_receipts"] = meta
 
 
 def main() -> None:

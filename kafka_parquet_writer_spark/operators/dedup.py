@@ -900,6 +900,16 @@ def train_centroid_bank(
             cs = new
     finally:
         u_only.unpersist()
+    if stats is not None:
+        # Distance of every RAW coordinate from its nearest 6-decimal
+        # rounding boundary, in 1e-6 units (boundaries sit at fractional
+        # part 0.5 of x·1e6). The bank pin's layout invariance rests on
+        # this margin absorbing BLAS-reassociation deltas (~1e-9 in
+        # these units); tools/gen_trained_pins.py asserts it stays
+        # orders of magnitude above that so regeneration fails loudly
+        # when a coordinate drifts onto a boundary (r8 ADVICE).
+        fr = np.abs(np.mod(np.abs(cs) * 1e6, 1.0) - 0.5)
+        stats["min_boundary_margin_1e6"] = float(fr.min())
     return [[round(float(x), 6) for x in row] for row in cs]
 
 
@@ -1642,14 +1652,6 @@ def _ann_trained_oracle() -> str:
       ) t(f, cell, c)
     ),
     bank AS (SELECT p.cell AS cell, p.c AS c FROM pins p JOIN fp ON p.f = fp.f),
-    chk AS (
-      SELECT CASE WHEN count(*) = {TRAINED_KEY_M} THEN 1
-             ELSE CAST(error(
-               'dedup_embedding_ann_trained oracle has no pinned trained '
-               || 'bank for this fixture; run tools/gen_trained_pins.py')
-               AS INTEGER) END AS ok
-      FROM bank
-    ),
     n AS (
       SELECT vec_id,
              CAST(embedding AS DOUBLE[]) AS v,
@@ -1677,9 +1679,26 @@ def _ann_trained_oracle() -> str:
            CAST(count(a.vec_id) AS BIGINT) AS n_vecs,
            CAST(coalesce(sum(a.vec_id), 0) AS BIGINT) AS sum_vec,
            b.c_sum AS c_sum
-    FROM bc b CROSS JOIN chk
+    FROM bc b
     LEFT JOIN a ON a.cell = b.cell
     GROUP BY b.cell, b.c_sum
+    -- Unpinned-fixture guard (round-8 ADVICE): the previous form parked
+    -- error() inside a chk.ok column no downstream expression consumed,
+    -- so DuckDB's projection pruning removed it and an unpinned fixture
+    -- silently returned 0 rows. This branch is load-bearing by
+    -- construction: fp always has exactly one row, the WHERE's scalar
+    -- subquery is evaluated for it, and only when the pin is absent does
+    -- the row survive into the projection and fire error() loudly.
+    UNION ALL
+    SELECT CAST(error(
+             'dedup_embedding_ann_trained oracle has no pinned trained '
+             || 'bank for this fixture; run tools/gen_trained_pins.py')
+             AS INTEGER) AS cell,
+           CAST(NULL AS BIGINT) AS n_vecs,
+           CAST(NULL AS BIGINT) AS sum_vec,
+           CAST(NULL AS BIGINT) AS c_sum
+    FROM fp
+    WHERE (SELECT count(*) FROM bank) <> {TRAINED_KEY_M}
     """
 
 

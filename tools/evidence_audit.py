@@ -98,11 +98,30 @@ def changed_intervals(commit: str) -> dict[str, list[tuple[int, int]]]:
         text=True,
         check=True,
     ).stdout
+    return _parse_intervals(out)
+
+
+def _parse_intervals(out: str) -> dict[str, list[tuple[int, int]]]:
     ranges: dict[str, list[tuple[int, int]]] = {}
     cur: str | None = None
+    old: str | None = None
     for line in out.splitlines():
-        if line.startswith("+++ b/"):
+        if line.startswith("--- a/"):
+            old = line[6:]
+        elif line.startswith("--- "):
+            old = None
+        elif line.startswith("+++ b/"):
             cur = line[6:]
+        elif line.startswith("+++ "):
+            # whole-file deletion: '+++ /dev/null'. Without this branch
+            # `cur` kept pointing at the PREVIOUS file and the deletion's
+            # degenerate hunks were attributed to it (round-8 ADVICE).
+            # Attribute the hunks to the OLD-side path instead, so a key
+            # whose closure cited a now-deleted helper module still flags
+            # stale (the closure walker resolves paths from the CURRENT
+            # tree, so a deleted file simply never matches — but a rename
+            # detected as delete+add keeps the new side via '+++ b/').
+            cur = old
         elif line.startswith("@@") and cur is not None:
             m = re.match(r"@@ -\d+(?:,\d+)? \+(\d+)(?:,(\d+))? @@", line)
             if not m:
