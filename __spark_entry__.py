@@ -167,26 +167,27 @@ def _driver_evidence() -> dict[str, tuple[int, bool]]:
 # tests/test_evidence_audit.py which fails if this dict drifts from the
 # tool's output.
 _FORCE_RECHECK = {  # key -> round whose green is void
-    "dedup_url": 4,
-    "dedup_containment": 4,
-    "text_line_dedup": 4,
-    "stream_session_features": 5,
-    "embedding_cluster_kmeans": 5,
-    "dedup_semantic": 7,  # r8 zero-norm guard in _make_assigner (ADVICE)
-    "text_bpe_iterative": 6,
-    "dedup_embedding_ann": 7,  # r8 zero-norm guard in _make_assigner
-    "dedup_embedding_ann_imi": 6,
-    "similarity_ann_imi": 6,
-    # found by tools/evidence_audit.py on its first run (a THIRD round
-    # of hand-audit misses): TxTable.merge was rewritten after r4
-    # (MERGE_PRUNE_MAX_PARTS bounding) and all four table keys carry r4
-    # evidence; merge_upsert/time_travel rotate into the r8 window
-    # evidence; all three table keys sat at the very tail of the r4
-    # cohort, so each force displaced the next one out of the window —
-    # force all three (each then displaces an UNCHANGED r4 key).
-    "table_zorder_compact": 4,
-    "table_time_travel": 4,
-    "table_merge_upsert": 4,
+    # Maintained mechanically: tools/evidence_audit.py computes each
+    # key's helper-closure staleness vs its evidence-round commit, and
+    # tests/test_evidence_audit.py fails the suite when a stale key is
+    # neither listed here nor inside the next 50-key window. All r8
+    # entries (the two IMI keys, the three TxTable keys, the zero-norm
+    # guard forces) expired when CORRECTNESS_r08 re-greened them.
+    #
+    # r9: the trained key's ORACLE changed (the unpinned-fixture guard
+    # became load-bearing via a UNION ALL sentinel branch — r8 ADVICE
+    # medium item), voiding its r8 green. Forcing it displaces the
+    # window tail (an r5-evidence key), per the drain arithmetic.
+    "dedup_embedding_ann_trained": 8,
+    # r9: the BPE merge loop was extracted into the shared _bpe_train
+    # helper (now also feeding the new text_bpe_vocab/text_bpe_encode
+    # keys), which rewrites text_bpe_iterative's closure on r7 evidence.
+    "text_bpe_iterative": 7,
+    # r9: train_centroid_bank gained the boundary-margin stats block
+    # (r8 ADVICE low item); dedup_embedding_ann's closure reaches the
+    # trainer through its ANN_TRAINED_ROUNDS path, so its r8 green is
+    # void too (flagged mechanically by tools/evidence_audit.py).
+    "dedup_embedding_ann": 8,
 }
 
 

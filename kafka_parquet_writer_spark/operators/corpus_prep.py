@@ -993,17 +993,20 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_ROUNDS = 3  #: merge rounds executed by the iterative trainer
 
 
-def _bpe_iter_oracle() -> str:
-    """Unrolled-CTE oracle walking identical merge rounds (the k-means
-    unrolled-iteration pattern): per round, mine adjacent pairs, take
-    the (n_ab DESC, a, b) top-1, apply it with DuckDB's replace() on a
-    ';'-delimited token string — leftmost non-overlapping sequential
-    replacement, the same greedy semantics as Spark's replace() — and
-    re-split. Same 1M-positions-per-doc generator bound as the
-    text_bpe_merge_candidates oracle."""
+def _bpe_cte_chain(rounds: int) -> list[str]:
+    """The shared unrolled-CTE merge chain (the k-means
+    unrolled-iteration pattern): per round r, mine adjacent pairs
+    (p{{r}}), take the (n_ab DESC, a, b) top-1 (m{{r}}), apply it with
+    DuckDB's replace() on a ';'-delimited token string — leftmost
+    non-overlapping sequential replacement, the same greedy semantics
+    as Spark's replace() — and re-split (w{{r+1}}). Same
+    1M-positions-per-doc generator bound as the
+    text_bpe_merge_candidates oracle. Unused tail CTEs are pruned by
+    DuckDB, so the trace oracle composing only m0..m{{rounds-1}} and
+    the vocab/encode oracles composing w{{rounds}} share one builder."""
     words = TH.sql_words("text")
     ctes = [f"w0 AS (SELECT doc_id, {words} AS ws FROM documents)"]
-    for r in range(BPE_ROUNDS):
+    for r in range(rounds):
         ctes.append(f"""p{r} AS (
       SELECT ws[g.i] AS a, ws[g.i + 1] AS b
       FROM w{r}, range(1, 1000000) AS g(i)
@@ -1031,6 +1034,11 @@ def _bpe_iter_oracle() -> str:
              END AS ws
       FROM w{r}
     )""")
+    return ctes
+
+
+def _bpe_iter_oracle() -> str:
+    ctes = _bpe_cte_chain(BPE_ROUNDS)
     unions = "\n    UNION ALL ".join(
         f"SELECT CAST({r + 1} AS INTEGER) AS rnd, a, b, n_ab FROM m{r}"
         for r in range(BPE_ROUNDS)
@@ -1066,11 +1074,44 @@ def text_bpe_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     which point the superseded round's cache is dropped — cached
     footprint is one corpus copy regardless of BPE_ROUNDS.
     """
+    _final, trace = _bpe_train(spark, sf_dir, BPE_ROUNDS)
+    _final.unpersist()
+    return spark.createDataFrame(
+        trace, "rnd int, a string, b string, n_ab long"
+    )
+
+
+def _bpe_train(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int,
+    apply_last: bool = False,
+) -> tuple[DataFrame, list]:
+    """The shared greedy BPE merge loop (Spark twin of the oracle's
+    _bpe_cte_chain): per round, mine adjacent-pair frequencies over the
+    cached current sequences, take the (n_ab DESC, a, b) top-1 (a
+    bounded 1-row collect), and rewrite corpus-wide via the
+    ';'-sentinel replace() trick. Returns (final, trace) where `final`
+    is the CACHED sequence frame after the loop — the caller owns its
+    unpersist — and trace is [(rnd, a, b, n_ab)].
+
+    ``apply_last`` controls whether the LAST round's winning merge is
+    applied to the corpus: the trace key (text_bpe_iterative) only
+    reports the pair, so applying it would be a wasted full-corpus
+    rewrite, while the vocabulary/encode keys consume the merged
+    sequences themselves and need every traced merge applied. Cache
+    hygiene (r6 lesson, unchanged): each round's top-1 action
+    materializes the current cache, at which point the superseded
+    round's cache is dropped — footprint is one corpus copy regardless
+    of `rounds`. The final frame is returned UNMATERIALIZED beyond the
+    last top-1 scan; its merge literals ride in the plan, so consumers
+    may unpersist it and still recompute by lineage without re-mining.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    cur = docs.select(TH.words_expr("text").alias("ws")).cache()
+    cur = docs.select("doc_id", TH.words_expr("text").alias("ws")).cache()
     prev = None
-    trace = []
-    for rnd in range(1, BPE_ROUNDS + 1):
+    trace: list = []
+    for rnd in range(1, rounds + 1):
         pairs = cur.select(
             F.explode(
                 F.expr(
@@ -1095,11 +1136,12 @@ def text_bpe_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
             break  # no adjacent pairs anywhere (every doc < 2 tokens)
         top = top_rows[0]
         trace.append((rnd, top["a"], top["b"], int(top["n_ab"])))
-        if rnd == BPE_ROUNDS:
+        if rnd == rounds and not apply_last:
             break
         pat = F.lit(";" + top["a"] + ";;" + top["b"] + ";")
         rep = F.lit(";" + top["a"] + " " + top["b"] + ";")
         nxt = cur.select(
+            "doc_id",
             F.when(
                 F.size("ws") == 0, F.array().cast("array<string>")
             )
@@ -1120,16 +1162,144 @@ def text_bpe_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ";;",
                 )
             )
-            .alias("ws")
+            .alias("ws"),
         ).cache()
         prev = cur
         cur = nxt
     if prev is not None:
         prev.unpersist()
-    cur.unpersist()
-    return spark.createDataFrame(
-        trace, "rnd int, a string, b string, n_ab long"
+    return cur, trace
+
+
+# --- text_bpe_vocab / text_bpe_encode ----------------------------------------
+
+BPE_VOCAB_TOPK = 50  #: vocabulary rows reported by text_bpe_vocab
+
+
+def _bpe_vocab_oracle() -> str:
+    """Composes the shared merge chain and reads the FINAL sequences:
+    the carried vocabulary after every traced merge has been applied,
+    each symbol with its width in base tokens (merged symbols are
+    space-joined, so width = len(str_split(tok, ' ')))."""
+    ctes = _bpe_cte_chain(BPE_ROUNDS)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    v AS (SELECT unnest(ws) AS tok FROM w{BPE_ROUNDS})
+    SELECT tok,
+           CAST(len(str_split(tok, ' ')) AS INTEGER) AS width,
+           CAST(count(*) AS BIGINT) AS n
+    FROM v GROUP BY tok
+    ORDER BY n DESC, tok LIMIT {BPE_VOCAB_TOPK}"""
     )
+
+
+@query("text_bpe_vocab", oracle=_bpe_vocab_oracle())
+def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VOCABULARY carried across merge rounds — the other artifact
+    a tokenizer build persists alongside text_bpe_iterative's merge
+    trace. Runs the same {BPE_ROUNDS} greedy merges (shared _bpe_train
+    loop, last merge APPLIED this time — the trace key skips that
+    rewrite) and emits the top-{BPE_VOCAB_TOPK} symbols of the merged
+    corpus by frequency, with each symbol's width in base tokens:
+    width > 1 rows ARE the carry-over, merged symbols participating in
+    the final vocabulary with their post-merge corpus counts (and, at
+    higher round counts, in later merges — a round-2 winner can contain
+    a round-1 symbol).
+
+    Scale shape: the loop's per-round cost is unchanged (one explode →
+    one map-side-combined pair-count shuffle → a 1-row top-1 collect →
+    a per-row codegen rewrite); the vocabulary itself is one more
+    explode → map-side-combined symbol count → TakeOrderedAndProject
+    top-{BPE_VOCAB_TOPK} — no global sort, ≤{BPE_VOCAB_TOPK} rows ever
+    reach the driver. Ordering (n DESC, tok) is a total order per
+    symbol, so the LIMIT boundary is deterministic on both engines.
+    """
+    final, _trace = _bpe_train(spark, sf_dir, BPE_ROUNDS, apply_last=True)
+    rows = (
+        final.select(F.explode("ws").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "tok",
+            F.size(F.split("tok", " ")).cast("int").alias("width"),
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(BPE_VOCAB_TOPK)
+        .take(BPE_VOCAB_TOPK)
+    )
+    final.unpersist()
+    return spark.createDataFrame(rows, "tok string, width int, n long")
+
+
+def _bpe_encode_oracle() -> str:
+    ctes = _bpe_cte_chain(BPE_ROUNDS)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    enc AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_bpe,
+             CAST(coalesce(list_sum(list_transform(ws,
+                    t -> len(str_split(t, ' ')))), 0) AS BIGINT) AS n_base
+      FROM w{BPE_ROUNDS}
+    )
+    SELECT doc_id, n_base, n_bpe,
+           CAST(CASE WHEN n_base = 0 THEN 0
+                ELSE (n_base - n_bpe) * 10000 // n_base END AS BIGINT)
+             AS saved_bp
+    FROM enc"""
+    )
+
+
+@query("text_bpe_encode", oracle=_bpe_encode_oracle())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the corpus under the learned merges — the inference half
+    of the tokenizer story (train: text_bpe_iterative / text_bpe_vocab;
+    encode: this; pack: pack_sequences). Per document: base token
+    count, token count after the {BPE_ROUNDS} traced merges, and the
+    compression in basis points — the number a data-pipeline owner
+    actually budgets with (tokens-per-document drives training cost).
+    n_base is recovered FROM the merged sequences (Σ symbol widths)
+    rather than a second pass over raw text, so the whole key is one
+    frame.
+
+    Scale shape: after the shared training loop, encoding is a pure
+    per-row projection (aggregate/size over the symbol array — JVM
+    codegen, no shuffle, no UDF); the returned frame is one row per
+    document with three int64s. The final cache is released before
+    return: the merge literals ride in the plan, so the driver's
+    collect recomputes by lineage ({BPE_ROUNDS} chained replace()
+    rewrites over one documents scan) without re-mining.
+    """
+    final, _trace = _bpe_train(spark, sf_dir, BPE_ROUNDS, apply_last=True)
+    out = (
+        final.select(
+            "doc_id",
+            F.expr(
+                "aggregate(ws, 0L, (acc, t) -> acc + size(split(t, ' ')))"
+            )
+            .cast("long")
+            .alias("n_base"),
+            F.size("ws").cast("long").alias("n_bpe"),
+        )
+        .select(
+            "doc_id",
+            "n_base",
+            "n_bpe",
+            F.expr(
+                "CASE WHEN n_base = 0 THEN 0L "
+                "ELSE (n_base - n_bpe) * 10000 div n_base END"
+            )
+            .cast("long")
+            .alias("saved_bp"),
+        )
+    )
+    final.unpersist()
+    return out
 
 
 # --- text_ngram_novelty -------------------------------------------------------

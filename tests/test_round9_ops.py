@@ -1,0 +1,236 @@
+"""Round-9 additions: the four r8 ADVICE closures.
+
+1 (medium) — the trained key's unpinned-fixture oracle guard was dead
+code (error() lived in a chk.ok column nothing consumed; DuckDB's
+projection pruning removed it and an unpinned fixture silently returned
+0 rows). The guard is now a UNION ALL sentinel branch driven by the
+always-one-row fp CTE, so its WHERE is always evaluated.
+
+2 (low) — evidence_audit's diff parser attributed a deleted file's
+hunks to the PREVIOUS file ('+++ /dev/null' never reset cur).
+
+3 (low) — bench_scale's _carry_forward kept unknown lanes forever with
+no provenance; carried lanes now get a carried_receipts stamp (sf at
+first carry, known-lane flag) and unknown lanes warn on stderr.
+
+4 (low) — the trained-bank pin's layout invariance rests on no raw
+coordinate sitting on a 6-decimal rounding boundary; the trainer now
+reports the minimum boundary margin and gen_trained_pins refuses to
+regenerate when it shrinks toward the reassociation-delta scale.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+SF_ORACLE = "/root/testdata/sf0.01"
+SF_UNPINNED = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------- 1: load-bearing guard
+
+
+def _duck_on(sf_dir: str, sql: str):
+    import glob
+
+    import duckdb
+
+    con = duckdb.connect()
+    for p in glob.glob(f"{sf_dir}/*.parquet"):
+        name = os.path.basename(p).removesuffix(".parquet")
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')"
+        )
+    return con.execute(sql).fetchall()
+
+
+def test_trained_oracle_errors_loudly_on_unpinned_fixture():
+    from kafka_parquet_writer_spark.operators.dedup import (
+        _ann_trained_oracle,
+    )
+
+    sql = _ann_trained_oracle()
+    with pytest.raises(Exception, match="gen_trained_pins"):
+        _duck_on(SF_UNPINNED, sql)
+
+
+def test_trained_oracle_still_green_on_pinned_fixture():
+    from kafka_parquet_writer_spark.operators.ann_trained_pins import (
+        TRAINED_KEY_M,
+    )
+    from kafka_parquet_writer_spark.operators.dedup import (
+        _ann_trained_oracle,
+    )
+
+    rows = _duck_on(SF_ORACLE, _ann_trained_oracle())
+    assert len(rows) == TRAINED_KEY_M
+    # the sentinel branch contributed nothing on a pinned fixture
+    assert all(r[1] is not None for r in rows)
+
+
+# ---------------------------------------------- 2: deletion attribution
+
+
+def test_parse_intervals_attributes_deletions_to_the_deleted_file():
+    import evidence_audit as EA
+
+    diff = "\n".join(
+        [
+            "diff --git a/pkg/kept.py b/pkg/kept.py",
+            "--- a/pkg/kept.py",
+            "+++ b/pkg/kept.py",
+            "@@ -10,2 +10,3 @@ def f():",
+            "+x",
+            "diff --git a/pkg/gone.py b/pkg/gone.py",
+            "deleted file mode 100644",
+            "--- a/pkg/gone.py",
+            "+++ /dev/null",
+            "@@ -1,50 +0,0 @@",
+            "-y",
+            "diff --git a/pkg/born.py b/pkg/born.py",
+            "new file mode 100644",
+            "--- /dev/null",
+            "+++ b/pkg/born.py",
+            "@@ -0,0 +1,5 @@",
+            "+z",
+        ]
+    )
+    got = EA._parse_intervals(diff)
+    # the modification and the addition land on their own new-side paths
+    assert got["pkg/kept.py"] == [(10, 12)]
+    assert got["pkg/born.py"] == [(1, 5)]
+    # the deletion's degenerate hunk belongs to the OLD path — before the
+    # fix it was appended to pkg/kept.py (the previous '+++ b/' target)
+    assert got.get("pkg/gone.py") == [(0, 0)]
+    assert len(got["pkg/kept.py"]) == 1
+
+
+# ------------------------------------------- 3: carry-forward provenance
+
+
+def test_carry_forward_stamps_provenance_and_warns_on_unknown(
+    tmp_path, capsys
+):
+    from bench_scale import KNOWN_LANES, _carry_forward
+
+    path = tmp_path / "BENCH_SCALE.json"
+    prev = {
+        "metric": "scale_exponents",
+        "sf": "0.1",
+        "jaccard_repin": {"min_sec": 3.97},
+        "renamed_old_lane": {"stale": True},
+    }
+    path.write_text(json.dumps(prev))
+    result = {"metric": "scale_exponents", "sf": "0.01"}
+    _carry_forward(result, str(path))
+    meta = result["carried_receipts"]
+    assert "jaccard_repin" in KNOWN_LANES
+    assert meta["jaccard_repin"] == {"sf": "0.1", "known": True}
+    assert meta["renamed_old_lane"] == {"sf": "0.1", "known": False}
+    assert "renamed_old_lane" in capsys.readouterr().err
+
+    # second carry at yet another sf: the FIRST-carry sf survives (it is
+    # the one closest to the lane's measurement), known-flag re-evaluated
+    path.write_text(json.dumps(result))
+    result2 = {"metric": "scale_exponents", "sf": "1.0"}
+    _carry_forward(result2, str(path))
+    assert result2["carried_receipts"]["jaccard_repin"]["sf"] == "0.1"
+    assert result2["jaccard_repin"] == {"min_sec": 3.97}
+
+
+# --------------------------------------------- 4: rounding-boundary pin
+
+
+def test_trainer_reports_boundary_margin(spark):
+    import pandas as pd
+
+    from kafka_parquet_writer_spark.operators import dedup as D
+
+    rng = np.random.RandomState(11)
+    v = rng.randn(64, 8)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pdf = pd.DataFrame(
+        {"vec_id": range(64), "u": [row.tolist() for row in v]}
+    )
+    emb = spark.createDataFrame(pdf)
+    seed = [row.tolist() for row in v[:4]]
+    stats: dict = {}
+    D.train_centroid_bank(emb, seed, 2, stats=stats)
+    m = stats["min_boundary_margin_1e6"]
+    assert 0.0 < m <= 0.5
+
+
+def test_pinned_banks_regenerated_with_margin_receipt():
+    """The committed pins module's stats comments must carry the margin
+    field for BOTH fixtures, and gen_trained_pins must enforce the
+    floor — so the next regeneration cannot silently ship a pin a
+    different executor layout could flip."""
+    import inspect
+
+    import gen_trained_pins as G
+    from kafka_parquet_writer_spark.operators import ann_trained_pins
+
+    src = open(ann_trained_pins.__file__.rstrip("c")).read()
+    assert src.count("min_boundary_margin_1e6") == 2
+    assert "min_boundary_margin_1e6" in inspect.getsource(G.main)
+    assert "SystemExit" in inspect.getsource(G.main)
+
+
+# ------------------------------- breadth: text_bpe_vocab / text_bpe_encode
+
+
+def test_bpe_vocab_carries_merged_symbols(spark):
+    """The carry-over must be VISIBLE: after the traced merges, the
+    vocabulary holds width>1 symbols whose space-joined form matches a
+    traced pair, and their counts are positive."""
+    from kafka_parquet_writer_spark.operators import corpus_prep as CP
+
+    trace_df = CP.text_bpe_iterative(spark, SF_ORACLE)
+    trace = {(r["a"], r["b"]) for r in trace_df.collect()}
+    vocab = CP.text_bpe_vocab(spark, SF_ORACLE).collect()
+    merged = {
+        tuple(r["tok"].split(" ")): r for r in vocab if r["width"] > 1
+    }
+    assert merged, "no merged symbol reached the top-K vocabulary"
+    # every merged vocab symbol decomposes into base tokens, and at
+    # least one is exactly a traced round-winner pair
+    assert all(len(k) == r["width"] for k, r in merged.items())
+    assert any(k[:2] == p or k == p for p in trace for k in merged)
+    assert all(r["n"] > 0 for r in vocab)
+
+
+def test_bpe_encode_semantics_and_plan(spark):
+    """Per-doc counts must be internally consistent (n_base >= n_bpe,
+    saved_bp in [0, 10000], n_base == the raw word count), and the
+    returned frame's physical plan must be shuffle-free and UDF-free —
+    encoding is a pure codegen projection chain over one scan."""
+    import pyspark.sql.functions as F
+    from kafka_parquet_writer_spark.catalog import load_table
+    from kafka_parquet_writer_spark.functions.texthash import words_expr
+    from kafka_parquet_writer_spark.operators import corpus_prep as CP
+
+    out = CP.text_bpe_encode(spark, SF_ORACLE)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = out.collect()
+    docs = load_table(spark, SF_ORACLE, "documents")
+    base = {
+        r["doc_id"]: r["nb"]
+        for r in docs.select(
+            "doc_id", F.size(words_expr("text")).alias("nb")
+        ).collect()
+    }
+    assert len(rows) == len(base)
+    for r in rows:
+        assert r["n_base"] == base[r["doc_id"]]
+        assert 0 <= r["n_bpe"] <= r["n_base"]
+        assert 0 <= r["saved_bp"] <= 10000
+    # the merges actually compressed something corpus-wide
+    assert sum(r["n_base"] for r in rows) > sum(r["n_bpe"] for r in rows)
