@@ -123,6 +123,9 @@ HEADLINE = [
     # round 8
     "dedup_embedding_ann_trained",
     "mixture_dsir_bigram",
+    # round 9
+    "text_bpe_vocab",
+    "text_bpe_encode",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming

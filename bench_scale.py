@@ -63,6 +63,11 @@ LINEAR_SHORT = [
     # round 6: pair-chaining adds the df-capped gh self-join to the
     # span shape — the cap bounds pairs-per-gram, so still ~linear
     "dedup_span_variable",
+    # round 9: the full BPE train+apply loop (shared _bpe_train with
+    # apply_last) — per round one explode + one map-side-combined pair
+    # count + a 1-row collect + a per-row rewrite, so ~linear with a
+    # per-round fixed cost; encode exercises every traced merge
+    "text_bpe_encode",
 ]
 #: exact all-pairs forms — Ω(n²) by nature; measured as the contrast
 QUADRATIC = ["dedup_embedding"]
