@@ -126,6 +126,7 @@ HEADLINE = [
     # round 9
     "text_bpe_vocab",
     "text_bpe_encode",
+    "text_bpe_batched",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming

@@ -68,6 +68,10 @@ LINEAR_SHORT = [
     # count + a 1-row collect + a per-row rewrite, so ~linear with a
     # per-round fixed cost; encode exercises every traced merge
     "text_bpe_encode",
+    # round 9: the batched trainer — same per-round shape (one explode
+    # + one map-side-combined count + a bounded 64-row collect + ONE
+    # chained-replace rewrite applying B merges), B x fewer rounds
+    "text_bpe_batched",
 ]
 #: exact all-pairs forms — Ω(n²) by nature; measured as the contrast
 QUADRATIC = ["dedup_embedding"]

@@ -1302,6 +1302,214 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- text_bpe_batched ---------------------------------------------------------
+
+BPE_BATCH_ROUNDS = 2  #: merge rounds executed by the batched trainer
+BPE_BATCH_B = 3  #: disjoint merges selected and applied per round
+#: candidates scanned per round for the greedy-disjoint selection —
+#: the window is PART of the operator's semantics (both engines scan
+#: exactly the top-64 pairs by (n DESC, a, b)), which is what makes
+#: the selection bounded and oracle-expressible
+BPE_BATCH_WINDOW = 64
+
+
+def _bpe_batched_oracle() -> str:
+    """Unrolled batched-merge chain. Per round r: mine adjacent pairs
+    (same fragment as _bpe_cte_chain, duplicated deliberately so this
+    key's closure is independent of the single-merge keys'), rank the
+    top-{window} by (n_ab DESC, a, b), greedily select up to B pairs
+    sharing NO symbol with an earlier selection (unrolled as B chained
+    CTEs: s{{r}}_{{k}} is the lowest-ranked candidate past s{{r}}_{{k-1}}
+    whose symbols avoid every earlier slot — any skipped candidate
+    conflicted with a slot whose symbols never leave the used set, so
+    resuming past the previous slot's rank IS the greedy scan), then
+    apply ALL selected merges in slot order with chained replace() on
+    the ';'-delimited form. Empty slots coalesce to the never-matching
+    ';#;' pattern (fixture tokens are [a-z0-9]; '#' cannot occur), so
+    their replace() is a no-op on both engines."""
+    words = TH.sql_words("text")
+    w, b, rounds = BPE_BATCH_WINDOW, BPE_BATCH_B, BPE_BATCH_ROUNDS
+    # Every CTE below is AS MATERIALIZED: the s-slots are referenced
+    # many times (later slots' used-sets, the rewrite's pat/rep pairs),
+    # and inlining would re-evaluate the whole mining chain per
+    # reference — exponentially across rounds.
+    ctes = [
+        f"w0 AS MATERIALIZED (SELECT doc_id, {words} AS ws FROM documents)"
+    ]
+    for r in range(rounds):
+        ctes.append(f"""p{r} AS MATERIALIZED (
+      SELECT ws[g.i] AS a, ws[g.i + 1] AS b
+      FROM w{r}, range(1, 1000000) AS g(i)
+      WHERE g.i + 1 <= len(ws)
+    )""")
+        ctes.append(f"""c{r} AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT a, b, n_ab,
+               row_number() OVER (ORDER BY n_ab DESC, a, b) AS rk
+        FROM (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+              FROM p{r} GROUP BY a, b)
+      ) WHERE rk <= {w}
+    )""")
+        for k in range(1, b + 1):
+            if k == 1:
+                ctes.append(
+                    f"s{r}_1 AS MATERIALIZED "
+                    f"(SELECT * FROM c{r} ORDER BY rk LIMIT 1)"
+                )
+                continue
+            used = " UNION ".join(
+                f"SELECT a FROM s{r}_{j} UNION SELECT b FROM s{r}_{j}"
+                for j in range(1, k)
+            )
+            ctes.append(f"""s{r}_{k} AS MATERIALIZED (
+      SELECT * FROM c{r}
+      WHERE rk > (SELECT rk FROM s{r}_{k - 1})
+        AND a NOT IN ({used}) AND b NOT IN ({used})
+      ORDER BY rk LIMIT 1
+    )""")
+        if r + 1 < rounds:
+            joined = "';' || array_to_string(ws, ';;') || ';'"
+            for k in range(1, b + 1):
+                pat = (
+                    f"coalesce((SELECT ';' || a || ';;' || b || ';' "
+                    f"FROM s{r}_{k}), ';#;')"
+                )
+                rep = (
+                    f"coalesce((SELECT ';' || a || ' ' || b || ';' "
+                    f"FROM s{r}_{k}), ';#;')"
+                )
+                joined = f"replace({joined}, {pat}, {rep})"
+            ctes.append(f"""w{r + 1} AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE str_split(trim({joined}, ';'), ';;')
+             END AS ws
+      FROM w{r}
+    )""")
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST({r + 1} AS INTEGER) AS rnd, "
+        f"CAST({k} AS INTEGER) AS slot, a, b, n_ab FROM s{r}_{k}"
+        for r in range(rounds)
+        for k in range(1, b + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + f"\n    {unions}"
+
+
+def _bpe_batched_train(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int,
+    bsz: int,
+    window: int,
+) -> list:
+    """Batched BPE merge loop: per round, mine adjacent-pair counts,
+    collect the bounded top-``window`` candidates (TakeOrderedAndProject
+    — ≤window rows reach the driver), greedily select up to ``bsz``
+    pairs whose symbols are pairwise disjoint, and apply ALL of them in
+    one corpus rewrite (chained replace() in slot order). Disjointness
+    makes the batch conflict-free: a merge only touches regions holding
+    its own two symbols, never creates or destroys another selected
+    pair's adjacency, so the chained application equals any order.
+    Returns [(rnd, slot, a, b, n_ab)] with counts AS MINED (before this
+    round's batch applies — the standard batched-trainer semantics).
+    Cache hygiene mirrors _bpe_train: one corpus copy regardless of
+    rounds."""
+    docs = load_table(spark, sf_dir, "documents")
+    cur = docs.select("doc_id", TH.words_expr("text").alias("ws")).cache()
+    prev = None
+    trace: list = []
+    for rnd in range(1, rounds + 1):
+        pairs = cur.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(ws) - 1, 0)),"
+                    " i -> struct(ws[i - 1] AS a, ws[i] AS b))"
+                )
+            ).alias("p")
+        ).select("p.a", "p.b")
+        cands = (
+            pairs.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_ab"))
+            .orderBy(F.col("n_ab").desc(), "a", "b")
+            .limit(window)
+            .take(window)
+        )
+        if prev is not None:
+            prev.unpersist()
+            prev = None
+        used: set = set()
+        sel = []
+        for row in cands:
+            if len(sel) == bsz:
+                break
+            if row["a"] in used or row["b"] in used:
+                continue
+            sel.append(row)
+            used.add(row["a"])
+            used.add(row["b"])
+        trace.extend(
+            (rnd, k, row["a"], row["b"], int(row["n_ab"]))
+            for k, row in enumerate(sel, 1)
+        )
+        if rnd == rounds or not sel:
+            break
+        joined = F.concat(F.lit(";"), F.array_join("ws", ";;"), F.lit(";"))
+        for row in sel:
+            joined = F.replace(
+                joined,
+                F.lit(";" + row["a"] + ";;" + row["b"] + ";"),
+                F.lit(";" + row["a"] + " " + row["b"] + ";"),
+            )
+        nxt = cur.select(
+            "doc_id",
+            F.when(F.size("ws") == 0, F.array().cast("array<string>"))
+            .otherwise(F.split(F.btrim(joined, F.lit(";")), ";;"))
+            .alias("ws"),
+        ).cache()
+        prev = cur
+        cur = nxt
+    if prev is not None:
+        prev.unpersist()
+    cur.unpersist()
+    return trace
+
+
+@query("text_bpe_batched", oracle=_bpe_batched_oracle())
+def text_bpe_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED-merge BPE training round — the 100 TB form of the
+    tokenizer trainer. text_bpe_iterative is exact sequential BPE
+    (Sennrich et al. 2016): one merge per Spark round, so a realistic
+    30k-merge vocabulary costs 30k scheduling round-trips — at the
+    measured ~0.7 s/round fixed cost that is ~6 h of pure coordination
+    before any data is touched. Production-scale trainers batch: per
+    round, rank the top-{BPE_BATCH_WINDOW} pairs by (n DESC, a, b),
+    greedily select up to {BPE_BATCH_B} pairs sharing no symbol, and
+    apply them all in ONE corpus rewrite — symbol-disjointness makes
+    the batch exactly order-independent (a merge never creates or
+    destroys another selected pair's adjacency), so the only deviation
+    from sequential BPE is that counts are mined once per batch, the
+    documented batched-trainer approximation. Rounds shrink by B×; at
+    B=1 the trace is bit-identical to text_bpe_iterative's (pinned by
+    test). The candidate window is part of the semantics — both
+    engines scan exactly the top-{BPE_BATCH_WINDOW} — which is what
+    keeps the driver collect bounded and the selection expressible as
+    unrolled SQL on the oracle side.
+
+    Scale shape per round: one explode → one map-side-combined pair
+    count shuffle → a ≤{BPE_BATCH_WINDOW}-row TakeOrderedAndProject
+    collect → one chained-replace codegen rewrite applying all
+    {BPE_BATCH_B} merges (vs {BPE_BATCH_B} full rewrites sequentially).
+    Emits (rnd, slot, a, b, n_ab): the per-round selection in greedy
+    order with as-mined counts.
+    """
+    trace = _bpe_batched_train(
+        spark, sf_dir, BPE_BATCH_ROUNDS, BPE_BATCH_B, BPE_BATCH_WINDOW
+    )
+    return spark.createDataFrame(
+        trace, "rnd int, slot int, a string, b string, n_ab long"
+    )
+
+
 # --- text_ngram_novelty -------------------------------------------------------
 
 NOVELTY_N = 3  #: token n-gram size for the novelty profile

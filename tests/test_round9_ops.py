@@ -234,3 +234,46 @@ def test_bpe_encode_semantics_and_plan(spark):
         assert 0 <= r["saved_bp"] <= 10000
     # the merges actually compressed something corpus-wide
     assert sum(r["n_base"] for r in rows) > sum(r["n_bpe"] for r in rows)
+
+
+def test_bpe_batched_reduces_to_iterative_at_batch_one(spark):
+    """With B=1 the batched trainer IS sequential greedy BPE: the
+    windowed selection degenerates to the top-1 pair and the single
+    apply is the same corpus rewrite, so the trace must be
+    bit-identical to text_bpe_iterative's."""
+    from kafka_parquet_writer_spark.operators import corpus_prep as CP
+
+    batched = CP._bpe_batched_train(
+        spark, SF_ORACLE, CP.BPE_ROUNDS, 1, CP.BPE_BATCH_WINDOW
+    )
+    iterative = [
+        (r["rnd"], r["a"], r["b"], r["n_ab"])
+        for r in CP.text_bpe_iterative(spark, SF_ORACLE).collect()
+    ]
+    assert [(rnd, a, b, n) for rnd, _slot, a, b, n in batched] == iterative
+    assert all(slot == 1 for _, slot, *_ in batched)
+
+
+def test_bpe_batched_selection_is_greedy_disjoint(spark):
+    """Within a round: slots are 1..<=B, symbols are pairwise disjoint
+    (that is what makes the one-pass multi-apply order-independent),
+    and as-mined counts are non-increasing in slot order (greedy scans
+    the (n DESC, a, b) ranking)."""
+    from kafka_parquet_writer_spark.operators import corpus_prep as CP
+
+    rows = CP.text_bpe_batched(spark, SF_ORACLE).collect()
+    assert {r["rnd"] for r in rows} == set(
+        range(1, CP.BPE_BATCH_ROUNDS + 1)
+    )
+    for rnd in range(1, CP.BPE_BATCH_ROUNDS + 1):
+        batch = sorted(
+            (r for r in rows if r["rnd"] == rnd), key=lambda r: r["slot"]
+        )
+        assert [r["slot"] for r in batch] == list(range(1, len(batch) + 1))
+        assert len(batch) <= CP.BPE_BATCH_B
+        syms: list = []
+        for r in batch:
+            assert r["a"] not in syms and r["b"] not in syms
+            syms += [r["a"], r["b"]]
+        ns = [r["n_ab"] for r in batch]
+        assert ns == sorted(ns, reverse=True)
