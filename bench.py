@@ -127,6 +127,7 @@ HEADLINE = [
     "text_bpe_vocab",
     "text_bpe_encode",
     "text_bpe_batched",
+    "ts_subsequence_topk",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming

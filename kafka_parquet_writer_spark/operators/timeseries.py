@@ -678,3 +678,137 @@ def agg_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_segments",
         )
     )
+
+
+# --- ts_subsequence_topk ------------------------------------------------------
+
+SUBSEQ_L = 8  #: subsequence window length (UCR-style query length)
+SUBSEQ_K = 20  #: matches returned
+#: the z-normalized query shape (a single spike), 6-decimal literals
+#: embedded identically in both engines — the pattern is a constant of
+#: the operator, precomputed offline like a real similarity-search
+#: query vector
+SUBSEQ_Q = [
+    -0.629941, -0.629941, 0.377964, 2.393775,
+    0.377964, -0.629941, -0.629941, -0.629941,
+]
+
+
+def _subseq_oracle() -> str:
+    """Mirror of the Spark plan with IDENTICAL float association.
+    Exactness argument (why the only pround is at the end): window
+    values are exact int64 cents; their 8-sum is exact; mean = s8/8.0
+    divides by a power of two, so it is an EXACT double; each
+    deviation is (8·v − s8)/8 — an exact multiple of 1/8 — and its
+    square ≤ ~6e13 < 2^53 stays exact, so ssq is exact REGARDLESS of
+    association. sd = sqrt(ssq/8) and each z-score are single
+    correctly-rounded IEEE ops, identical on both engines; only the
+    final distance accumulation is association-sensitive, built as the
+    same left-to-right chain on both sides and floor-rounded to 6
+    decimals before the (d2, user_id, event_id) total-order top-K."""
+    L, k = SUBSEQ_L, SUBSEQ_K
+    lags = ", ".join(
+        f"lag(vc, {L - 1 - i}) OVER w AS v{i + 1}" for i in range(L)
+    )
+    s8 = " + ".join(f"v{i + 1}" for i in range(L))
+    ssq = " + ".join(f"(v{i + 1} - mn) * (v{i + 1} - mn)" for i in range(L))
+    d2 = " + ".join(
+        f"((v{i + 1} - mn) / sd - ({SUBSEQ_Q[i]})) * "
+        f"((v{i + 1} - mn) / sd - ({SUBSEQ_Q[i]}))"
+        for i in range(L)
+    )
+    vs = ", ".join(f"v{i + 1}" for i in range(L))
+    return f"""
+    WITH x AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tu, {sql_cents('value')} AS vc
+      FROM events WHERE value IS NOT NULL
+    ), lagged AS (
+      SELECT user_id, event_id, {lags}
+      FROM x
+      WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+    ), st AS (
+      SELECT user_id, event_id, {vs}, ({s8}) / 8.0 AS mn
+      FROM lagged WHERE v1 IS NOT NULL
+    ), ss AS (
+      SELECT user_id, event_id, {vs}, mn, ({ssq}) AS ssq FROM st
+    ), zd AS (
+      SELECT user_id, event_id, {vs}, mn, sqrt(ssq / 8.0) AS sd
+      FROM ss WHERE ssq > 0
+    ), d AS (
+      SELECT user_id, event_id, {sql_pround(d2, 6)} AS d2 FROM zd
+    )
+    SELECT user_id, event_id, d2
+    FROM d ORDER BY d2, user_id, event_id LIMIT {k}
+    """
+
+
+@query("ts_subsequence_topk", oracle=_subseq_oracle())
+def ts_subsequence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series SUBSEQUENCE similarity search (the UCR-suite /
+    matrix-profile query shape; cf. the retrieved EDBT 2019 'Time
+    Series Similarity Search for Streaming Data in Distributed
+    Systems'): find the {SUBSEQ_K} length-{SUBSEQ_L} windows of any
+    user's value series closest — in z-normalized Euclidean distance —
+    to a constant query shape. Z-normalization (subtract window mean,
+    divide by window std) is what makes the match amplitude- and
+    offset-invariant, the standard semantics for pattern search;
+    constant windows (std = 0) cannot be z-normalized and are skipped.
+    Emits (user_id, event_id of the window's last event, d2).
+
+    Scale shape: ONE shuffle on user_id serves the lag() window (the
+    window_smooth pattern — per-row trailing values as plain columns,
+    no array materialization); the mean/std/distance pipeline is a
+    pure codegen projection; the top-K is TakeOrderedAndProject
+    (per-partition partial top-K, no global sort). At 100 TB this is a
+    single pass over the fact table with K rows on the driver — the
+    brute-force baseline a real system prunes with early-abandon /
+    LB_Keogh bounds, which only reduce the per-row constant.
+
+    Float portability: all inputs become exact int64 cents; mean and
+    every deviation are exact doubles by construction (powers-of-two
+    divisions of exact integers), ssq is exact regardless of
+    association, and sd/z-scores are single correctly-rounded IEEE
+    ops — the ONLY association-sensitive float sum is the final
+    distance chain, built left-to-right identically in both engines
+    and floor-rounded to 6 decimals before the total-order top-K.
+    """
+    L, k = SUBSEQ_L, SUBSEQ_K
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("tu", "event_id")
+    x = ev.filter(F.col("value").isNotNull()).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("tu"),
+        cents(F.col("value")).alias("vc"),
+    )
+    lagged = x.select(
+        "user_id",
+        "event_id",
+        *[
+            F.lag("vc", L - 1 - i).over(w).alias(f"v{i + 1}")
+            for i in range(L)
+        ],
+    ).filter(F.col("v1").isNotNull())
+    s8 = F.col("v1")
+    for i in range(2, L + 1):
+        s8 = s8 + F.col(f"v{i}")
+    st = lagged.withColumn("mn", s8 / F.lit(8.0))
+    ssq = (F.col("v1") - F.col("mn")) * (F.col("v1") - F.col("mn"))
+    for i in range(2, L + 1):
+        dv = F.col(f"v{i}") - F.col("mn")
+        ssq = ssq + dv * dv
+    zd = (
+        st.withColumn("ssq", ssq)
+        .filter(F.col("ssq") > 0)
+        .withColumn("sd", F.sqrt(F.col("ssq") / F.lit(8.0)))
+    )
+    d2 = None
+    for i in range(1, L + 1):
+        zi = (F.col(f"v{i}") - F.col("mn")) / F.col("sd")
+        term = (zi - F.lit(SUBSEQ_Q[i - 1])) * (zi - F.lit(SUBSEQ_Q[i - 1]))
+        d2 = term if d2 is None else d2 + term
+    return (
+        zd.select("user_id", "event_id", pround(d2, 6).alias("d2"))
+        .orderBy("d2", "user_id", "event_id")
+        .limit(k)
+    )

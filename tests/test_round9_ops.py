@@ -277,3 +277,54 @@ def test_bpe_batched_selection_is_greedy_disjoint(spark):
             syms += [r["a"], r["b"]]
         ns = [r["n_ab"] for r in batch]
         assert ns == sorted(ns, reverse=True)
+
+
+# ------------------------------------------------- ts_subsequence_topk
+
+
+def test_ts_subsequence_topk_matches_numpy_and_plan(spark):
+    """Independent third implementation: recompute the full top-K in
+    numpy (pandas read -> per-user (tu, event_id) sort -> exact cents
+    -> sliding z-norm windows -> floor-rounded distance -> total-order
+    top-K) and require EXACT tuple equality with the Spark result.
+    Also pins the scale shape: exactly one Exchange (the user_id
+    window shuffle — top-K adds none) and no Python-eval nodes."""
+    import math
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from kafka_parquet_writer_spark.operators import timeseries as TS
+
+    out = TS.ts_subsequence_topk(spark, SF_ORACLE)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    got = [(r["user_id"], r["event_id"], r["d2"]) for r in out.collect()]
+
+    t = pq.read_table(os.path.join(SF_ORACLE, "events.parquet")).to_pandas()
+    t = t[t["value"].notna()].copy()
+    # raw parquet carries nanos; integer-divide to the micros the
+    # engine compares with (catalog gotcha in the verify skill doc)
+    tu = t["ts"].astype("int64") // 1000
+    t["tu"] = tu
+    t["vc"] = np.floor(t["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+    L, q = TS.SUBSEQ_L, np.array(TS.SUBSEQ_Q)
+    cands = []
+    for uid, g in t.sort_values(["tu", "event_id"]).groupby("user_id"):
+        vc = g["vc"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        for i in range(L - 1, len(vc)):
+            w = vc[i - L + 1 : i + 1].astype(float)
+            mn = w.sum() / 8.0
+            dv = w - mn
+            ssq = float((dv * dv).sum())
+            if ssq <= 0:
+                continue
+            sd = math.sqrt(ssq / 8.0)
+            d2 = float(((dv / sd - q) ** 2).sum())
+            d2r = math.floor(d2 * 1e6 + 0.5) / 1e6
+            cands.append((d2r, int(uid), int(eid[i])))
+    cands.sort()
+    want = [(u, e, d) for d, u, e in cands[: TS.SUBSEQ_K]]
+    assert got == want
