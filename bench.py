@@ -145,6 +145,8 @@ STREAMING_HEADLINE = [
     "stream_topk_trending",
     "stream_session_features",
     "stream_static_enrich",
+    # round 9
+    "stream_subsequence_match",
 ]
 
 

@@ -1366,3 +1366,186 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("cents").cast("long").alias("cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming subsequence similarity match (continuous pattern search)
+# ---------------------------------------------------------------------------
+
+#: deliberate duplicates of timeseries.SUBSEQ_L / SUBSEQ_Q (closure
+#: independence — the batch and streaming keys are separate operators;
+#: drift between them changes BOTH oracles, caught by either gate)
+STREAM_SUBSEQ_L = 8
+STREAM_SUBSEQ_Q = [
+    -0.629941, -0.629941, 0.377964, 2.393775,
+    0.377964, -0.629941, -0.629941, -0.629941,
+]
+#: continuous-query match threshold on the floor-rounded z-distance —
+#: the streaming form of similarity search reports every window below
+#: a distance bound as it completes (a global top-K is not a streaming
+#: operator; the bound is). 4.0 selects ~5% of windows on the fixtures.
+STREAM_SUBSEQ_THRESH = 4.0
+
+
+def make_subseq_matcher(length: int, qshape: list, thresh: float):
+    """Factory for stream_subsequence_match's stateful closure, at
+    module scope so tests drive the PRODUCTION cross-batch contract.
+
+    State carries the last ``length − 1`` cents values of the user's
+    series (in replay order (tu, event_id), tu = integer microseconds —
+    the batch oracle's window order). Each batch prepends the tail,
+    slides a length-``length`` window over the concatenation, and
+    emits (event_id, d2) for every window ENDING at a new event whose
+    floor-rounded z-normalized distance to the constant query shape is
+    below ``thresh`` (constant windows, std = 0, cannot be z-normalized
+    and are skipped). Windows ending inside the tail were emitted by an
+    earlier batch and are excluded by construction.
+
+    Float portability (same argument as the batch twin): cents are
+    exact int64, the window sum and mean (÷8, a power of two) are exact,
+    deviations are exact multiples of 1/8 with exactly-representable
+    squares, so ssq is exact regardless of association; sd and each
+    z-score are single correctly-rounded IEEE ops; the only
+    association-sensitive sum is the final distance chain, accumulated
+    LEFT-TO-RIGHT in vectorized numpy adds — elementwise the same chain
+    the DuckDB oracle writes — then floor-rounded to 6 decimals before
+    the threshold compare.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qa = [float(v) for v in qshape]
+
+    def match(key, pdfs, state):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf[pdf["value"].notna()]
+        out = {"user_id": [], "event_id": [], "d2": []}
+        uid = key[0]
+        if len(pdf) > 0:
+            # unit-safe micros (the sessionizer lesson: never assume
+            # the Arrow bridge's datetime64 resolution)
+            pdf = pdf.assign(
+                tu=pdf["ts"].astype("datetime64[us]").astype("int64")
+            ).sort_values(["tu", "event_id"], kind="mergesort")
+            vc_new = np.floor(
+                pdf["value"].to_numpy() * 100.0 + 0.5
+            ).astype("int64")
+            eid_new = pdf["event_id"].to_numpy()
+            tail = list(state.get[0]) if state.exists else []
+            vc = np.concatenate(
+                [np.asarray(tail, dtype="int64"), vc_new]
+            )
+            n_tail = len(tail)
+            if len(vc) >= length:
+                full = np.lib.stride_tricks.sliding_window_view(vc, length)
+                j0 = max(0, n_tail - length + 1)
+                win = full[j0:]
+                s8 = win.sum(axis=1)
+                mn = s8 / 8.0
+                dev = win.astype("float64") - mn[:, None]
+                ssq = dev[:, 0] * dev[:, 0]
+                for i in range(1, length):
+                    ssq = ssq + dev[:, i] * dev[:, i]
+                ok = ssq > 0
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sd = np.sqrt(ssq / 8.0)
+                    z0 = dev[:, 0] / sd - qa[0]
+                    d2 = z0 * z0
+                    for i in range(1, length):
+                        zi = dev[:, i] / sd - qa[i]
+                        d2 = d2 + zi * zi
+                d2r = np.floor(d2 * 1e6 + 0.5) / 1e6
+                hit = ok & (d2r < thresh)
+                # window j (global) ends at vc index j + length - 1;
+                # its event is eid_new[j + length - 1 - n_tail]
+                for j in np.nonzero(hit)[0]:
+                    end = j0 + int(j) + length - 1 - n_tail
+                    out["user_id"].append(int(uid))
+                    out["event_id"].append(int(eid_new[end]))
+                    out["d2"].append(float(d2r[int(j)]))
+            state.update(([int(v) for v in vc[-(length - 1):]],))
+        yield pd.DataFrame(out)
+
+    return match
+
+
+def _stream_subseq_oracle() -> str:
+    """Batch twin of the continuous match (incremental ≡ batch, the
+    suite's streaming-oracle convention): identical lag-window /
+    cents / left-chain distance SQL as ts_subsequence_topk's oracle,
+    with the top-K replaced by the threshold filter."""
+    L, q, th = STREAM_SUBSEQ_L, STREAM_SUBSEQ_Q, STREAM_SUBSEQ_THRESH
+    lags = ", ".join(
+        f"lag(vc, {L - 1 - i}) OVER w AS v{i + 1}" for i in range(L)
+    )
+    s8 = " + ".join(f"v{i + 1}" for i in range(L))
+    ssq = " + ".join(f"(v{i + 1} - mn) * (v{i + 1} - mn)" for i in range(L))
+    d2 = " + ".join(
+        f"((v{i + 1} - mn) / sd - ({q[i]})) * "
+        f"((v{i + 1} - mn) / sd - ({q[i]}))"
+        for i in range(L)
+    )
+    vs = ", ".join(f"v{i + 1}" for i in range(L))
+    return f"""
+    WITH x AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tu,
+             CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS vc
+      FROM events WHERE value IS NOT NULL
+    ), lagged AS (
+      SELECT user_id, event_id, {lags}
+      FROM x
+      WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+    ), st AS (
+      SELECT user_id, event_id, {vs}, ({s8}) / 8.0 AS mn
+      FROM lagged WHERE v1 IS NOT NULL
+    ), ss AS (
+      SELECT user_id, event_id, {vs}, mn, ({ssq}) AS ssq FROM st
+    ), zd AS (
+      SELECT user_id, event_id, {vs}, mn, sqrt(ssq / 8.0) AS sd
+      FROM ss WHERE ssq > 0
+    ), d AS (
+      SELECT user_id, event_id,
+             (floor(({d2}) * 1e6 + 0.5) / 1e6) AS d2
+      FROM zd
+    )
+    SELECT user_id, event_id, d2 FROM d WHERE d2 < {th}
+    """
+
+
+@query("stream_subsequence_match", oracle=_stream_subseq_oracle())
+def stream_subsequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS time-series subsequence search — the streaming twin
+    of ts_subsequence_topk and the actual setting of the retrieved
+    EDBT 2019 paper ('Time Series Similarity Search for Streaming Data
+    in Distributed Systems'): as each user's events arrive, every
+    completed length-{STREAM_SUBSEQ_L} window whose z-normalized
+    distance to the query shape falls below {STREAM_SUBSEQ_THRESH} is
+    emitted immediately. A distance BOUND, not a top-K, is the
+    streaming form of the query: matches must fire on arrival, not
+    after a global sort.
+
+    State is the last {STREAM_SUBSEQ_L}−1 cents values per user — a
+    fixed-size array in the state store, O(users) total, never
+    O(events); per batch the work is one per-key sort plus vectorized
+    window math over that key's batch rows. availableNow drains the
+    fixture in one batch, so the emission equals the batch scan and
+    the oracle (the identical lag-window SQL with the threshold
+    filter) is exact; the cross-batch tail carry is driven directly by
+    tests on the module-level make_subseq_matcher closure.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "value"
+    ).filter(F.col("value").isNotNull())
+    matches = ev.groupBy("user_id").applyInPandasWithState(
+        make_subseq_matcher(
+            STREAM_SUBSEQ_L, STREAM_SUBSEQ_Q, STREAM_SUBSEQ_THRESH
+        ),
+        outputStructType="user_id long, event_id long, d2 double",
+        stateStructType="vals array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(matches, "update")
+    return out.select("user_id", "event_id", "d2")

@@ -328,3 +328,75 @@ def test_ts_subsequence_topk_matches_numpy_and_plan(spark):
     cands.sort()
     want = [(u, e, d) for d, u, e in cands[: TS.SUBSEQ_K]]
     assert got == want
+
+
+def test_subseq_matcher_cross_batch_tail_carry():
+    """Drive the PRODUCTION matcher closure across two 'batches': a
+    window STRADDLING the batch boundary must be emitted by the second
+    batch (its tail arrived in batch 1), windows fully inside the tail
+    must NOT re-emit, and the carried state is exactly the last L-1
+    values. A one-batch run over the same rows must produce the
+    identical match set (incremental == batch)."""
+    import pandas as pd
+
+    from kafka_parquet_writer_spark.operators.streaming_queries import (
+        STREAM_SUBSEQ_L,
+        STREAM_SUBSEQ_Q,
+        make_subseq_matcher,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    # a series that contains the (pre-z-norm) query shape exactly ->
+    # one window at distance ~0, plus noise windows far away
+    spike = [0.0, 0.0, 1.0, 3.0, 1.0, 0.0, 0.0, 0.0]
+    series = [5.0, 9.0, 2.0, 7.0] + spike + [8.0, 1.0]
+    rows = [
+        {
+            "ts": pd.Timestamp(1000 + i, unit="s"),
+            "event_id": i,
+            "value": v,
+        }
+        for i, v in enumerate(series)
+    ]
+    # huge threshold: emit EVERY valid window so the two runs compare
+    # complete emission sets, not just the near matches
+    m = make_subseq_matcher(STREAM_SUBSEQ_L, STREAM_SUBSEQ_Q, 1e9)
+
+    def run(batches):
+        st = FakeState()
+        got = []
+        for b in batches:
+            out = pd.concat(
+                list(m((7,), [pd.DataFrame(b)], st)), ignore_index=True
+            )
+            got.append(
+                list(zip(out["event_id"], out["d2"]))
+            )
+        return got, st
+
+    two, st2 = run([rows[:6], rows[6:]])
+    one, st1 = run([rows])
+    # batch 1: only one full window (ends at event 5? no - 6 rows < 8)
+    assert two[0] == []  # 6 values: no complete length-8 window yet
+    # incremental == batch on the union, and no duplicates
+    assert two[0] + two[1] == one[0]
+    ends = [e for e, _ in one[0]]
+    assert ends == sorted(ends) and len(set(ends)) == len(ends)
+    # the exact-shape window (ends at event 11) is a ~0-distance match
+    d_at_11 = dict(one[0])[11]
+    assert d_at_11 < 1e-6
+    # carried state is the last L-1 values in cents
+    assert st2.get == st1.get
+    assert st1.get[0] == [int(v * 100) for v in series[-7:]]
