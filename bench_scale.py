@@ -1003,6 +1003,170 @@ def verify_ab_lane() -> None:
     print(json.dumps({"verify_ab_experiment": {str(n): out}}))
 
 
+def subseq_prune_lane() -> None:
+    """Opt-in lane (`python bench_scale.py subseq`): does LB-style
+    prefix pruning pay for the subsequence-search family in a Spark
+    codegen scan? The production key uses L = 8, where the distance is
+    8 flops/row and pruning can only add branching; the question is
+    whether a LONGER query length (L = 64, the UCR-benchmark regime)
+    flips the verdict. Two plans over the same per-user window
+    explode (events ×16 of the bench fixture):
+
+      full    — z-normalize, accumulate all L distance terms, filter
+                d2 < TH at the end.
+      pruned  — accumulate the first 8 terms; only rows whose prefix
+                (itself a LOWER BOUND of d2 — terms are non-negative)
+                stays below TH evaluate the remaining L−8 terms
+                (CASE WHEN branches lazily per row in codegen).
+
+    The mean/std pass is O(L) either way, so pruning bounds the save
+    to the distance fraction; the threshold is set selective (most
+    windows exceed it within the prefix) — the regime pruning was
+    invented for. Regime caveat, measured before trusting: the lane
+    uses the array + higher-order-function form (slice/zip_with/
+    aggregate) a long-L implementation would ship — HOF lambdas are
+    INTERPRETED, not codegen (~7 µs/term measured), which is exactly
+    why per-term work is expensive enough here for pruning to matter;
+    the production L = 8 key uses flat lag columns in codegen, where
+    the whole distance costs less than one lambda call. Merged into
+    BENCH_SCALE.json under "subseq_prune_experiment": per (L, variant)
+    min-of-2 wall seconds and the (identical) match counts as a
+    correctness cross-check."""
+    import shutil
+
+    import numpy as np
+
+    from kafka_parquet_writer_spark import get_spark
+    from kafka_parquet_writer_spark.catalog import load_table
+
+    spark = get_spark("subseq_lane")
+    k = 4
+    d = build_events_blowup(spark, k)
+    out: dict = {"k": k, "points": []}
+    try:
+        from pyspark.sql import functions as F
+
+        ev = (
+            load_table(spark, d, "events")
+            .filter(F.col("value").isNotNull())
+            .select(
+                "user_id",
+                F.unix_micros("ts").alias("tu"),
+                "event_id",
+                F.floor(F.col("value") * 100.0 + F.lit(0.5))
+                .cast("long")
+                .alias("vc"),
+            )
+        )
+        # cache the mined series OUTSIDE the timed region: the
+        # experiment measures the window+distance scan (where pruning
+        # acts), not the shared groupBy+collect_list mining both
+        # variants pay identically
+        series = ev.groupBy("user_id").agg(
+            F.expr(
+                "transform(array_sort(collect_list("
+                "struct(tu, event_id, vc))), x -> x.vc)"
+            ).alias("vs")
+        ).cache()
+        out["n_series"] = series.count()
+
+        def plans(L: int, th: float, q: list):
+            qlit = "array(" + ", ".join(f"{v}D" for v in q) + ")"
+            base = series.filter(F.size("vs") >= L).select(
+                F.expr(
+                    f"explode(transform(sequence(1, size(vs) - {L} + 1),"
+                    f" i -> slice(vs, i, {L})))"
+                ).alias("win")
+            ).select(
+                "win",
+                (
+                    F.expr("aggregate(win, 0L, (a, x) -> a + x)")
+                    / F.lit(float(L))
+                ).alias("mn"),
+            ).select(
+                "win",
+                "mn",
+                F.sqrt(
+                    F.expr(
+                        "aggregate(win, 0D, (a, x) -> a + (x - mn) *"
+                        " (x - mn))"
+                    )
+                    / F.lit(float(L))
+                ).alias("sd"),
+            ).filter(F.col("sd") > 0)
+            def zq(win_e: str, q_e: str) -> str:
+                # term arrays are built from PRE-SLICED inputs so the
+                # pruned plan never materializes the tail terms for
+                # rows the prefix already rejected
+                return (
+                    f"zip_with({win_e}, {q_e}, (x, q) -> "
+                    f"((x - mn) / sd - q) * ((x - mn) / sd - q))"
+                )
+
+            full = base.select(
+                F.expr(
+                    f"aggregate({zq('win', qlit)}, 0D, (a, t) -> a + t)"
+                ).alias("d2")
+            ).filter(F.col("d2") < th)
+            pre_zq = zq(f"slice(win, 1, 8)", f"slice({qlit}, 1, 8)")
+            rest_zq = zq(
+                f"slice(win, 9, {L} - 8)", f"slice({qlit}, 9, {L} - 8)"
+            )
+            pruned = base.select(
+                F.expr(
+                    f"aggregate({pre_zq}, 0D, (a, t) -> a + t)"
+                ).alias("pre"),
+                "win",
+                "mn",
+                "sd",
+            ).select(
+                F.when(F.col("pre") >= th, F.lit(None).cast("double"))
+                .otherwise(
+                    F.col("pre")
+                    + F.expr(
+                        f"aggregate({rest_zq}, 0D, (a, t) -> a + t)"
+                    )
+                )
+                .alias("d2")
+            ).filter(F.col("d2") < th)
+            return {"full": full, "pruned": pruned}
+
+        rng = np.random.RandomState(7)
+        for L, th in ((8, 4.0), (64, 8.0)):
+            walk = np.cumsum(rng.randn(L))
+            z = (walk - walk.mean()) / walk.std()
+            q = [round(float(v), 6) for v in z]
+            rec: dict = {"L": L, "thresh": th}
+            for label, df in plans(L, th, q).items():
+                best, n = None, None
+                for _ in range(2):
+                    t0 = time.time()
+                    n = df.count()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+                rec[label + "_sec"] = round(best, 3)
+                rec[label + "_matches"] = int(n)
+                print(f"L={L} {label}: {best:.3f}s ({n} matches)",
+                      file=sys.stderr)
+            rec["speedup"] = round(rec["full_sec"] / rec["pruned_sec"], 3)
+            out["points"].append(rec)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json"
+    )
+    try:
+        with open(path) as f:
+            blob = json.load(f)
+    except (OSError, ValueError):
+        blob = {}
+    blob["subseq_prune_experiment"] = out
+    with open(path, "w") as f:
+        f.write(json.dumps(blob) + "\n")
+    print(json.dumps({"subseq_prune_experiment": out}))
+
+
 # Every lane name this file can itself write (opt-in sub-commands
 # included). _carry_forward preserves unknown lanes too — deleting
 # receipts is worse than keeping a renamed one — but stamps them and
@@ -1016,7 +1180,7 @@ KNOWN_LANES = frozenset({
     "imi_stage_receipts_percell", "probe_rejoin_experiment",
     "batch_size_experiment", "bucket_verify_experiment",
     "stream_verify_experiment", "verify_ab_experiment",
-    "jaccard_repin",
+    "jaccard_repin", "subseq_prune_experiment",
 })
 
 
@@ -1180,5 +1344,7 @@ if __name__ == "__main__":
         imi_stage_receipts_lane()
     elif len(sys.argv) > 1 and sys.argv[1] == "verifyab":
         verify_ab_lane()
+    elif len(sys.argv) > 1 and sys.argv[1] == "subseq":
+        subseq_prune_lane()
     else:
         main()
