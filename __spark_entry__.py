@@ -188,6 +188,12 @@ _FORCE_RECHECK = {  # key -> round whose green is void
     # trainer through its ANN_TRAINED_ROUNDS path, so its r8 green is
     # void too (flagged mechanically by tools/evidence_audit.py).
     "dedup_embedding_ann": 8,
+    # r10: the subsequence family's hardcoded `/ 8.0` divisors became
+    # length-derived (r9 VERDICT item 3 / ADVICE low), changing both
+    # keys' closures AND oracles on r9 evidence. Flagged by
+    # tools/evidence_audit.py on the working tree.
+    "ts_subsequence_topk": 9,
+    "stream_subsequence_match": 9,
 }
 
 

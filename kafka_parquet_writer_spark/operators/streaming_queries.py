@@ -1402,18 +1402,32 @@ def make_subseq_matcher(length: int, qshape: list, thresh: float):
     earlier batch and are excluded by construction.
 
     Float portability (same argument as the batch twin): cents are
-    exact int64, the window sum and mean (÷8, a power of two) are exact,
-    deviations are exact multiples of 1/8 with exactly-representable
-    squares, so ssq is exact regardless of association; sd and each
-    z-score are single correctly-rounded IEEE ops; the only
-    association-sensitive sum is the final distance chain, accumulated
-    LEFT-TO-RIGHT in vectorized numpy adds — elementwise the same chain
-    the DuckDB oracle writes — then floor-rounded to 6 decimals before
-    the threshold compare.
+    exact int64, the window sum and mean (÷length, a power of two —
+    asserted below) are exact, deviations are exact multiples of
+    1/length with exactly-representable squares, so ssq is exact
+    regardless of association; sd and each z-score are single
+    correctly-rounded IEEE ops; the only association-sensitive sum is
+    the final distance chain, accumulated LEFT-TO-RIGHT in vectorized
+    numpy adds — elementwise the same chain the DuckDB oracle writes —
+    then floor-rounded to 6 decimals before the threshold compare.
+
+    ORDERING CONTRACT: incremental ≡ batch holds for IN-ORDER arrival
+    only. Within a batch rows are replayed in (tu, event_id) order, but
+    the carried tail is always treated as OLDER than every new row — an
+    event arriving with tu behind the tail slots after it, producing
+    windows the batch oracle would order differently. The declared key
+    runs availableNow (single batch), where the contract is exact;
+    late-data behavior is pinned by
+    tests/test_round10_ops.py::test_subseq_matcher_late_data_divergence.
     """
     import numpy as np
     import pandas as pd
 
+    assert length > 0 and length & (length - 1) == 0, (
+        "subsequence window length must be a power of two (mean "
+        "exactness: the cents sum divides exactly by 2^k)"
+    )
+    flen = float(length)
     qa = [float(v) for v in qshape]
 
     def match(key, pdfs, state):
@@ -1441,14 +1455,14 @@ def make_subseq_matcher(length: int, qshape: list, thresh: float):
                 j0 = max(0, n_tail - length + 1)
                 win = full[j0:]
                 s8 = win.sum(axis=1)
-                mn = s8 / 8.0
+                mn = s8 / flen
                 dev = win.astype("float64") - mn[:, None]
                 ssq = dev[:, 0] * dev[:, 0]
                 for i in range(1, length):
                     ssq = ssq + dev[:, i] * dev[:, i]
                 ok = ssq > 0
                 with np.errstate(divide="ignore", invalid="ignore"):
-                    sd = np.sqrt(ssq / 8.0)
+                    sd = np.sqrt(ssq / flen)
                     z0 = dev[:, 0] / sd - qa[0]
                     d2 = z0 * z0
                     for i in range(1, length):
@@ -1473,8 +1487,11 @@ def _stream_subseq_oracle() -> str:
     """Batch twin of the continuous match (incremental ≡ batch, the
     suite's streaming-oracle convention): identical lag-window /
     cents / left-chain distance SQL as ts_subsequence_topk's oracle,
-    with the top-K replaced by the threshold filter."""
+    with the top-K replaced by the threshold filter. The mean/std
+    divisors derive from L (power of two, asserted — the exactness
+    argument's only L-dependence)."""
     L, q, th = STREAM_SUBSEQ_L, STREAM_SUBSEQ_Q, STREAM_SUBSEQ_THRESH
+    assert L > 0 and L & (L - 1) == 0, "STREAM_SUBSEQ_L must be 2^k"
     lags = ", ".join(
         f"lag(vc, {L - 1 - i}) OVER w AS v{i + 1}" for i in range(L)
     )
@@ -1496,12 +1513,12 @@ def _stream_subseq_oracle() -> str:
       FROM x
       WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
     ), st AS (
-      SELECT user_id, event_id, {vs}, ({s8}) / 8.0 AS mn
+      SELECT user_id, event_id, {vs}, ({s8}) / {float(L)!r} AS mn
       FROM lagged WHERE v1 IS NOT NULL
     ), ss AS (
       SELECT user_id, event_id, {vs}, mn, ({ssq}) AS ssq FROM st
     ), zd AS (
-      SELECT user_id, event_id, {vs}, mn, sqrt(ssq / 8.0) AS sd
+      SELECT user_id, event_id, {vs}, mn, sqrt(ssq / {float(L)!r}) AS sd
       FROM ss WHERE ssq > 0
     ), d AS (
       SELECT user_id, event_id,

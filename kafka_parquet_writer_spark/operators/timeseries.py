@@ -707,6 +707,9 @@ def _subseq_oracle() -> str:
     same left-to-right chain on both sides and floor-rounded to 6
     decimals before the (d2, user_id, event_id) total-order top-K."""
     L, k = SUBSEQ_L, SUBSEQ_K
+    # The mean-is-exact leg of the argument above needs the divisor to
+    # be a power of two; everything else holds for any L.
+    assert L > 0 and L & (L - 1) == 0, "SUBSEQ_L must be a power of two"
     lags = ", ".join(
         f"lag(vc, {L - 1 - i}) OVER w AS v{i + 1}" for i in range(L)
     )
@@ -727,12 +730,12 @@ def _subseq_oracle() -> str:
       FROM x
       WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
     ), st AS (
-      SELECT user_id, event_id, {vs}, ({s8}) / 8.0 AS mn
+      SELECT user_id, event_id, {vs}, ({s8}) / {float(L)!r} AS mn
       FROM lagged WHERE v1 IS NOT NULL
     ), ss AS (
       SELECT user_id, event_id, {vs}, mn, ({ssq}) AS ssq FROM st
     ), zd AS (
-      SELECT user_id, event_id, {vs}, mn, sqrt(ssq / 8.0) AS sd
+      SELECT user_id, event_id, {vs}, mn, sqrt(ssq / {float(L)!r}) AS sd
       FROM ss WHERE ssq > 0
     ), d AS (
       SELECT user_id, event_id, {sql_pround(d2, 6)} AS d2 FROM zd
@@ -771,6 +774,9 @@ def ts_subsequence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops — the ONLY association-sensitive float sum is the final
     distance chain, built left-to-right identically in both engines
     and floor-rounded to 6 decimals before the total-order top-K.
+    The mean-exactness leg requires L be a power of two (asserted in
+    the oracle builder); mean and std divisors derive from SUBSEQ_L,
+    never a literal, so changing L keeps the semantics.
     """
     L, k = SUBSEQ_L, SUBSEQ_K
     ev = load_table(spark, sf_dir, "events")
@@ -792,7 +798,7 @@ def ts_subsequence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     s8 = F.col("v1")
     for i in range(2, L + 1):
         s8 = s8 + F.col(f"v{i}")
-    st = lagged.withColumn("mn", s8 / F.lit(8.0))
+    st = lagged.withColumn("mn", s8 / F.lit(float(L)))
     ssq = (F.col("v1") - F.col("mn")) * (F.col("v1") - F.col("mn"))
     for i in range(2, L + 1):
         dv = F.col(f"v{i}") - F.col("mn")
@@ -800,7 +806,7 @@ def ts_subsequence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     zd = (
         st.withColumn("ssq", ssq)
         .filter(F.col("ssq") > 0)
-        .withColumn("sd", F.sqrt(F.col("ssq") / F.lit(8.0)))
+        .withColumn("sd", F.sqrt(F.col("ssq") / F.lit(float(L))))
     )
     d2 = None
     for i in range(1, L + 1):

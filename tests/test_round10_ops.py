@@ -1,0 +1,209 @@
+"""Round-10 regression tests.
+
+Covers the round-9 VERDICT/ADVICE items:
+  - the subsequence family's window-length parameterization (the
+    hardcoded `/ 8.0` divisors are gone — proven by running the
+    production matcher at L=4 against an independent computation),
+  - the power-of-two exactness precondition is now asserted,
+  - the in-order-arrival contract of the stateful matcher is pinned by
+    a test that DEMONSTRATES the divergence a late event causes
+    (documentation-by-test, per the round-9 ADVICE low item).
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from kafka_parquet_writer_spark.operators.streaming_queries import (
+    STREAM_SUBSEQ_L,
+    STREAM_SUBSEQ_Q,
+    make_subseq_matcher,
+)
+
+
+class FakeState:
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+
+def _rows(series, ts_start=1000, eid_start=0):
+    return [
+        {
+            "ts": pd.Timestamp(ts_start + i, unit="s"),
+            "event_id": eid_start + i,
+            "value": v,
+        }
+        for i, v in enumerate(series)
+    ]
+
+
+def _run(matcher, key, batches):
+    st = FakeState()
+    got = []
+    for b in batches:
+        out = pd.concat(
+            list(matcher(key, [pd.DataFrame(b)], st)), ignore_index=True
+        )
+        got.append(list(zip(out["event_id"], out["d2"])))
+    return got, st
+
+
+def test_subseq_matcher_parameterized_length():
+    """The matcher's mean/std divisors derive from `length`, not a
+    literal 8.0: at L=4 every emitted distance must equal an
+    independent ÷4 z-normalized computation (before the fix, the ÷8
+    divisors gave a different — non-z-normalized — metric that this
+    test would catch)."""
+    L = 4
+    q = [-0.57735, 1.732051, -0.57735, -0.57735]
+    series = [5.0, 9.0, 2.0, 7.0, 1.0, 8.0, 3.0, 6.0]
+    m = make_subseq_matcher(L, q, 1e9)
+    got, _ = _run(m, (1,), [_rows(series)])
+
+    vc = np.floor(np.array(series) * 100.0 + 0.5).astype("int64")
+    want = []
+    for i in range(L - 1, len(vc)):
+        w = vc[i - L + 1 : i + 1].astype(float)
+        mn = w.sum() / float(L)
+        dv = w - mn
+        ssq = float((dv * dv).sum())
+        if ssq <= 0:
+            continue
+        sd = math.sqrt(ssq / float(L))
+        d2 = 0.0
+        for j in range(L):
+            z = dv[j] / sd - q[j]
+            d2 = d2 + z * z
+        want.append((i, math.floor(d2 * 1e6 + 0.5) / 1e6))
+    assert got[0] == want
+    # sanity: the z-normalization is real — a window that IS the query
+    # shape (up to affine transform) must sit at distance ~0
+    shape = [1.0, 9.0, 1.0, 1.0]  # z-normalizes exactly to q
+    m2 = make_subseq_matcher(L, q, 1e9)
+    got2, _ = _run(m2, (1,), [_rows(shape)])
+    assert len(got2[0]) == 1 and got2[0][0][1] < 1e-6
+
+
+def test_subseq_length_power_of_two_asserted():
+    """The exactness argument (mean = int-sum ÷ 2^k is an exact
+    double) is now a checked precondition, not a comment."""
+    with pytest.raises(AssertionError):
+        make_subseq_matcher(6, [0.0] * 6, 1e9)
+    with pytest.raises(AssertionError):
+        make_subseq_matcher(0, [], 1e9)
+    # powers of two construct fine
+    make_subseq_matcher(16, [0.0] * 16, 1e9)
+
+
+def test_subseq_matcher_late_data_divergence():
+    """PIN the in-order-arrival contract (round-9 ADVICE): a late event
+    — tu older than the carried tail — is appended AFTER the tail by
+    the matcher, so its windows use a different value order than the
+    batch replay. incremental == batch therefore holds for in-order
+    arrival only; the declared key runs availableNow (single batch)
+    where the contract is exact. This test demonstrates the divergence
+    so the limitation is explicit, not latent."""
+    L = STREAM_SUBSEQ_L
+    series = [5.0, 9.0, 2.0, 7.0, 1.0, 8.0, 3.0, 6.0, 4.0, 2.5]
+    rows = _rows(series)
+    late = rows[4]  # arrives in batch 2, but its ts precedes the tail
+
+    in_order, _ = _run(
+        make_subseq_matcher(L, STREAM_SUBSEQ_Q, 1e9), (1,), [rows]
+    )
+    batches = [rows[:4] + rows[5:8], [late] + rows[8:]]
+    with_late, _ = _run(
+        make_subseq_matcher(L, STREAM_SUBSEQ_Q, 1e9), (1,), batches
+    )
+    flat_late = with_late[0] + with_late[1]
+    # the late replay produces a DIFFERENT emission set than the
+    # batch-order replay — the documented divergence
+    assert flat_late != in_order[0]
+    # ...but re-running the same two batches in timestamp order agrees
+    # with the single batch (the contract the oracle checks)
+    ordered, _ = _run(
+        make_subseq_matcher(L, STREAM_SUBSEQ_Q, 1e9),
+        (1,),
+        [rows[:4], rows[4:]],
+    )
+    assert ordered[0] + ordered[1] == in_order[0]
+
+
+def test_batch_subseq_divisor_derives_from_length():
+    """Source-level guard on the batch twin: ts_subsequence_topk and
+    its oracle must not contain a literal 8.0 divisor (they derive it
+    from SUBSEQ_L), and the oracle builder asserts the power-of-two
+    precondition."""
+    import inspect
+
+    from kafka_parquet_writer_spark.operators import timeseries as TS
+
+    src = inspect.getsource(TS.ts_subsequence_topk)
+    assert "8.0" not in src
+    assert "float(L)" in src
+    osrc = inspect.getsource(TS._subseq_oracle)
+    assert "/ 8.0" not in osrc
+    assert "L & (L - 1) == 0" in osrc
+    # streaming oracle too
+    from kafka_parquet_writer_spark.operators import streaming_queries as SQ
+
+    ssrc = inspect.getsource(SQ._stream_subseq_oracle)
+    assert "/ 8.0" not in ssrc
+    assert "L & (L - 1) == 0" in ssrc
+
+
+def test_parse_intervals_ignores_header_lookalike_content():
+    """Round-9 ADVICE: a DELETED source line whose content begins with
+    '-- a/…' renders in a unified diff as '--- a/…' — prefix-identical
+    to a file header. The parser now tracks hunk line budgets (and
+    anchors blocks on 'diff --git'), so such content can neither
+    corrupt the old/cur file tracking nor misattribute a following
+    '+++ /dev/null' deletion."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    import evidence_audit as EA
+
+    diff = "\n".join(
+        [
+            "diff --git a/pkg/tricky.py b/pkg/tricky.py",
+            "--- a/pkg/tricky.py",
+            "+++ b/pkg/tricky.py",
+            "@@ -5,2 +5,1 @@",
+            "--- a/decoy.py  # deleted content line, NOT a header",
+            "-+++ b/decoy2.py  # ditto",
+            "+kept = 1",
+            "diff --git a/pkg/gone.py b/pkg/gone.py",
+            "deleted file mode 100644",
+            "--- a/pkg/gone.py",
+            "+++ /dev/null",
+            "@@ -1,3 +0,0 @@",
+            "-a",
+            "--- b  # another deleted line starting with '--'",
+            "-c",
+        ]
+    )
+    got = EA._parse_intervals(diff)
+    # the decoy content did not become a file: only the two real paths
+    assert set(got) == {"pkg/tricky.py", "pkg/gone.py"}
+    assert got["pkg/tricky.py"] == [(5, 5)]
+    # the deletion is attributed to the deleted file's old path
+    assert got["pkg/gone.py"] == [(0, 0)]

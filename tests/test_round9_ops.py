@@ -316,12 +316,12 @@ def test_ts_subsequence_topk_matches_numpy_and_plan(spark):
         eid = g["event_id"].to_numpy()
         for i in range(L - 1, len(vc)):
             w = vc[i - L + 1 : i + 1].astype(float)
-            mn = w.sum() / 8.0
+            mn = w.sum() / float(L)
             dv = w - mn
             ssq = float((dv * dv).sum())
             if ssq <= 0:
                 continue
-            sd = math.sqrt(ssq / 8.0)
+            sd = math.sqrt(ssq / float(L))
             d2 = float(((dv / sd - q) ** 2).sum())
             d2r = math.floor(d2 * 1e6 + 0.5) / 1e6
             cands.append((d2r, int(uid), int(eid[i])))

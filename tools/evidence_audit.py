@@ -105,7 +105,31 @@ def _parse_intervals(out: str) -> dict[str, list[tuple[int, int]]]:
     ranges: dict[str, list[tuple[int, int]]] = {}
     cur: str | None = None
     old: str | None = None
+    # Remaining content lines of the current hunk. A DELETED source
+    # line whose content begins with '-- a/…' renders in the diff as
+    # '--- a/…' (the deletion '-' plus the content) — backdrop-identical
+    # to a file header (round-9 ADVICE). Headers can only occur when no
+    # hunk content is pending, so track the hunk's -/+ line budget and
+    # treat prefixed lines inside it as content, never headers.
+    pend_old = pend_new = 0
     for line in out.splitlines():
+        if line.startswith("diff --git "):
+            # a bare 'diff --git' can never be hunk content (content
+            # lines always carry a +/-/space prefix) — it is the one
+            # unambiguous block anchor, so it also clears any pending
+            # budget from a (theoretically) truncated hunk.
+            pend_old = pend_new = 0
+            continue
+        if pend_old > 0 or pend_new > 0:
+            if line.startswith("-"):
+                pend_old -= 1
+            elif line.startswith("+"):
+                pend_new -= 1
+            elif line.startswith(" "):
+                pend_old -= 1
+                pend_new -= 1
+            # '\ No newline at end of file' consumes no budget
+            continue
         if line.startswith("--- a/"):
             old = line[6:]
         elif line.startswith("--- "):
@@ -128,6 +152,9 @@ def _parse_intervals(out: str) -> dict[str, list[tuple[int, int]]]:
                 continue
             start = int(m.group(1))
             count = int(m.group(2)) if m.group(2) is not None else 1
+            mo = re.match(r"@@ -\d+(?:,(\d+))?", line)
+            oldcount = int(mo.group(1)) if mo and mo.group(1) is not None else 1
+            pend_old, pend_new = oldcount, count
             # a pure deletion (count 0) still touches the seam between
             # `start` and `start+1` in the new file — count it as one
             # line so a helper whose interior lines were deleted flags
