@@ -66,15 +66,26 @@ def build_file_descriptor_set(
     fields: list[tuple[str, int, str]],
     package: str = "kpws",
     filename: str = "kpws_generated.proto",
+    nested: dict[str, list[tuple[str, int, str]]] | None = None,
 ) -> bytes:
-    """Hand-encode a ``FileDescriptorSet`` for one flat proto3 message —
+    """Hand-encode a ``FileDescriptorSet`` for one proto3 message —
     the descriptor input ``from_protobuf`` needs — without protoc.
 
-    ``fields``: [(field_name, field_number, type)] with type from
-    ``_PROTO_FIELD_TYPES``. descriptor.proto's own wire layout is the
-    stable public protobuf spec, so emitting it with the same varint /
-    length-delimited primitives the tier-2 reader uses is ~30 lines.
-    The resulting message's full name is ``<package>.<message_name>``.
+    ``fields``: [(field_name, field_number, type)]; type is a scalar
+    from ``_PROTO_FIELD_TYPES``, optionally prefixed ``repeated ``
+    (LABEL_REPEATED), or ``message:<Name>`` referencing an entry in
+    ``nested`` (a two-level message — the reference's own test schema
+    is flat scalars only, `src/test/resources/test-message.proto:5-10`,
+    but parquet-protobuf passes nested groups straight through,
+    `ParquetFile.java:97-99`, so the decode path must cover them).
+    ``nested``: {NestedName: fields} — emitted as
+    ``DescriptorProto.nested_type``; message-typed fields get
+    ``type_name = .<package>.<message_name>.<NestedName>``.
+
+    descriptor.proto's own wire layout is the stable public protobuf
+    spec, so emitting it with the same varint / length-delimited
+    primitives the tier-2 reader uses is ~40 lines. The resulting
+    message's full name is ``<package>.<message_name>``.
     """
 
     def varint(v: int) -> bytes:
@@ -94,16 +105,33 @@ def build_file_descriptor_set(
     def vint(fnum: int, v: int) -> bytes:  # varint field
         return varint((fnum << 3) | _VARINT) + varint(v)
 
-    field_protos = b""
-    for name, number, ftype in fields:
-        field_protos += ld(
-            2,  # DescriptorProto.field
+    def field_proto(name: str, number: int, ftype: str) -> bytes:
+        label = 1  # LABEL_OPTIONAL
+        if ftype.startswith("repeated "):
+            label = 3  # LABEL_REPEATED
+            ftype = ftype[len("repeated "):]
+        body = (
             ld(1, name.encode())  # FieldDescriptorProto.name
             + vint(3, number)  # .number
-            + vint(4, 1)  # .label = LABEL_OPTIONAL
-            + vint(5, _PROTO_FIELD_TYPES[ftype]),  # .type
+            + vint(4, label)  # .label
         )
-    message_type = ld(1, message_name.encode()) + field_protos
+        if ftype.startswith("message:"):
+            tname = f".{package}.{message_name}.{ftype[len('message:'):]}"
+            body += vint(5, 11)  # .type = TYPE_MESSAGE
+            body += ld(6, tname.encode())  # .type_name (fully qualified)
+        else:
+            body += vint(5, _PROTO_FIELD_TYPES[ftype])  # .type
+        return ld(2, body)  # DescriptorProto.field
+
+    field_protos = b"".join(field_proto(*f) for f in fields)
+    nested_protos = b""
+    for nname, nfields in (nested or {}).items():
+        nested_protos += ld(  # DescriptorProto.nested_type
+            3,
+            ld(1, nname.encode())
+            + b"".join(field_proto(*f) for f in nfields),
+        )
+    message_type = ld(1, message_name.encode()) + field_protos + nested_protos
     file_proto = (
         ld(1, filename.encode())  # FileDescriptorProto.name
         + ld(2, package.encode())  # .package
@@ -172,8 +200,12 @@ def parse_wire_format(data: bytes) -> dict[int, list]:
 
 
 def encode_wire_format(fields: dict[int, object]) -> bytes:
-    """Inverse of parse_wire_format for ints/strings/bytes — used by
-    tests to produce reference-shaped messages without protoc."""
+    """Inverse of parse_wire_format — used by tests to produce
+    reference-shaped messages without protoc. Beyond ints/strings/
+    bytes: a ``dict`` value encodes as a nested sub-message (LEN), a
+    ``list`` of ints as a PACKED repeated field (proto3's default
+    scalar encoding), and a ``list`` of strings as repeated LEN
+    occurrences."""
     out = bytearray()
 
     def put_varint(v: int) -> None:
@@ -186,34 +218,140 @@ def encode_wire_format(fields: dict[int, object]) -> bytes:
                 out.append(b)
                 return
 
+    def put_len(fnum: int, raw: bytes) -> None:
+        put_varint((fnum << 3) | _LEN)
+        put_varint(len(raw))
+        out.extend(raw)
+
     for fnum, val in fields.items():
+        if isinstance(val, bool):
+            raise TypeError("encode bools as ints explicitly")
         if isinstance(val, int):
             put_varint((fnum << 3) | _VARINT)
             # proto int32/int64 encode negatives as 64-bit
             # two's-complement (always 10 bytes on the wire)
             put_varint(val & 0xFFFFFFFFFFFFFFFF)
+        elif isinstance(val, dict):
+            put_len(fnum, encode_wire_format(val))
+        elif isinstance(val, list):
+            if val and isinstance(val[0], int):
+                packed = bytearray()
+                for v in val:
+                    x = v & 0xFFFFFFFFFFFFFFFF
+                    while True:
+                        b = x & 0x7F
+                        x >>= 7
+                        if x:
+                            packed.append(b | 0x80)
+                        else:
+                            packed.append(b)
+                            break
+                put_len(fnum, bytes(packed))
+            else:
+                for v in val:
+                    put_len(
+                        fnum,
+                        v.encode() if isinstance(v, str) else bytes(v),
+                    )
         else:
             raw = val.encode() if isinstance(val, str) else bytes(val)
-            put_varint((fnum << 3) | _LEN)
-            put_varint(len(raw))
-            out.extend(raw)
+            put_len(fnum, raw)
     return bytes(out)
 
 
-def wire_format_decoder(
-    field_map: dict[str, tuple[int, str]], value_col: str = "value"
-):
-    """mapInPandas decoder factory for flat proto messages.
+def _signed(v: int) -> int:
+    # varints are unsigned on the wire; proto int32/int64 negatives
+    # arrive as 64-bit two's-complement (parser.parseFrom semantics;
+    # without this they'd overflow Arrow int64)
+    return v - (1 << 64) if v > 0x7FFFFFFFFFFFFFFF else v
 
-    ``field_map``: output column → (proto field number, type) with type
-    in {"string", "long", "int"} — covers the reference test schema.
+
+def _varints_of(vals: list) -> list[int]:
+    """Flatten repeated-varint occurrences: each occurrence is either a
+    bare varint (unpacked) or a LEN payload of concatenated varints
+    (packed — proto3's default for repeated scalars). Parsers must
+    accept BOTH forms regardless of the declared packedness (public
+    encoding spec), so this does."""
+    out: list[int] = []
+    for v in vals:
+        if isinstance(v, int):
+            out.append(_signed(v))
+            continue
+        i, n = 0, len(v)
+        while i < n:
+            shift = result = 0
+            while True:
+                if i >= n:
+                    raise ValueError("truncated packed varint")
+                b = v[i]
+                i += 1
+                result |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+                if shift > 63:
+                    raise ValueError("varint too long")
+            out.append(_signed(result))
+    return out
+
+
+def _extract(parsed: dict[int, list], fnum: int, ftype) -> object:
+    """One typed column value from parsed wire fields. ``ftype`` is a
+    scalar name, an ``array<...>`` of scalars, or a nested field_map
+    dict (→ struct as a python dict; singular message fields take the
+    LAST occurrence — the proto3 merge rule collapsed to last-wins for
+    the scalar-leaf schemas this tier covers)."""
+    vals = parsed.get(fnum)
+    if isinstance(ftype, dict):
+        if not vals:
+            return None
+        sub = parse_wire_format(bytes(vals[-1]))
+        return {
+            name: _extract(sub, sfnum, sftype)
+            for name, (sfnum, sftype) in ftype.items()
+        }
+    if ftype.startswith("array<"):
+        if not vals:
+            return None
+        elem = ftype[len("array<"):-1]
+        if elem == "string":
+            return [v.decode("utf-8", "replace") for v in vals]
+        return _varints_of(vals)
+    if not vals:
+        return None
+    if ftype == "string":
+        return vals[-1].decode("utf-8", "replace")
+    return _signed(int(vals[-1]))
+
+
+def _sql_type(ftype) -> str:
+    if isinstance(ftype, dict):
+        inner = ", ".join(
+            f"{n}: {_sql_type(t)}" for n, (_, t) in ftype.items()
+        )
+        return f"struct<{inner}>"
+    return ftype
+
+
+def wire_format_decoder(
+    field_map: dict[str, tuple[int, object]], value_col: str = "value"
+):
+    """mapInPandas decoder factory for proto messages.
+
+    ``field_map``: output column → (proto field number, type). Type is
+    "string" / "long" / "int" (the reference test schema,
+    `test-message.proto:5-10`), "array<long|int|string>" for repeated
+    fields (packed AND unpacked accepted), or a nested field_map dict
+    for a two-level message (→ struct column) — the shapes
+    parquet-protobuf would pass through (`ParquetFile.java:97-99`).
     Malformed values yield all-null rows (vs reference crash, :272-277).
     """
     import pandas as pd
 
     names = list(field_map)
     schema = ", ".join(
-        f"{name} {ftype}" for name, (_, ftype) in field_map.items()
+        f"{name} {_sql_type(ftype)}"
+        for name, (_, ftype) in field_map.items()
     )
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -222,25 +360,14 @@ def wire_format_decoder(
             for raw in pdf[value_col]:
                 try:
                     parsed = parse_wire_format(bytes(raw))
+                    row = {
+                        name: _extract(parsed, fnum, ftype)
+                        for name, (fnum, ftype) in field_map.items()
+                    }
                 except ValueError:
-                    for name in names:
-                        cols[name].append(None)
-                    continue
-                for name, (fnum, ftype) in field_map.items():
-                    vals = parsed.get(fnum)
-                    if not vals:
-                        cols[name].append(None)
-                    elif ftype == "string":
-                        cols[name].append(vals[-1].decode("utf-8", "replace"))
-                    else:
-                        v = int(vals[-1])
-                        # varints are unsigned on the wire; proto
-                        # int32/int64 negatives arrive as 64-bit
-                        # two's-complement (parser.parseFrom semantics;
-                        # without this they'd overflow Arrow int64)
-                        if v > 0x7FFFFFFFFFFFFFFF:
-                            v -= 1 << 64
-                        cols[name].append(v)
+                    row = {name: None for name in names}
+                for name in names:
+                    cols[name].append(row[name])
             yield pd.DataFrame(cols)
 
     def apply(df: DataFrame) -> DataFrame:

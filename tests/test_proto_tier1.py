@@ -75,3 +75,118 @@ def test_from_protobuf_roundtrip_when_jar_present(spark):
         ("q-0", 1_700_000_000_000, 7),
         ("q-1", -5, -1),
     ]
+
+
+# ------------------------------------------ nested + repeated (round 10)
+
+#: a two-level schema: the reference's own test schema is flat scalars
+#: (`src/test/resources/test-message.proto:5-10`), but parquet-protobuf
+#: passes nested groups straight through (`ParquetFile.java:97-99`), so
+#: the decode tier must cover one nested and one repeated field.
+NESTED_FIELDS = [
+    ("query", 1, "string"),
+    ("timestamp", 2, "int64"),
+    ("tags", 3, "repeated int32"),
+    ("meta", 4, "message:Meta"),
+]
+META_FIELDS = [
+    ("source", 1, "string"),
+    ("weight", 2, "int64"),
+]
+
+
+def test_descriptor_set_nested_and_repeated_structure():
+    """The hand-built descriptor for a two-level message must carry the
+    LABEL_REPEATED label, the TYPE_MESSAGE + fully-qualified type_name,
+    and the nested DescriptorProto."""
+    blob = build_file_descriptor_set(
+        "Outer", NESTED_FIELDS, nested={"Meta": META_FIELDS}
+    )
+    fdp = parse_wire_format(parse_wire_format(blob)[1][0])
+    msg = parse_wire_format(fdp[4][0])
+    assert msg[1][0] == b"Outer"
+    fields = [parse_wire_format(f) for f in msg[2]]
+    by_name = {f[1][0].decode(): f for f in fields}
+    # repeated int32: label 3 (LABEL_REPEATED), type 5 (TYPE_INT32)
+    assert by_name["tags"][4][0] == 3 and by_name["tags"][5][0] == 5
+    # message field: label 1, type 11 (TYPE_MESSAGE), qualified name
+    assert by_name["meta"][5][0] == 11
+    assert by_name["meta"][6][0] == b".kpws.Outer.Meta"
+    # the nested type itself, with its scalar fields
+    nested = parse_wire_format(msg[3][0])
+    assert nested[1][0] == b"Meta"
+    nfields = [parse_wire_format(f) for f in nested[2]]
+    assert [(f[1][0].decode(), f[5][0]) for f in nfields] == [
+        ("source", 9),
+        ("weight", 3),
+    ]
+
+
+def test_from_protobuf_nested_repeated_when_jar_present(spark):
+    """Tier-1 end-to-end decode of a two-level message with a repeated
+    field. Skips (does not silently pass) when the jar is absent."""
+    desc = build_file_descriptor_set(
+        "Outer", NESTED_FIELDS, nested={"Meta": META_FIELDS}
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="kpws_desc_"), "desc.bin")
+    with open(path, "wb") as f:
+        f.write(desc)
+    msgs = [
+        {1: "q-0", 2: 11, 3: [1, 2, 300], 4: {1: "web", 2: 5}},
+        {1: "q-1", 2: 22, 3: [], 4: {1: "api", 2: -9}},
+    ]
+    df = spark.createDataFrame(
+        [(encode_wire_format(m),) for m in msgs], "value binary"
+    )
+    decode = proto_decoder(path, "kpws.Outer")
+    try:
+        rows = sorted(decode(df).collect(), key=lambda r: r.timestamp)
+    except Exception as e:  # noqa: BLE001
+        if "PROTOBUF_NOT_LOADED" in str(e):
+            pytest.skip("spark-protobuf jar not on the classpath")
+        raise
+    assert rows[0].query == "q-0" and list(rows[0].tags) == [1, 2, 300]
+    assert rows[0].meta.source == "web" and rows[0].meta.weight == 5
+    assert list(rows[1].tags) == [] and rows[1].meta.weight == -9
+
+
+def test_wire_decoder_nested_and_repeated(spark):
+    """Tier-2 decode (always runs) of the same two-level shape: packed
+    AND unpacked repeated encodings both land as array<long>, the
+    nested message lands as a struct column, and a malformed value
+    still yields an all-null row."""
+    from kafka_parquet_writer_spark.sources.decoders import (
+        wire_format_decoder,
+    )
+
+    packed = encode_wire_format(
+        {1: "q-0", 2: 11, 3: [1, 2, 300], 4: {1: "web", 2: 5}}
+    )
+    # unpacked form: three separate varint occurrences of field 3
+    # (tag 0x18 = field 3, wire type 0; 300 varint-encodes as ac 02)
+    unpacked = (
+        encode_wire_format({1: "q-1", 2: 22})
+        + b"\x18\x01\x18\x02\x18\xac\x02"
+        + encode_wire_format({4: {1: "api", 2: -9}})
+    )
+    df = spark.createDataFrame(
+        [(packed,), (unpacked,), (b"\xff\xff",)], "value binary"
+    )
+    decoder = wire_format_decoder(
+        {
+            "query": (1, "string"),
+            "timestamp": (2, "long"),
+            "tags": (3, "array<long>"),
+            "meta": (4, {"source": (1, "string"), "weight": (2, "long")}),
+        }
+    )
+    out = decoder(df).collect()
+    assert len(out) == 3
+    r0 = next(r for r in out if r.query == "q-0")
+    assert list(r0.tags) == [1, 2, 300]
+    assert r0.meta.source == "web" and r0.meta.weight == 5
+    r1 = next(r for r in out if r.query == "q-1")
+    assert list(r1.tags) == [1, 2, 300]
+    assert r1.meta.source == "api" and r1.meta.weight == -9
+    bad = next(r for r in out if r.query is None)
+    assert bad.tags is None and bad.meta is None
