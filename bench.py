@@ -147,6 +147,8 @@ STREAMING_HEADLINE = [
     "stream_static_enrich",
     # round 9
     "stream_subsequence_match",
+    # round 10
+    "stream_bpe_vocab_drift",
 ]
 
 
@@ -209,6 +211,11 @@ def main() -> None:
     # cache a query builds internally is dropped so queries don't
     # interfere.
     timings: dict[str, float] = {}
+    #: which pass produced each key's winning (min) time — lets a
+    #: contended headline be diagnosed per-key: keys whose win came
+    #: from a late pass were slowed earlier, keys winning pass 1
+    #: everywhere suggest later contention (r9 VERDICT item 7)
+    win_pass: dict[str, int] = {}
     failed: list[str] = []
     for _pass in range(n_passes):
         for name in HEADLINE:
@@ -226,6 +233,8 @@ def main() -> None:
                 continue
             finally:
                 spark.catalog.clearCache()
+            if name not in timings or dt < timings[name]:
+                win_pass[name] = _pass + 1
             timings[name] = round(min(timings.get(name, dt), dt), 3)
             print(f"{name}: {dt:.3f}s (pass {_pass + 1})", file=sys.stderr)
 
@@ -246,6 +255,8 @@ def main() -> None:
                 failed.append(name)
                 streaming.pop(name, None)
                 continue
+            if name not in streaming or dt < streaming[name]:
+                win_pass[name] = _pass + 1
             streaming[name] = round(min(streaming.get(name, dt), dt), 3)
             print(f"{name}: {dt:.3f}s (pass {_pass + 1})", file=sys.stderr)
 
@@ -297,7 +308,9 @@ def main() -> None:
                 )
                 t0 = time.time()
                 ingest_once(spark, cfg)
-                best = min(best, time.time() - t0)
+                dt = time.time() - t0
+                if dt < best:
+                    best, win_pass[tag] = dt, attempt + 1
         except Exception as e:  # noqa: BLE001
             print(f"{tag}: FAILED ({e})", file=sys.stderr)
             failed.append(tag)
@@ -344,6 +357,10 @@ def main() -> None:
         "loadavg_start": round(load_at_start, 2),
         "loadavg_end": round(os.getloadavg()[0], 2),
         "passes": n_passes,
+        # per-key pass provenance (diagnosability only, no behavior
+        # change): a cluster of late-pass wins localizes contention to
+        # the earlier passes' wall-clock window
+        "win_pass": win_pass,
     }
     # The driver records only the last 2000 chars of output; the full
     # per-query line outgrew that in round 4 (70+ keys) and the tail

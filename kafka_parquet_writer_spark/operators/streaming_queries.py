@@ -1566,3 +1566,151 @@ def stream_subsequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(matches, "update")
     return out.select("user_id", "event_id", "d2")
+
+
+# ---------------------------------------------------------------------------
+# streaming BPE vocabulary drift (incremental tokenizer pair-stats)
+# ---------------------------------------------------------------------------
+
+BPE_DRIFT_TOPK = 40  #: pairs reported
+#: doc_id-ranged corpus epochs == micro-batches (reuses the dedup
+#: stream staging, so each epoch arrives as its own micro-batch)
+BPE_DRIFT_EPOCHS = DEDUP_STREAM_BATCHES
+
+
+def _bpe_drift_oracle() -> str:
+    """Batch twin of the incremental pair-stats aggregate (incremental
+    ≡ batch, the suite's streaming-oracle convention). Epochs derive
+    from doc_id with the SAME lo/span arithmetic the stage splitter
+    uses, so the grouping is deterministic in the data, independent of
+    file→micro-batch mapping. The drift stat uses two NON-NEGATIVE
+    integer divisions (late/early per-mille of the pair's total) —
+    truncation agrees across engines only away from negatives."""
+    from kafka_parquet_writer_spark.functions import texthash as TH
+
+    B, K, half = BPE_DRIFT_EPOCHS, BPE_DRIFT_TOPK, BPE_DRIFT_EPOCHS // 2
+    return f"""
+    WITH bounds AS (
+      SELECT min(doc_id) AS lo,
+             (max(doc_id) - min(doc_id) + {B}) // {B} AS span
+      FROM documents
+    ), w AS (
+      SELECT doc_id, {TH.sql_words('text')} AS ws FROM documents
+    ), pairs AS (
+      SELECT CAST((w.doc_id - bd.lo) // bd.span AS BIGINT) AS epoch,
+             ws[r.i] AS a, ws[r.i + 1] AS b
+      FROM w CROSS JOIN bounds bd, range(1, 1000000) AS r(i)
+      WHERE r.i + 1 <= len(ws)
+    ), agg AS (
+      SELECT a, b,
+             CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN epoch < {half} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_early,
+             CAST(sum(CASE WHEN epoch >= {half} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_late
+      FROM pairs GROUP BY a, b
+    )
+    SELECT a, b, n_total, n_early, n_late,
+           CAST(n_late * 1000 // n_total - n_early * 1000 // n_total
+             AS BIGINT) AS drift_milli
+    FROM agg
+    ORDER BY n_total DESC, a, b
+    LIMIT {K}
+    """
+
+
+@query("stream_bpe_vocab_drift", oracle=_bpe_drift_oracle())
+def stream_bpe_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming VOCABULARY DRIFT — the tokenizer story's continuous
+    half (the r9 SURVEY's own r10 candidate): documents arrive in
+    doc_id-ordered micro-batches (corpus epochs), and a streaming
+    stateful aggregate maintains per-epoch adjacent-pair counts — the
+    statistic a BPE trainer maximizes (text_bpe_merge_candidates'
+    batch form, corpus_prep.py) — incrementally, one state update per
+    micro-batch. The final report: the top-{BPE_DRIFT_TOPK} pairs by
+    total count with early→late drift in per-mille of the pair's
+    occurrences, the signal that tells a tokenizer owner WHEN the
+    merge table trained on epoch-0 data has gone stale.
+
+    Incremental ≡ batch: epochs derive from doc_id (same lo/span
+    arithmetic as the stage splitter), not from batch ids, so the
+    DuckDB batch oracle reproduces the exact grouping; the streaming
+    state (complete-mode agg keyed (epoch, a, b)) is what accumulates
+    across the {BPE_DRIFT_EPOCHS} micro-batches.
+
+    Scale shape: per micro-batch, pair extraction is an array-domain
+    per-row transform (NO positional self-join — that would shuffle
+    the exploded corpus twice), then ONE shuffle into the state store
+    with map-side partial aggregation (distinct pairs, not
+    occurrences, cross the wire). State is O(distinct pairs × epochs),
+    bounded by observed-vocab² — at 100 TB hold it in the RocksDB
+    state store partitioned by pair hash, or cap it with the
+    text_heavy_hitters sketch when the long tail stops mattering; the
+    drift finisher reads only the state table, never the corpus.
+    Events-side ingest parity: the reference lands raw bytes and would
+    recompute these stats in a nightly batch (KafkaProtoParquetWriter
+    has no transform stage); computing them in-stream replaces that
+    second pipeline.
+    """
+    from kafka_parquet_writer_spark.functions import texthash as TH
+
+    B, half = BPE_DRIFT_EPOCHS, BPE_DRIFT_EPOCHS // 2
+    docs_path = table_path(sf_dir, "documents")
+    ensure_nanos_readable(spark)
+    lo, hi = (
+        spark.read.parquet(docs_path)
+        .agg(F.min("doc_id"), F.max("doc_id"))
+        .first()
+    )
+    span = (hi - lo + B) // B
+    stage = _documents_batched_dir(spark, sf_dir)
+    schema = spark.read.parquet(docs_path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    w = src.select(
+        F.expr(f"(doc_id - {lo}) div {span}").alias("epoch"),
+        TH.words_expr("text").alias("ws"),
+    ).filter(F.size("ws") >= 2)
+    pairs = w.select(
+        "epoch",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> struct(ws[i - 1] AS a, ws[i] AS b))"
+            )
+        ).alias("p"),
+    ).select("epoch", "p.a", "p.b")
+    agg = pairs.groupBy("epoch", "a", "b").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = _run_to_memory(agg, "complete")
+    return (
+        out.groupBy("a", "b")
+        .agg(
+            F.sum("n").cast("long").alias("n_total"),
+            F.sum(F.when(F.col("epoch") < half, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_early"),
+            F.sum(F.when(F.col("epoch") >= half, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_late"),
+        )
+        .select(
+            "a",
+            "b",
+            "n_total",
+            "n_early",
+            "n_late",
+            (
+                F.expr("n_late * 1000 div n_total")
+                - F.expr("n_early * 1000 div n_total")
+            )
+            .cast("long")
+            .alias("drift_milli"),
+        )
+        .orderBy(F.col("n_total").desc(), "a", "b")
+        .limit(BPE_DRIFT_TOPK)
+    )

@@ -207,3 +207,58 @@ def test_parse_intervals_ignores_header_lookalike_content():
     assert got["pkg/tricky.py"] == [(5, 5)]
     # the deletion is attributed to the deleted file's old path
     assert got["pkg/gone.py"] == [(0, 0)]
+
+
+# ------------------------------------- stream_bpe_vocab_drift (new key)
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_stream_bpe_vocab_drift_matches_independent_computation(spark):
+    """Third implementation (pure pandas, no Spark, no DuckDB) of the
+    drift stats at sf0.001: epoch derivation from doc_id lo/span,
+    adjacent-pair counts, early/late split, per-mille drift — the
+    streaming key must reproduce it exactly, proving the incremental
+    state accumulation equals the batch statistic."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from kafka_parquet_writer_spark.operators import streaming_queries as SQ
+
+    out = SQ.stream_bpe_vocab_drift(spark, SF_SMALL)
+    got = [
+        (r.a, r.b, r.n_total, r.n_early, r.n_late, r.drift_milli)
+        for r in out.collect()
+    ]
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"],
+    ).to_pandas()
+    B = SQ.BPE_DRIFT_EPOCHS
+    lo, hi = int(t["doc_id"].min()), int(t["doc_id"].max())
+    span = (hi - lo + B) // B
+    half = B // 2
+    counts: dict = {}
+    for doc_id, text in zip(t["doc_id"], t["text"]):
+        epoch = (int(doc_id) - lo) // span
+        ws = [w for w in re.split(r"\s+", str(text).lower()) if w]
+        for x, y in zip(ws, ws[1:]):
+            key = (x, y)
+            tot, early, late = counts.get(key, (0, 0, 0))
+            counts[key] = (
+                tot + 1,
+                early + (1 if epoch < half else 0),
+                late + (1 if epoch >= half else 0),
+            )
+    rows = [
+        (a, b, tot, early, late, late * 1000 // tot - early * 1000 // tot)
+        for (a, b), (tot, early, late) in counts.items()
+    ]
+    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+    want = rows[: SQ.BPE_DRIFT_TOPK]
+    assert got == want
+    # invariants: epochs partition the corpus
+    assert all(r[2] == r[3] + r[4] for r in got)
+    assert all(-1000 <= r[5] <= 1000 for r in got)
