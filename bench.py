@@ -128,6 +128,8 @@ HEADLINE = [
     "text_bpe_encode",
     "text_bpe_batched",
     "ts_subsequence_topk",
+    # round 10
+    "mixture_temperature_sample",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming

@@ -1167,6 +1167,190 @@ def subseq_prune_lane() -> None:
     print(json.dumps({"subseq_prune_experiment": out}))
 
 
+def bpe_drift_lane() -> None:
+    """Opt-in lane (`python bench_scale.py bpedrift`): scale receipts
+    for stream_bpe_vocab_drift's two claims — wall-clock is ~affine in
+    corpus size (streaming fixed overhead + per-copy work, the
+    STREAMING_SCALE convention), and the state-store footprint is
+    O(distinct pairs × epochs), bounded by VOCABULARY, not corpus.
+    Two blow-up modes separate those:
+
+      decorrelated — every copy's words are tagged per copy (the
+        build_blowup convention), so distinct pairs grow ∝ k: the
+        honest WORST case, state must grow linearly.
+      shared_vocab — copies keep the fixture's vocabulary (doc_ids
+        re-keyed only), so distinct pairs stay ~constant while the
+        token stream grows ∝ k: the typical-corpus case the
+        "state bounded by observed-vocab²" docstring claim rests on.
+
+    Per (mode, k): min-of-2 end-to-end wall of the declared key, plus
+    batch-computed receipts (state rows = distinct (epoch, a, b),
+    distinct pairs, token count). Merged into BENCH_SCALE.json under
+    "bpe_drift_experiment"."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kafka_parquet_writer_spark import get_spark
+    from kafka_parquet_writer_spark.catalog import (
+        TABLES,
+        load_table,
+        table_path,
+    )
+    from kafka_parquet_writer_spark.functions import texthash as TH
+    from kafka_parquet_writer_spark.operators import streaming_queries as SQ
+
+    spark = get_spark("bpe_drift_lane")
+    B = SQ.BPE_DRIFT_EPOCHS
+    # warm up codegen + the python worker pool + streaming machinery
+    # once, outside any timed point (the first streaming run pays
+    # several seconds of one-time setup that poisoned the x1 point and
+    # the affine fit in the first cut of this lane)
+    SQ.stream_bpe_vocab_drift(spark, SF_DIR).count()
+
+    def build_docs(k: int, tag_words: bool) -> str:
+        out = tempfile.mkdtemp(prefix=f"kpws_bpedrift_x{k}_")
+        for t in TABLES:
+            if t == "documents":
+                continue
+            os.symlink(table_path(SF_DIR, t), table_path(out, t))
+        docs = load_table(spark, SF_DIR, "documents")
+        copies = []
+        for i in range(k):
+            c = docs.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(i * COPY_STRIDE)
+            )
+            if i > 0 and tag_words:
+                c = c.withColumn(
+                    "text", F.regexp_replace("text", r"(\w+)", f"x{i}$1")
+                )
+            copies.append(c)
+        blown = copies[0]
+        for c in copies[1:]:
+            blown = blown.unionByName(c)
+        blown.write.mode("overwrite").parquet(table_path(out, "documents"))
+        return out
+
+    out: dict = {"epochs": B, "points": []}
+    walls: dict[str, dict[int, float]] = {}
+    # Build every dir up front, then time in INTERLEAVED passes over
+    # all (mode, k) points — this box degrades monotonically under JVM
+    # churn (khugepaged THP compaction), so back-to-back per-point
+    # timing loads the later points unfairly; min over interleaved
+    # passes is the bench.py convention. Pass 1 additionally pays each
+    # point's one-time stage split; min-of-3 absorbs it.
+    points = [
+        (mode, k)
+        for mode in ("decorrelated", "shared_vocab")
+        for k in (1, 2, 4, 8)
+    ]
+    dirs = {
+        (mode, k): build_docs(k, tag_words=(mode == "decorrelated"))
+        for mode, k in points
+    }
+    best: dict[tuple, float] = {}
+    n_outs: dict[tuple, int] = {}
+    for _pass in range(3):
+        for p in points:
+            t0 = time.time()
+            n_outs[p] = SQ.stream_bpe_vocab_drift(spark, dirs[p]).count()
+            dt = time.time() - t0
+            best[p] = min(best.get(p, dt), dt)
+            print(
+                f"{p[0]} x{p[1]}: {dt:.3f}s (pass {_pass + 1})",
+                file=sys.stderr,
+            )
+    for mode, k in points:
+        d = dirs[(mode, k)]
+        try:
+            lo, hi = (
+                load_table(spark, d, "documents")
+                .agg(F.min("doc_id"), F.max("doc_id"))
+                .first()
+            )
+            span = (hi - lo + B) // B
+            w = (
+                load_table(spark, d, "documents")
+                .select(
+                    F.expr(f"(doc_id - {lo}) div {span}").alias("epoch"),
+                    TH.words_expr("text").alias("ws"),
+                )
+                .filter(F.size("ws") >= 2)
+            )
+            pairs = w.select(
+                "epoch",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(ws) - 1),"
+                        " i -> struct(ws[i - 1] AS a, ws[i] AS b))"
+                    )
+                ).alias("p"),
+            ).select("epoch", "p.a", "p.b")
+            state_rows = (
+                pairs.groupBy("epoch", "a", "b").count().count()
+            )
+            distinct_pairs = (
+                pairs.select("a", "b").distinct().count()
+            )
+            tokens = (
+                load_table(spark, d, "documents")
+                .agg(F.sum(F.size(TH.words_expr("text"))))
+                .first()[0]
+            )
+            rec = {
+                "mode": mode,
+                "k": k,
+                "wall_sec": round(best[(mode, k)], 3),
+                "rows_out": int(n_outs[(mode, k)]),
+                "state_rows": int(state_rows),
+                "distinct_pairs": int(distinct_pairs),
+                "tokens": int(tokens),
+            }
+            walls.setdefault(mode, {})[k] = rec["wall_sec"]
+            out["points"].append(rec)
+            print(
+                f"{mode} x{k}: {rec['wall_sec']:.3f}s, "
+                f"state={state_rows}, pairs={distinct_pairs}, "
+                f"tokens={tokens}",
+                file=sys.stderr,
+            )
+        finally:
+            # drop the cached stage split (keyed by sf_dir) AND the
+            # blow-up; both are per-k temp dirs
+            staged = SQ._dedup_stage_cache.pop(
+                f"{d}|{SQ.DEDUP_STREAM_BATCHES}", None
+            )
+            if staged:
+                shutil.rmtree(staged, ignore_errors=True)
+            shutil.rmtree(d, ignore_errors=True)
+    out["wall_affine"] = {m: fit_affine(t) for m, t in walls.items()}
+    # the vocabulary-bound claim reads off DISTINCT PAIRS (the state's
+    # per-epoch replication is geometry of how copies land in epochs,
+    # not corpus growth): decorrelated copies grow pairs ∝ k by
+    # construction (worst case), shared-vocab copies hold them flat
+    # while tokens grow ∝ k (the typical-corpus case)
+    for field in ("distinct_pairs", "state_rows", "tokens"):
+        by_mode: dict[str, dict[int, int]] = {}
+        for rec in out["points"]:
+            by_mode.setdefault(rec["mode"], {})[rec["k"]] = rec[field]
+        out[f"{field}_growth_x8_over_x1"] = {
+            m: round(t[8] / t[1], 3) for m, t in by_mode.items()
+        }
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json"
+    )
+    try:
+        with open(path) as f:
+            blob = json.load(f)
+    except (OSError, ValueError):
+        blob = {}
+    blob["bpe_drift_experiment"] = out
+    with open(path, "w") as f:
+        f.write(json.dumps(blob) + "\n")
+    print(json.dumps({"bpe_drift_experiment": out}))
+
+
 # Every lane name this file can itself write (opt-in sub-commands
 # included). _carry_forward preserves unknown lanes too — deleting
 # receipts is worse than keeping a renamed one — but stamps them and
@@ -1181,6 +1365,7 @@ KNOWN_LANES = frozenset({
     "batch_size_experiment", "bucket_verify_experiment",
     "stream_verify_experiment", "verify_ab_experiment",
     "jaccard_repin", "subseq_prune_experiment",
+    "bpe_drift_experiment",
 })
 
 
@@ -1346,5 +1531,7 @@ if __name__ == "__main__":
         verify_ab_lane()
     elif len(sys.argv) > 1 and sys.argv[1] == "subseq":
         subseq_prune_lane()
+    elif len(sys.argv) > 1 and sys.argv[1] == "bpedrift":
+        bpe_drift_lane()
     else:
         main()

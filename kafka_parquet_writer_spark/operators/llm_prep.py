@@ -756,3 +756,135 @@ def mixture_dsir_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("avg_lift_milli").desc(), "doc_id")
         .limit(DSIR_TOPK)
     )
+
+
+# --- temperature-based mixture sampling --------------------------------------
+
+#: temperature exponent alpha = 1/2 (sqrt smoothing): between alpha = 1
+#: (corpus-proportional, ignores low-resource languages) and alpha -> 0
+#: (uniform, over-samples tiny languages into repetition) — the
+#: standard multilingual LM sampling family (XLM-R uses 0.7, mT5 0.3;
+#: 1/2 admits EXACT integer arithmetic via isqrt, so the whole rate
+#: computation is engine-portable without floats)
+TEMP_BUDGET_PCT = 50
+#: affine keep/drop hash coefficients (distinct from MIX_A/MIX_B so the
+#: two mixture keys draw independent samples)
+TEMP_A, TEMP_B = 16_807, 7
+
+
+def _isqrt_sql(x: str) -> str:
+    """Exact integer sqrt in portable SQL: float sqrt is correctly
+    rounded but floor() of it can land one off at perfect-square
+    boundaries and across engines; the two-sided CASE correction pins
+    the TRUE isqrt in both engines regardless of the float seed.
+
+    Overflow safety to the full int64 domain: the +1 probe's square
+    would overflow for f = isqrt(2^63 − 1) = 3037000499, and neither
+    engine guarantees short-circuit evaluation inside vectorized
+    predicates — so the probe multiplies a LEAST-capped copy of f
+    (safe under EAGER evaluation) and a separate conjunct decides
+    whether the +1 branch applies (it never does at the cap: its
+    square exceeds int64, hence exceeds x). f² itself is safe:
+    f ≤ 3037000499 ⇒ f² < 2^63."""
+    f = f"CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+    g = f"(LEAST({f}, 3037000498) + 1)"
+    return (
+        f"CASE WHEN {f} * {f} > {x} THEN {f} - 1 "
+        f"WHEN {f} <= 3037000498 AND {g} * {g} <= {x} THEN {f} + 1 "
+        f"ELSE {f} END"
+    )
+
+
+def _temp_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len({TH.sql_words('text')}) AS BIGINT) AS tok
+      FROM documents
+    ),
+    lt AS (
+      SELECT lang, CAST(sum(tok) AS BIGINT) AS tok_l
+      FROM toks GROUP BY lang
+    ),
+    sq AS (
+      SELECT lang, tok_l, {_isqrt_sql('tok_l')} AS s_l
+      FROM lt WHERE tok_l > 0
+    ),
+    stot AS (SELECT CAST(sum(s_l) AS BIGINT) AS s_tot FROM sq),
+    budget AS (
+      SELECT CAST(sum(tok) AS BIGINT) * {TEMP_BUDGET_PCT} // 100 AS b
+      FROM toks
+    ),
+    rates AS (
+      SELECT lang,
+             CAST(LEAST(10000, (10000 * (b * s_l // s_tot)) // tok_l)
+               AS BIGINT) AS rate_bp
+      FROM sq, stot, budget
+    )
+    SELECT t.doc_id, t.lang, t.tok, r.rate_bp
+    FROM toks t JOIN rates r USING (lang)
+    WHERE (t.doc_id * {TEMP_A} + {TEMP_B}) % {TH.MERSENNE_P} % 10000
+          < r.rate_bp
+    """
+
+
+@query("mixture_temperature_sample", oracle=_temp_oracle())
+def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling — `mixture_sample`'s sibling
+    for when nobody hand-picks a target mixture: per-language keep
+    rates derive from the DATA as p_l^alpha smoothing (alpha = 1/2,
+    the XLM-R / mT5 multilingual-LM sampling family). Expected tokens
+    from language l become budget · sqrt(tok_l) / Σ sqrt(tok_m) —
+    high-resource languages are down-sampled, low-resource ones kept
+    (up to the 10000 bp cap) — and membership is the usual
+    reproducible affine hash on doc_id (distinct coefficients from
+    mixture_sample, so the two samples are independent).
+
+    ALL arithmetic is exact int64: sqrt enters only through an
+    EXACT integer sqrt (floor(float sqrt) with a two-sided CASE
+    correction — float sqrt is correctly rounded but its floor can sit
+    one off at perfect-square boundaries, and a one-off s_l would shift
+    every boundary document's membership), then rate_bp =
+    min(10000, (10000 · (B·s_l div S)) div tok_l) exactly as written
+    in both engines. Association note for 100 TB: B·s_l ≤ T^1.5 —
+    compute (B·s_l div S) BEFORE the ·10000 (as here) and the product
+    stays inside int64 up to ~10^12-token corpora; past that, divide B
+    by S first at a precision cost of ≤ S ulps, or move to decimal.
+
+    Scale shape (identical to mixture_sample): one partial-agg shuffle
+    for per-language totals (|langs| rows), isqrt + share math on the
+    tiny rate table, broadcast join back — the corpus itself is never
+    shuffled; keep/drop is a per-row expression.
+    """
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(TH.words_expr("text")).cast("long").alias("tok"),
+    )
+    lt = toks.groupBy("lang").agg(F.sum("tok").alias("tok_l")).filter(
+        F.col("tok_l") > 0
+    )
+    sq = lt.withColumn("s_l", F.expr(_isqrt_sql("tok_l")))
+    stot = sq.agg(F.sum("s_l").alias("s_tot"))
+    budget = toks.agg(
+        F.expr(f"sum(tok) * {TEMP_BUDGET_PCT} div 100").alias("b")
+    )
+    rates = (
+        sq.crossJoin(F.broadcast(stot))
+        .crossJoin(F.broadcast(budget))
+        .select(
+            "lang",
+            F.least(
+                F.lit(10000),
+                F.expr("(10000 * ((b * s_l) div s_tot)) div tok_l"),
+            ).alias("rate_bp"),
+        )
+    )
+    keep = (
+        F.col("doc_id") * TEMP_A + TEMP_B
+    ) % TH.MERSENNE_P % 10000 < F.col("rate_bp")
+    return (
+        toks.join(F.broadcast(rates), "lang")
+        .filter(keep)
+        .select("doc_id", "lang", "tok", "rate_bp")
+    )

@@ -262,3 +262,102 @@ def test_stream_bpe_vocab_drift_matches_independent_computation(spark):
     # invariants: epochs partition the corpus
     assert all(r[2] == r[3] + r[4] for r in got)
     assert all(-1000 <= r[5] <= 1000 for r in got)
+
+
+# --------------------------------- mixture_temperature_sample (new key)
+
+
+def test_isqrt_sql_exact_on_boundaries(spark):
+    """The portable integer sqrt must be exact at perfect squares and
+    their neighbors in BOTH engines (float sqrt's floor can sit one off
+    exactly there — the case the CASE correction exists for)."""
+    import math
+
+    import duckdb
+
+    from kafka_parquet_writer_spark.operators.llm_prep import _isqrt_sql
+
+    vals = []
+    for r in (1, 2, 3, 10, 1000, 94906265, 3037000499):
+        sq = r * r
+        vals.extend([sq - 1, sq, sq + 1])
+    vals.append(2**63 - 1)  # isqrt = 3037000499; +1 probe must not overflow
+    vals = [v for v in vals if v >= 0]
+    expr = _isqrt_sql("x")
+    got_spark = [
+        r[0]
+        for r in spark.sql(
+            "SELECT " + expr + " AS s FROM VALUES "
+            + ", ".join(f"({v})" for v in vals)
+            + " AS t(x) ORDER BY x"
+        ).collect()
+    ]
+    got_duck = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT " + expr.replace("BIGINT", "BIGINT") + " AS s FROM ("
+            + " UNION ALL ".join(f"SELECT {v}::BIGINT AS x" for v in vals)
+            + ") ORDER BY x"
+        ).fetchall()
+    ]
+    want = [math.isqrt(v) for v in sorted(vals)]
+    assert got_spark == want
+    assert got_duck == want
+
+
+def test_mixture_temperature_sample_independent(spark):
+    """Third implementation of the temperature rates + membership in
+    pure python at sf0.001: per-language isqrt shares, budget, rate_bp,
+    affine-hash membership — the key must reproduce it exactly, and its
+    rates must differ from mixture_sample's (they derive from the data,
+    not a hand-picked target)."""
+    import math
+    import re
+
+    import pyarrow.parquet as pq
+
+    from kafka_parquet_writer_spark.functions.texthash import MERSENNE_P
+    from kafka_parquet_writer_spark.operators import llm_prep as LP
+
+    out = LP.mixture_temperature_sample(spark, SF_SMALL)
+    got = sorted(
+        (r.doc_id, r.lang, r.tok, r.rate_bp) for r in out.collect()
+    )
+
+    t = pq.read_table(
+        SF_SMALL + "/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).to_pandas()
+    toks = {
+        (int(r.doc_id), r.lang): len(
+            [w for w in re.split(r"\s+", str(r.text).lower()) if w]
+        )
+        for r in t.itertuples()
+    }
+    tok_l: dict = {}
+    for (_, lang), n in toks.items():
+        tok_l[lang] = tok_l.get(lang, 0) + n
+    T = sum(tok_l.values())
+    B = T * LP.TEMP_BUDGET_PCT // 100
+    s = {lang: math.isqrt(n) for lang, n in tok_l.items() if n > 0}
+    S = sum(s.values())
+    rate = {
+        lang: min(10000, (10000 * (B * s[lang] // S)) // tok_l[lang])
+        for lang in s
+    }
+    want = sorted(
+        (doc_id, lang, n, rate[lang])
+        for (doc_id, lang), n in toks.items()
+        if (doc_id * LP.TEMP_A + LP.TEMP_B) % MERSENNE_P % 10000
+        < rate[lang]
+    )
+    assert got == want
+    assert len(got) > 0
+    # the sample is genuinely temperature-shaped: at alpha = 1/2 the
+    # keep rate must DECREASE with language size (up to the bp cap)
+    langs = sorted(s, key=lambda g: tok_l[g])
+    uncapped = [g for g in langs if rate[g] < 10000]
+    assert all(
+        rate[a] >= rate[b]
+        for a, b in zip(uncapped, uncapped[1:])
+        if tok_l[a] < tok_l[b]
+    )
