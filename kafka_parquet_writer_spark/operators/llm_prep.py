@@ -803,23 +803,29 @@ def _temp_oracle() -> str:
       FROM documents
     ),
     lt AS (
+      -- NULL languages can never join back to the corpus, so exclude
+      -- them from the totals too (and the explicit filter makes the
+      -- Spark twin's two aggregate consumers share one exchange)
       SELECT lang, CAST(sum(tok) AS BIGINT) AS tok_l
-      FROM toks GROUP BY lang
+      FROM toks WHERE lang IS NOT NULL GROUP BY lang
     ),
     sq AS (
       SELECT lang, tok_l, {_isqrt_sql('tok_l')} AS s_l
       FROM lt WHERE tok_l > 0
     ),
-    stot AS (SELECT CAST(sum(s_l) AS BIGINT) AS s_tot FROM sq),
-    budget AS (
-      SELECT CAST(sum(tok) AS BIGINT) * {TEMP_BUDGET_PCT} // 100 AS b
-      FROM toks
+    tots AS (
+      -- totals read off the tiny per-language table, NOT a second
+      -- corpus scan (zero-token languages were filtered but contribute
+      -- nothing to either sum)
+      SELECT CAST(sum(s_l) AS BIGINT) AS s_tot,
+             CAST(sum(tok_l) AS BIGINT) * {TEMP_BUDGET_PCT} // 100 AS b
+      FROM sq
     ),
     rates AS (
       SELECT lang,
              CAST(LEAST(10000, (10000 * (b * s_l // s_tot)) // tok_l)
                AS BIGINT) AS rate_bp
-      FROM sq, stot, budget
+      FROM sq, tots
     )
     SELECT t.doc_id, t.lang, t.tok, r.rate_bp
     FROM toks t JOIN rates r USING (lang)
@@ -861,17 +867,27 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.size(TH.words_expr("text")).cast("long").alias("tok"),
     )
-    lt = toks.groupBy("lang").agg(F.sum("tok").alias("tok_l")).filter(
-        F.col("tok_l") > 0
+    lt = (
+        toks.filter(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.sum("tok").alias("tok_l"))
+        .filter(F.col("tok_l") > 0)
     )
     sq = lt.withColumn("s_l", F.expr(_isqrt_sql("tok_l")))
-    stot = sq.agg(F.sum("s_l").alias("s_tot"))
-    budget = toks.agg(
-        F.expr(f"sum(tok) * {TEMP_BUDGET_PCT} div 100").alias("b")
+    # both totals read off the tiny per-language table in ONE aggregate
+    # — never an extra corpus-wide aggregate (a first cut recomputed
+    # the budget with its own full sum(tok) pass). Catalyst still
+    # materializes the lang aggregate subtree once per consumer (rates
+    # + tots) absent a cache; both collapse map-side to |langs| rows,
+    # and a production run over 100 TB would .cache() `toks` (or
+    # persist lt) to make the corpus pay exactly one aggregate pass
+    # plus the final broadcast join scan.
+    tots = sq.agg(
+        F.sum("s_l").alias("s_tot"),
+        F.expr(f"sum(tok_l) * {TEMP_BUDGET_PCT} div 100").alias("b"),
     )
     rates = (
-        sq.crossJoin(F.broadcast(stot))
-        .crossJoin(F.broadcast(budget))
+        sq.crossJoin(F.broadcast(tots))
         .select(
             "lang",
             F.least(
