@@ -223,10 +223,16 @@ def encode_wire_format(fields: dict[int, object]) -> bytes:
         put_varint(len(raw))
         out.extend(raw)
 
+    import struct
+
     for fnum, val in fields.items():
         if isinstance(val, bool):
             raise TypeError("encode bools as ints explicitly")
-        if isinstance(val, int):
+        if isinstance(val, float):
+            # proto double: I64 wire type, little-endian IEEE bits
+            put_varint((fnum << 3) | _I64)
+            out.extend(struct.pack("<d", val))
+        elif isinstance(val, int):
             put_varint((fnum << 3) | _VARINT)
             # proto int32/int64 encode negatives as 64-bit
             # two's-complement (always 10 bytes on the wire)
@@ -234,7 +240,9 @@ def encode_wire_format(fields: dict[int, object]) -> bytes:
         elif isinstance(val, dict):
             put_len(fnum, encode_wire_format(val))
         elif isinstance(val, list):
-            if val and isinstance(val[0], int):
+            if val and isinstance(val[0], float):
+                put_len(fnum, struct.pack(f"<{len(val)}d", *val))
+            elif val and isinstance(val[0], int):
                 packed = bytearray()
                 for v in val:
                     x = v & 0xFFFFFFFFFFFFFFFF
@@ -295,6 +303,23 @@ def _varints_of(vals: list) -> list[int]:
     return out
 
 
+def _doubles_of(vals: list) -> list[float]:
+    """Flatten repeated-double occurrences: I64 occurrences arrive as
+    raw bit-pattern ints (unpacked), LEN payloads as concatenated
+    8-byte IEEE chunks (packed — proto3's default)."""
+    import struct
+
+    out: list[float] = []
+    for v in vals:
+        if isinstance(v, int):
+            out.append(struct.unpack("<d", v.to_bytes(8, "little"))[0])
+        else:
+            if len(v) % 8:
+                raise ValueError("truncated packed double")
+            out.extend(struct.unpack(f"<{len(v) // 8}d", bytes(v)))
+    return out
+
+
 def _extract(parsed: dict[int, list], fnum: int, ftype) -> object:
     """One typed column value from parsed wire fields. ``ftype`` is a
     scalar name, an ``array<...>`` of scalars, or a nested field_map
@@ -316,11 +341,23 @@ def _extract(parsed: dict[int, list], fnum: int, ftype) -> object:
         elem = ftype[len("array<"):-1]
         if elem == "string":
             return [v.decode("utf-8", "replace") for v in vals]
+        if elem == "double":
+            return _doubles_of(vals)
         return _varints_of(vals)
     if not vals:
         return None
     if ftype == "string":
         return vals[-1].decode("utf-8", "replace")
+    if ftype == "double":
+        # I64 occurrences parse to ints (the raw little-endian bit
+        # pattern); reinterpret as IEEE double — parseFrom semantics
+        import struct
+
+        return struct.unpack("<d", int(vals[-1]).to_bytes(8, "little"))[0]
+    if ftype == "float":
+        import struct
+
+        return struct.unpack("<f", int(vals[-1]).to_bytes(4, "little"))[0]
     return _signed(int(vals[-1]))
 
 

@@ -190,3 +190,36 @@ def test_wire_decoder_nested_and_repeated(spark):
     assert r1.meta.source == "api" and r1.meta.weight == -9
     bad = next(r for r in out if r.query is None)
     assert bad.tags is None and bad.meta is None
+
+
+def test_wire_decoder_double_fields(spark):
+    """proto double fields (I64 wire type, IEEE bits) decode exactly,
+    scalar and repeated (packed + unpacked) — the remaining scalar of
+    the descriptor builder's type table the tier-2 reader lacked."""
+    import struct
+
+    from kafka_parquet_writer_spark.sources.decoders import (
+        wire_format_decoder,
+    )
+
+    packed = encode_wire_format({1: "m-0", 2: 2.5, 3: [1.5, -0.25, 1e300]})
+    # unpacked repeated double: two separate I64 occurrences of field 3
+    # (tag 0x19 = field 3, wire type 1)
+    unpacked = (
+        encode_wire_format({1: "m-1", 2: -1.75})
+        + b"\x19" + struct.pack("<d", 0.5)
+        + b"\x19" + struct.pack("<d", 7.0)
+    )
+    df = spark.createDataFrame([(packed,), (unpacked,)], "value binary")
+    decoder = wire_format_decoder(
+        {
+            "name": (1, "string"),
+            "score": (2, "double"),
+            "samples": (3, "array<double>"),
+        }
+    )
+    out = {r.name: r for r in decoder(df).collect()}
+    assert out["m-0"].score == 2.5
+    assert list(out["m-0"].samples) == [1.5, -0.25, 1e300]
+    assert out["m-1"].score == -1.75
+    assert list(out["m-1"].samples) == [0.5, 7.0]
