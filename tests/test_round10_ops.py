@@ -361,3 +361,20 @@ def test_mixture_temperature_sample_independent(spark):
         for a, b in zip(uncapped, uncapped[1:])
         if tok_l[a] < tok_l[b]
     )
+
+
+def test_mixture_temperature_plan_shape(spark):
+    """Pin the scale shape: the corpus joins the rate table via
+    BROADCAST (the corpus itself never shuffles — only the two
+    per-language partial aggregates exchange |langs|-sized rows), and
+    the whole pipeline stays JVM-side (no Python eval)."""
+    from kafka_parquet_writer_spark.operators import llm_prep as LP
+
+    df = LP.mixture_temperature_sample(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # exactly two row exchanges (the lang aggregates) — a third would
+    # mean the corpus or budget grew a new shuffle
+    assert plan.count("Exchange hashpartitioning") == 2
