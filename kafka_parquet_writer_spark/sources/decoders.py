@@ -348,6 +348,10 @@ def _extract(parsed: dict[int, list], fnum: int, ftype) -> object:
         return None
     if ftype == "string":
         return vals[-1].decode("utf-8", "replace")
+    if ftype == "boolean":
+        return bool(int(vals[-1]))
+    if ftype == "binary":
+        return bytes(vals[-1])
     if ftype == "double":
         # I64 occurrences parse to ints (the raw little-endian bit
         # pattern); reinterpret as IEEE double — parseFrom semantics
@@ -377,11 +381,13 @@ def wire_format_decoder(
 
     ``field_map``: output column → (proto field number, type). Type is
     "string" / "long" / "int" (the reference test schema,
-    `test-message.proto:5-10`), "array<long|int|string>" for repeated
-    fields (packed AND unpacked accepted), or a nested field_map dict
-    for a two-level message (→ struct column) — the shapes
-    parquet-protobuf would pass through (`ParquetFile.java:97-99`).
-    Malformed values yield all-null rows (vs reference crash, :272-277).
+    `test-message.proto:5-10`), "double" / "float" / "boolean" /
+    "binary" (completing the descriptor builder's scalar table),
+    "array<long|int|string|double>" for repeated fields (packed AND
+    unpacked accepted), or a nested field_map dict for a two-level
+    message (→ struct column) — the shapes parquet-protobuf would pass
+    through (`ParquetFile.java:97-99`). Malformed values yield all-null
+    rows (vs reference crash, :272-277).
     """
     import pandas as pd
 

@@ -223,3 +223,27 @@ def test_wire_decoder_double_fields(spark):
     assert list(out["m-0"].samples) == [1.5, -0.25, 1e300]
     assert out["m-1"].score == -1.75
     assert list(out["m-1"].samples) == [0.5, 7.0]
+
+
+def test_wire_decoder_bool_and_bytes(spark):
+    """bool (varint 0/1) and bytes (raw LEN payload) complete the
+    wire reader's scalar coverage of the descriptor builder's table."""
+    from kafka_parquet_writer_spark.sources.decoders import (
+        wire_format_decoder,
+    )
+
+    msgs = [
+        encode_wire_format({1: "b-0", 2: 1, 3: b"\x00\xffraw"}),
+        encode_wire_format({1: "b-1", 2: 0, 3: b""}),
+    ]
+    df = spark.createDataFrame([(m,) for m in msgs], "value binary")
+    decoder = wire_format_decoder(
+        {
+            "name": (1, "string"),
+            "flag": (2, "boolean"),
+            "blob": (3, "binary"),
+        }
+    )
+    out = {r.name: r for r in decoder(df).collect()}
+    assert out["b-0"].flag is True and bytes(out["b-0"].blob) == b"\x00\xffraw"
+    assert out["b-1"].flag is False and bytes(out["b-1"].blob) == b""
