@@ -170,30 +170,30 @@ _FORCE_RECHECK = {  # key -> round whose green is void
     # Maintained mechanically: tools/evidence_audit.py computes each
     # key's helper-closure staleness vs its evidence-round commit, and
     # tests/test_evidence_audit.py fails the suite when a stale key is
-    # neither listed here nor inside the next 50-key window. All r8
-    # entries (the two IMI keys, the three TxTable keys, the zero-norm
-    # guard forces) expired when CORRECTNESS_r08 re-greened them.
+    # neither listed here nor inside the next 50-key window. PRUNE ON
+    # EXPIRY (r10 VERDICT item 3): an entry is inert once evidence
+    # from a later round lands, and leaving it here makes the audit
+    # output read as pending work — the audit now reports live vs
+    # expired separately, and expired entries are deleted the round
+    # after they expire. (History: r5 dedup_url; r7 hand-audit batch;
+    # r8 IMI/TxTable batch; r9 trained-bank + BPE-helper batch —
+    # expired by r8/r9 greens; r10 subsequence pair — expired by the
+    # r10 greens.)
     #
-    # r9: the trained key's ORACLE changed (the unpinned-fixture guard
-    # became load-bearing via a UNION ALL sentinel branch — r8 ADVICE
-    # medium item), voiding its r8 green. Forcing it displaces the
-    # window tail (an r5-evidence key), per the drain arithmetic.
-    "dedup_embedding_ann_trained": 8,
-    # r9: the BPE merge loop was extracted into the shared _bpe_train
-    # helper (now also feeding the new text_bpe_vocab/text_bpe_encode
-    # keys), which rewrites text_bpe_iterative's closure on r7 evidence.
-    "text_bpe_iterative": 7,
-    # r9: train_centroid_bank gained the boundary-margin stats block
-    # (r8 ADVICE low item); dedup_embedding_ann's closure reaches the
-    # trainer through its ANN_TRAINED_ROUNDS path, so its r8 green is
-    # void too (flagged mechanically by tools/evidence_audit.py).
-    "dedup_embedding_ann": 8,
-    # r10: the subsequence family's hardcoded `/ 8.0` divisors became
-    # length-derived (r9 VERDICT item 3 / ADVICE low), changing both
-    # keys' closures AND oracles on r9 evidence. Flagged by
-    # tools/evidence_audit.py on the working tree.
-    "ts_subsequence_topk": 9,
-    "stream_subsequence_match": 9,
+    # r11: the drop-list anti-join lost its forced broadcast hint and
+    # the module docstring's scale claim was corrected (r10 VERDICT
+    # item 2) — plan change on r10 evidence.
+    "pipeline_clean_corpus": 10,
+    # r11: the drift oracle's pair extraction moved from the
+    # range(1, 1000000)-capped cross join to the lockstep dual unnest
+    # (r10 ADVICE low), and the state guard became code
+    # (_drift_state_guard, r10 VERDICT item 6) — oracle AND closure
+    # change on r10 evidence.
+    "stream_bpe_vocab_drift": 10,
+    # r11: make_subseq_matcher's length assert tightened to >= 2 (the
+    # length-1 state-slice degeneracy, r10 ADVICE low) — closure
+    # change on r10 evidence.
+    "stream_subsequence_match": 10,
 }
 
 

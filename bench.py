@@ -161,9 +161,45 @@ STREAMING_HEADLINE = [
 LOAD_WARN = 4.0
 
 
+def _sweep_stale_tmp() -> None:
+    """Remove kpws_* checkpoint/staging litter from previous runs.
+
+    Oracle sweeps and streaming tests mkdtemp under /tmp and the dirs
+    accumulate across rounds; ~6400 of them made the r10 streaming
+    lane 1.75× slower (every streaming query pays mkdtemp + file-source
+    listing in an ever-larger /tmp). This was tribal knowledge
+    (memory + SURVEY note); now it's the first thing a timed run does
+    (r10 VERDICT item 8). Only dirs OLDER than an hour go — a
+    concurrent run's live checkpoints survive."""
+    import shutil
+    import tempfile
+
+    root = tempfile.gettempdir()
+    cutoff = time.time() - 3600
+    n = 0
+    try:
+        names = os.listdir(root)
+    except OSError:
+        return
+    for name in names:
+        if not name.startswith("kpws_"):
+            continue
+        path = os.path.join(root, name)
+        try:
+            if os.path.isdir(path) and os.path.getmtime(path) < cutoff:
+                shutil.rmtree(path, ignore_errors=True)
+                n += 1
+        except OSError:
+            continue
+    if n:
+        print(f"swept {n} stale kpws_* tmp dirs", file=sys.stderr)
+
+
 def main() -> None:
     from kafka_parquet_writer_spark import get_spark
     from kafka_parquet_writer_spark.registry import QUERIES, load_all_operators
+
+    _sweep_stale_tmp()
 
     # Sample BEFORE the session starts: once our own executors run, the
     # loadavg is dominated by our own work and says nothing about

@@ -337,7 +337,11 @@ def _extract(parsed: dict[int, list], fnum: int, ftype) -> object:
         }
     if ftype.startswith("array<"):
         if not vals:
-            return None
+            # proto3 repeated fields are NEVER null: zero occurrences
+            # decode to the empty list, matching tier-1 from_protobuf
+            # (tests assert list == [] on both tiers — an r10 ADVICE
+            # divergence: tier fallback must not flip NULL semantics)
+            return []
         elem = ftype[len("array<"):-1]
         if elem == "string":
             return [v.decode("utf-8", "replace") for v in vals]
@@ -374,6 +378,39 @@ def _sql_type(ftype) -> str:
     return ftype
 
 
+#: scalar types the tier-2 wire reader decodes (the descriptor
+#: builder's full table); array elements are the subset whose repeated
+#: wire forms _extract actually distinguishes — anything else would
+#: fall through to _varints_of and yield raw bit-pattern garbage
+#: (r10 ADVICE), so construction rejects it instead.
+_WIRE_SCALARS = frozenset(
+    {"string", "long", "int", "double", "float", "boolean", "binary"}
+)
+_WIRE_ARRAY_ELEMS = frozenset({"string", "long", "int", "double"})
+
+
+def _validate_field_map(field_map: dict[str, tuple[int, object]]) -> None:
+    for name, (_, ftype) in field_map.items():
+        if isinstance(ftype, dict):
+            _validate_field_map(ftype)
+            continue
+        if ftype.startswith("array<"):
+            elem = ftype[len("array<"):-1]
+            if elem not in _WIRE_ARRAY_ELEMS:
+                raise ValueError(
+                    f"wire_format_decoder: unsupported array element "
+                    f"{elem!r} for field {name!r} — supported: "
+                    f"{sorted(_WIRE_ARRAY_ELEMS)} (others would "
+                    f"misdecode as raw varints, never silently)"
+                )
+        elif ftype not in _WIRE_SCALARS:
+            raise ValueError(
+                f"wire_format_decoder: unsupported scalar type "
+                f"{ftype!r} for field {name!r} — supported: "
+                f"{sorted(_WIRE_SCALARS)}"
+            )
+
+
 def wire_format_decoder(
     field_map: dict[str, tuple[int, object]], value_col: str = "value"
 ):
@@ -384,13 +421,16 @@ def wire_format_decoder(
     `test-message.proto:5-10`), "double" / "float" / "boolean" /
     "binary" (completing the descriptor builder's scalar table),
     "array<long|int|string|double>" for repeated fields (packed AND
-    unpacked accepted), or a nested field_map dict for a two-level
-    message (→ struct column) — the shapes parquet-protobuf would pass
-    through (`ParquetFile.java:97-99`). Malformed values yield all-null
-    rows (vs reference crash, :272-277).
+    unpacked accepted; absent → [] — proto3 repeated fields are never
+    null, matching tier-1 from_protobuf), or a nested field_map dict
+    for a two-level message (→ struct column) — the shapes
+    parquet-protobuf would pass through (`ParquetFile.java:97-99`).
+    Unsupported types raise at construction time; malformed values
+    yield all-null rows (vs reference crash, :272-277).
     """
     import pandas as pd
 
+    _validate_field_map(field_map)
     names = list(field_map)
     schema = ", ".join(
         f"{name} {_sql_type(ftype)}"

@@ -51,6 +51,32 @@ def test_every_stale_key_is_covered_by_the_next_driver_window():
     )
 
 
+def test_force_recheck_live_vs_expired_annotation(monkeypatch):
+    """coverage_report must separate live forces (still displacing
+    window slots) from expired ones (satisfied by later evidence) —
+    the raw dict used to be dumped whole and read as pending work
+    (r10 VERDICT item 3). stale_keys is stubbed out: this pins the
+    annotation logic, not the closure walk."""
+    import __spark_entry__ as entry
+    import evidence_audit as EA
+
+    evidence = entry._driver_evidence()
+    greens = sorted(k for k, v in evidence.items() if v[1])
+    assert len(greens) >= 2, "fixture needs two driver-green keys"
+    k_expired, k_live = greens[0], greens[1]
+    forced = {
+        # evidence round > forced round: the green re-proof landed
+        k_expired: evidence[k_expired][0] - 1,
+        # evidence round <= forced round: still awaiting re-proof
+        k_live: evidence[k_live][0],
+    }
+    monkeypatch.setattr(entry, "_FORCE_RECHECK", forced)
+    monkeypatch.setattr(EA, "stale_keys", lambda: {})
+    rep = EA.coverage_report()
+    assert rep["force_expired"] == {k_expired: forced[k_expired]}
+    assert rep["force_recheck"] == {k_live: forced[k_live]}
+
+
 def test_audit_closure_reaches_shared_helpers_and_local_imports():
     """Regression pins for the exact miss classes the tool exists for:
     module-level helper factories (r7's _make_imi_assigner rewrite) and

