@@ -130,6 +130,9 @@ HEADLINE = [
     "ts_subsequence_topk",
     # round 10
     "mixture_temperature_sample",
+    # round 11
+    "rag_passage_windows",
+    "rag_shard_manifest",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming
@@ -151,6 +154,8 @@ STREAMING_HEADLINE = [
     "stream_subsequence_match",
     # round 10
     "stream_bpe_vocab_drift",
+    # round 11
+    "stream_mixture_rebalance",
 ]
 
 

@@ -1,0 +1,217 @@
+"""Retrieval (RAG) corpus-prep operators: end-anchored passage
+windowing and inverted-index shard manifests.
+
+The pipeline downstream of cleaning/dedup for a RETRIEVAL corpus
+differs from the trainer-facing chunker (corpus_prep.text_chunk) in
+two ways this module implements:
+
+1. **Passage windowing is end-anchored**: a retriever embeds passages
+   of a fixed token width; a trailing fragment shorter than the
+   overlap embeds poorly and pollutes the index. The standard RAG
+   chunker therefore CLAMPS the final window to end at the document's
+   last token (start = n − W), giving every passage of a ≥W-token
+   document the full width — at the cost of a larger overlap between
+   the last two windows. text_chunk by contrast emits every
+   stride-aligned tail (the trainer wants all tokens exactly once
+   per epoch budget; the retriever wants uniform-width embeddings).
+
+2. **The index ships as shard manifests**: a distributed index is
+   served as |shards| independent posting files; the manifest row per
+   shard (term count, postings volume, document-frequency ceiling,
+   lexicographic term bounds) is what the query router loads to plan
+   fan-out. Sharding is by portable term hash, so the manifest is
+   reproducible across engines and runs.
+
+Reference parity: the reference engine stops at parquet landing
+(`KafkaProtoParquetWriter.java:156-380`); both operators are
+consumer-side batch transforms over that landed data, per the
+north-star LLM-pipeline surface (BASELINE.json). All arithmetic is
+integer / hash-exact, so both keys carry exact DuckDB value oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_parquet_writer_spark.catalog import load_table
+from kafka_parquet_writer_spark.functions import texthash as TH
+from kafka_parquet_writer_spark.registry import query
+
+#: passage window: tokens per passage / stride between passage starts.
+#: Deliberately distinct from text_chunk's 32/24 so the two chunkings
+#: coexist in one corpus build (trainer chunks and retriever passages
+#: are different artifacts of the same documents).
+PASSAGE_TOKENS = 48
+PASSAGE_STRIDE = 32
+
+#: inverted-index shards (a power of two: the router masks, not mods,
+#: in production — the value only needs to agree across engines here)
+RAG_INDEX_SHARDS = 16
+
+
+def _passage_oracle() -> str:
+    W, S = PASSAGE_TOKENS, PASSAGE_STRIDE
+    return f"""
+    WITH w AS (
+      SELECT doc_id, {TH.sql_words('text')} AS ws,
+             len({TH.sql_words('text')}) AS n
+      FROM documents
+      WHERE len({TH.sql_words('text')}) >= 1
+    ), p AS (
+      SELECT doc_id, ws, n,
+             1 + CASE WHEN n > {W}
+                      THEN (n - {W} + {S} - 1) // {S} ELSE 0 END AS n_pass
+      FROM w
+    ), k AS (
+      SELECT doc_id, ws, n, n_pass,
+             unnest(range(0, n_pass)) AS seq
+      FROM p
+    ), s AS (
+      SELECT doc_id, seq, n,
+             CASE WHEN seq < n_pass - 1 THEN seq * {S}
+                  ELSE greatest(n - {W}, 0) END AS st,
+             ws
+      FROM k
+    )
+    SELECT doc_id,
+           CAST(seq AS BIGINT) AS passage_seq,
+           CAST(st AS BIGINT) AS start_tok,
+           CAST(least({W}, n) AS BIGINT) AS n_tok,
+           {TH.sql_portable_hash64(
+               f"array_to_string(list_slice(ws, st + 1, st + least({W}, n)), ' ')"
+           )} AS passage_hash
+    FROM s
+    """
+
+
+@query("rag_passage_windows", oracle=_passage_oracle())
+def rag_passage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-anchored passage windowing — text_chunk's retrieval-shaped
+    sibling (the r10 SURVEY/VERDICT's RAG-prep candidate): width-W
+    token windows every S tokens, with the FINAL window clamped to
+    end at the document's last token, so every passage of a ≥W-token
+    document is full width (uniform embedding width; no sub-overlap
+    tail fragments in the index). Documents shorter than W yield one
+    passage of the whole document.
+
+    Window starts: k·S for k < n_pass−1, then n−W for the last —
+    n_pass = 1 + ⌈max(0, n−W)/S⌉, and (n_pass−2)·S < n−W strictly, so
+    starts never collide and consecutive middle windows overlap
+    exactly W−S tokens. The passage identity that downstream exact
+    dedup / index build consumes is the portable 64-bit hash of the
+    joined token span (the text_chunk parity hash), so the oracle
+    value-matches content, not just geometry.
+
+    Scale shape: single-pass expression-domain transform — words,
+    per-row start list (sequence + transform), explode, slice, hash;
+    no shuffle at all (the parquet scan's partitioning survives), no
+    Python. At 100 TB this is the map stage feeding the embedding
+    UDF; the explode multiplies rows by ~n/S ≈ 3–4×, which
+    files.maxPartitionBytes sizing already absorbs.
+    """
+    W, S = PASSAGE_TOKENS, PASSAGE_STRIDE
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        TH.words_expr("text").alias("ws"),
+        F.size(TH.words_expr("text")).alias("n"),
+    ).filter(F.col("n") >= 1)
+    p = w.withColumn(
+        "n_pass",
+        F.lit(1)
+        + F.when(
+            F.col("n") > W, F.expr(f"(n - {W} + {S} - 1) div {S}")
+        ).otherwise(F.lit(0)),
+    )
+    k = p.select(
+        "doc_id",
+        "ws",
+        "n",
+        "n_pass",
+        F.explode(F.expr("sequence(0, n_pass - 1)")).alias("seq"),
+    )
+    s = k.withColumn(
+        "st",
+        F.when(F.col("seq") < F.col("n_pass") - 1, F.col("seq") * S)
+        .otherwise(F.greatest(F.col("n") - W, F.lit(0))),
+    )
+    return s.select(
+        "doc_id",
+        F.col("seq").cast("long").alias("passage_seq"),
+        F.col("st").cast("long").alias("start_tok"),
+        F.least(F.lit(W), F.col("n")).cast("long").alias("n_tok"),
+        TH.portable_hash64(
+            F.array_join(
+                F.expr(f"slice(ws, st + 1, least({W}, n))"), " "
+            )
+        ).alias("passage_hash"),
+    )
+
+
+def _shard_manifest_oracle() -> str:
+    return f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, unnest({TH.sql_words('text')}) AS token
+      FROM documents
+    ), freq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df
+      FROM dt GROUP BY token
+    ), sh AS (
+      SELECT token, df,
+             {TH.sql_portable_tid('token')} % {RAG_INDEX_SHARDS}
+               AS shard_id
+      FROM freq
+    )
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(df) AS BIGINT) AS n_postings,
+           CAST(max(df) AS BIGINT) AS max_df,
+           min(token) AS min_token,
+           max(token) AS max_token
+    FROM sh GROUP BY shard_id
+    """
+
+
+@query("rag_shard_manifest", oracle=_shard_manifest_oracle())
+def rag_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index SHARD MANIFESTS — the router-facing summary of a
+    hash-sharded distributed index (the r10 SURVEY/VERDICT's second
+    RAG-prep candidate): per shard, the term count, total postings
+    volume, document-frequency ceiling, and lexicographic term bounds.
+    A query router loads exactly this table to plan fan-out (skip
+    shards whose term bounds exclude the query terms; budget by
+    postings volume); the posting lists themselves are
+    text_inverted_index's output partitioned by the same hash.
+
+    Sharding is the portable term hash mod {RAG_INDEX_SHARDS} — the
+    same engine-portable hash family every dedup/index key uses — so
+    the manifest is bit-reproducible across engines, which is what
+    the oracle checks (values, not just shapes).
+
+    Scale shape: per-doc DISTINCT tokens via array_distinct BEFORE the
+    explode (the text_heavy_hitters pattern — dedup inside the row,
+    so the explode emits each (doc, term) once and the corpus never
+    pays a distinct shuffle); then one partial-agg shuffle keyed
+    token (vocabulary-sized), then a second keyed shard_id
+    ({RAG_INDEX_SHARDS} rows). The corpus is read once, shuffled
+    never; only the vocabulary crosses the wire.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(TH.words_expr("text"))).alias("token"),
+    )
+    freq = dt.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    sh = freq.withColumn(
+        "shard_id", TH.portable_tid(F.col("token")) % RAG_INDEX_SHARDS
+    )
+    return sh.groupBy(F.col("shard_id").cast("long").alias("shard_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("df").cast("long").alias("n_postings"),
+        F.max("df").cast("long").alias("max_df"),
+        F.min("token").alias("min_token"),
+        F.max("token").alias("max_token"),
+    )

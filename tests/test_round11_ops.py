@@ -10,10 +10,15 @@ Covers the round-10 VERDICT/ADVICE items:
     power-of-two assert but kept the ENTIRE series in state via the
     vc[-0:] slice — ADVICE low),
   - the BPE drift state ceiling is code, not prose: _drift_state_guard
-    raises loudly on a decorrelated state blow-up (VERDICT item 6).
+    raises loudly on a decorrelated state blow-up (VERDICT item 6),
+plus the round-11 RAG-prep keys' non-oracle invariants: end-anchored
+passage-window geometry and exact vocabulary partitioning of the
+shard manifests (the DuckDB oracle checks values; these pin the
+CONTRACT the values encode).
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from kafka_parquet_writer_spark.sources.decoders import (
     encode_wire_format,
@@ -124,3 +129,73 @@ def test_drift_state_guard_loud_on_decorrelated_blowup(spark):
     with pytest.raises(ValueError, match="ceiling"):
         _drift_state_guard(state, max_rows=16)
     assert _drift_state_guard(state, max_rows=32) is state
+
+
+def test_rag_passage_window_geometry(spark, sf_dir):
+    """Pin the end-anchored windowing contract on the real fixture:
+    per document — contiguous passage_seq from 0; start 0 first;
+    strictly increasing starts; every passage exactly min(W, n)
+    tokens (the retrieval-shaped property text_chunk does NOT have);
+    middle starts stride-aligned; the last window ends at the
+    document's final token (full coverage, no tail fragment)."""
+    from kafka_parquet_writer_spark.functions import texthash as TH
+    from kafka_parquet_writer_spark.operators.rag_prep import (
+        PASSAGE_STRIDE as S,
+        PASSAGE_TOKENS as W,
+        rag_passage_windows,
+    )
+    from kafka_parquet_writer_spark.catalog import load_table
+
+    out = rag_passage_windows(spark, sf_dir).collect()
+    lens = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(TH.words_expr("text")).alias("n"))
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc, "fixture produced no passages"
+    for doc_id, rows in by_doc.items():
+        n = lens[doc_id]
+        rows.sort(key=lambda r: r.passage_seq)
+        assert [r.passage_seq for r in rows] == list(range(len(rows)))
+        starts = [r.start_tok for r in rows]
+        assert starts[0] == 0
+        assert starts == sorted(set(starts)), "start collision"
+        assert all(r.n_tok == min(W, n) for r in rows)
+        # middle windows stride-aligned; last end-anchored
+        for k, st in enumerate(starts[:-1]):
+            assert st == k * S
+        assert starts[-1] + rows[-1].n_tok == n or (
+            n <= W and starts == [0]
+        )
+
+
+def test_rag_shard_manifest_accounts_for_whole_vocabulary(spark, sf_dir):
+    """The shard manifests must partition the vocabulary exactly:
+    shard term counts sum to the distinct-token count, postings sum
+    to the distinct (doc, token) pair count, and every shard id is in
+    [0, RAG_INDEX_SHARDS)."""
+    from kafka_parquet_writer_spark.functions import texthash as TH
+    from kafka_parquet_writer_spark.operators.rag_prep import (
+        RAG_INDEX_SHARDS,
+        rag_shard_manifest,
+    )
+    from kafka_parquet_writer_spark.catalog import load_table
+
+    man = rag_shard_manifest(spark, sf_dir).collect()
+    dt = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(TH.words_expr("text"))).alias("t"),
+        )
+    )
+    n_vocab = dt.select("t").distinct().count()
+    n_pairs = dt.count()
+    assert sum(r.n_terms for r in man) == n_vocab
+    assert sum(r.n_postings for r in man) == n_pairs
+    assert all(0 <= r.shard_id < RAG_INDEX_SHARDS for r in man)
+    assert all(r.min_token <= r.max_token for r in man)
