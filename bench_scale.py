@@ -45,6 +45,10 @@ LINEAR = [
     "decontaminate_ngram",
     "similarity_ivf",
     "text_quality",
+    # round 11: end-anchored passage windowing — single-pass,
+    # shuffle-free explode; the lane proves the ~n/S row multiplier
+    # stays a constant factor, not a growing exponent
+    "rag_passage_windows",
 ]
 #: prefix-filter / banded joins: cost ∝ Σ df² over colliding tokens;
 #: the decorrelated blow-up keeps per-token df constant, so these

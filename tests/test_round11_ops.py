@@ -131,6 +131,22 @@ def test_drift_state_guard_loud_on_decorrelated_blowup(spark):
     assert _drift_state_guard(state, max_rows=32) is state
 
 
+def test_clean_corpus_drop_list_carries_no_broadcast_hint(spark, sf_dir):
+    """pipeline_clean_corpus's drop list is corpus-shaped on real
+    crawls (30-60% near-dup rates), so the anti-join must NOT force a
+    broadcast — AQE decides from the measured size at runtime (r10
+    VERDICT item 2). Pin it at the logical-plan level: a broadcast()
+    hint survives analysis as ResolvedHint/UnresolvedHint nodes, and
+    the plan must carry none."""
+    from kafka_parquet_writer_spark.operators.pipeline import (
+        pipeline_clean_corpus,
+    )
+
+    df = pipeline_clean_corpus(spark, sf_dir)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+
+
 def test_rag_passage_window_geometry(spark, sf_dir):
     """Pin the end-anchored windowing contract on the real fixture:
     per document — contiguous passage_seq from 0; start 0 first;
