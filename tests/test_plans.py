@@ -517,3 +517,25 @@ def test_trained_key_broadcasts_stats_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rag_passage_windows_is_shuffle_free(spark, sf_dir):
+    """End-anchored passage windowing must stay a single-pass map plan:
+    the parquet scan's partitioning survives through words → explode →
+    slice → hash with ZERO exchanges, and the scan reads only the two
+    columns the operator uses — at 100 TB this is the map stage feeding
+    the embedding UDF and any shuffle here would dwarf the real work."""
+    df = E.queries()["rag_passage_windows"](spark, sf_dir)
+    assert count_exchanges(df) == 0
+    assert set(read_schema_columns(df)) == {"doc_id", "text"}
+
+
+def test_rag_shard_manifest_shuffles_vocab_only(spark, sf_dir):
+    """The manifest build pays exactly two exchanges — vocabulary-sized
+    (token agg) and shard-count-sized (the 16-row rollup) — with the
+    per-doc distinct done row-local via array_distinct BEFORE the
+    explode, so the corpus itself never crosses the wire."""
+    df = E.queries()["rag_shard_manifest"](spark, sf_dir)
+    assert count_exchanges(df) == 2
+    plan = formatted_plan(df)
+    assert "array_distinct" in plan
