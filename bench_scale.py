@@ -1355,6 +1355,189 @@ def bpe_drift_lane() -> None:
     print(json.dumps({"bpe_drift_experiment": out}))
 
 
+def rag_prep_lane() -> None:
+    """Opt-in lane (`python bench_scale.py ragprep`): scale receipts
+    for the two round-11 claims that shipped as arguments, not yet
+    measurements:
+
+      rag_shard_manifest — "only the vocabulary crosses the wire":
+        per-doc array_distinct runs BEFORE the explode and the token
+        aggregate is map-side combined, so exchange volume tracks
+        VOCABULARY, not corpus. shared_vocab ×k (doc_ids re-keyed,
+        fixture vocabulary kept) grows tokens ∝ k while the vocab —
+        and the 16-row manifest — stay flat: wall growth is the cheap
+        scan/explode only. decorrelated ×k (per-copy word tags) grows
+        the vocab ∝ k: the honest worst case, the exchange must grow.
+
+      stream_mixture_rebalance — "state is epochs × |langs| rows,
+        tiny by construction": languages don't multiply under EITHER
+        blow-up mode (copies keep the fixture's lang column), so
+        state must read FLAT at ×8 in both, while wall is the
+        streaming fixed cost + per-copy scan work (the
+        STREAMING_SCALE affine convention).
+
+    Per (mode, k): min-of-3 interleaved end-to-end walls of both
+    keys, plus batch-computed receipts (vocab, postings-in rows,
+    tokens, state rows). Merged into BENCH_SCALE.json as
+    "rag_prep_experiment"."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kafka_parquet_writer_spark import get_spark
+    from kafka_parquet_writer_spark.catalog import (
+        TABLES,
+        load_table,
+        table_path,
+    )
+    from kafka_parquet_writer_spark.functions import texthash as TH
+    from kafka_parquet_writer_spark.operators import rag_prep as RP
+    from kafka_parquet_writer_spark.operators import streaming_queries as SQ
+
+    spark = get_spark("rag_prep_lane")
+    B = SQ.MIX_REBALANCE_EPOCHS
+    # warm up codegen + the python worker pool + streaming machinery
+    # outside any timed point (the bpedrift lane's lesson: a cold x1
+    # point poisons the affine fit)
+    RP.rag_shard_manifest(spark, SF_DIR).count()
+    SQ.stream_mixture_rebalance(spark, SF_DIR).count()
+
+    def build_docs(k: int, tag_words: bool) -> str:
+        out = tempfile.mkdtemp(prefix=f"kpws_ragprep_x{k}_")
+        for t in TABLES:
+            if t == "documents":
+                continue
+            os.symlink(table_path(SF_DIR, t), table_path(out, t))
+        docs = load_table(spark, SF_DIR, "documents")
+        copies = []
+        for i in range(k):
+            c = docs.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(i * COPY_STRIDE)
+            )
+            if i > 0 and tag_words:
+                c = c.withColumn(
+                    "text", F.regexp_replace("text", r"(\w+)", f"x{i}$1")
+                )
+            copies.append(c)
+        blown = copies[0]
+        for c in copies[1:]:
+            blown = blown.unionByName(c)
+        blown.write.mode("overwrite").parquet(table_path(out, "documents"))
+        return out
+
+    out: dict = {"epochs": B, "shards": RP.RAG_INDEX_SHARDS, "points": []}
+    points = [
+        (mode, k)
+        for mode in ("decorrelated", "shared_vocab")
+        for k in (1, 2, 4, 8)
+    ]
+    dirs = {
+        (mode, k): build_docs(k, tag_words=(mode == "decorrelated"))
+        for mode, k in points
+    }
+    best_m: dict[tuple, float] = {}
+    best_r: dict[tuple, float] = {}
+    for _pass in range(3):
+        for p in points:
+            t0 = time.time()
+            RP.rag_shard_manifest(spark, dirs[p]).count()
+            dt_m = time.time() - t0
+            t0 = time.time()
+            SQ.stream_mixture_rebalance(spark, dirs[p]).count()
+            dt_r = time.time() - t0
+            best_m[p] = min(best_m.get(p, dt_m), dt_m)
+            best_r[p] = min(best_r.get(p, dt_r), dt_r)
+            print(
+                f"{p[0]} x{p[1]}: manifest {dt_m:.3f}s, "
+                f"rebalance {dt_r:.3f}s (pass {_pass + 1})",
+                file=sys.stderr,
+            )
+    walls_m: dict[str, dict[int, float]] = {}
+    walls_r: dict[str, dict[int, float]] = {}
+    for mode, k in points:
+        d = dirs[(mode, k)]
+        try:
+            docs = load_table(spark, d, "documents")
+            dt = docs.select(
+                F.explode(
+                    F.array_distinct(TH.words_expr("text"))
+                ).alias("token")
+            )
+            vocab = dt.select("token").distinct().count()
+            postings_in = dt.count()
+            tokens = docs.agg(
+                F.sum(F.size(TH.words_expr("text")))
+            ).first()[0]
+            lo, hi = docs.agg(
+                F.min("doc_id"), F.max("doc_id")
+            ).first()
+            span = (hi - lo + B) // B
+            state_rows = (
+                docs.filter(F.col("lang").isNotNull())
+                .select(
+                    F.expr(f"(doc_id - {lo}) div {span}").alias("epoch"),
+                    "lang",
+                )
+                .distinct()
+                .count()
+            )
+            rec = {
+                "mode": mode,
+                "k": k,
+                "manifest_wall_sec": round(best_m[(mode, k)], 3),
+                "rebalance_wall_sec": round(best_r[(mode, k)], 3),
+                "vocab": int(vocab),
+                "postings_in": int(postings_in),
+                "tokens": int(tokens),
+                "state_rows": int(state_rows),
+            }
+            walls_m.setdefault(mode, {})[k] = rec["manifest_wall_sec"]
+            walls_r.setdefault(mode, {})[k] = rec["rebalance_wall_sec"]
+            out["points"].append(rec)
+            print(
+                f"{mode} x{k}: vocab={vocab}, postings_in={postings_in}, "
+                f"tokens={tokens}, state={state_rows}",
+                file=sys.stderr,
+            )
+        finally:
+            staged = SQ._dedup_stage_cache.pop(
+                f"{d}|{SQ.DEDUP_STREAM_BATCHES}", None
+            )
+            if staged:
+                shutil.rmtree(staged, ignore_errors=True)
+            shutil.rmtree(d, ignore_errors=True)
+    out["manifest_wall_affine"] = {
+        m: fit_affine(t) for m, t in walls_m.items()
+    }
+    out["rebalance_wall_affine"] = {
+        m: fit_affine(t) for m, t in walls_r.items()
+    }
+    # the claims read off the growth ratios: shared_vocab must show
+    # vocab ~1.0 while tokens ~8.0 (manifest exchange bounded by
+    # vocabulary); state_rows must show ~1.0 under BOTH modes
+    # (epochs × |langs| is corpus-size-independent)
+    for field in ("vocab", "postings_in", "tokens", "state_rows"):
+        by_mode: dict[str, dict[int, int]] = {}
+        for rec in out["points"]:
+            by_mode.setdefault(rec["mode"], {})[rec["k"]] = rec[field]
+        out[f"{field}_growth_x8_over_x1"] = {
+            m: round(t[8] / t[1], 3) for m, t in by_mode.items()
+        }
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json"
+    )
+    try:
+        with open(path) as f:
+            blob = json.load(f)
+    except (OSError, ValueError):
+        blob = {}
+    blob["rag_prep_experiment"] = out
+    with open(path, "w") as f:
+        f.write(json.dumps(blob) + "\n")
+    print(json.dumps({"rag_prep_experiment": out}))
+
+
 # Every lane name this file can itself write (opt-in sub-commands
 # included). _carry_forward preserves unknown lanes too — deleting
 # receipts is worse than keeping a renamed one — but stamps them and
@@ -1369,7 +1552,7 @@ KNOWN_LANES = frozenset({
     "batch_size_experiment", "bucket_verify_experiment",
     "stream_verify_experiment", "verify_ab_experiment",
     "jaccard_repin", "subseq_prune_experiment",
-    "bpe_drift_experiment",
+    "bpe_drift_experiment", "rag_prep_experiment",
 })
 
 
@@ -1537,5 +1720,7 @@ if __name__ == "__main__":
         subseq_prune_lane()
     elif len(sys.argv) > 1 and sys.argv[1] == "bpedrift":
         bpe_drift_lane()
+    elif len(sys.argv) > 1 and sys.argv[1] == "ragprep":
+        rag_prep_lane()
     else:
         main()
