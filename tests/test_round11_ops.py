@@ -215,3 +215,39 @@ def test_rag_shard_manifest_accounts_for_whole_vocabulary(spark, sf_dir):
     assert sum(r.n_postings for r in man) == n_pairs
     assert all(0 <= r.shard_id < RAG_INDEX_SHARDS for r in man)
     assert all(r.min_token <= r.max_token for r in man)
+
+
+def test_rag_passage_windows_exhaustive_boundary_lengths(spark, tmp_path):
+    """Boundary-length sweep the fixture cannot supply: one document
+    of EVERY token count n = 1..130 — covering n < W, n == W, the
+    n−W ≡ 0 (mod S) zone where the end-anchored last start lands
+    exactly on a stride boundary (the collision the (n_pass−2)·S <
+    n−W argument rules out), and 3-window documents — run through the
+    REAL Spark plan and compared exactly against a five-line Python
+    model of the arithmetic. The DuckDB oracle checks fixture
+    lengths; this pins the branches the fixture happens not to
+    contain."""
+    from kafka_parquet_writer_spark.operators.rag_prep import (
+        PASSAGE_STRIDE as S,
+        PASSAGE_TOKENS as W,
+        rag_passage_windows,
+    )
+
+    rows = [(n, " ".join(f"w{i}" for i in range(n))) for n in range(1, 131)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = rag_passage_windows(spark, str(tmp_path)).collect()
+    got: dict[int, list] = {}
+    for r in out:
+        got.setdefault(r.doc_id, []).append(
+            (r.passage_seq, r.start_tok, r.n_tok)
+        )
+    for n in range(1, 131):
+        n_pass = 1 + (-(-(n - W) // S) if n > W else 0)
+        starts = [k * S for k in range(n_pass - 1)] + [max(n - W, 0)]
+        # model self-checks: strictly increasing starts (no
+        # collisions even when S divides n−W) and end-anchoring
+        assert starts == sorted(set(starts)), f"model collision n={n}"
+        assert starts[-1] + min(W, n) == n
+        want = [(k, st, min(W, n)) for k, st in enumerate(starts)]
+        assert sorted(got[n]) == want, f"n={n}"
