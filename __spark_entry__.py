@@ -194,6 +194,18 @@ _FORCE_RECHECK = {  # key -> round whose green is void
     # length-1 state-slice degeneracy, r10 ADVICE low) — closure
     # change on r10 evidence.
     "stream_subsequence_match": 10,
+    # r11 (late, from the sf0.001 robustness sweep): the accuracy gate
+    # was reformulated from a ±2% VALUE band to a p±0.01 RANK band —
+    # GK's guarantee is on rank, and the value form was gap-dominated
+    # at small n (a tiny group's sketch answered a real element
+    # correctly and still flipped the gate). Plan, oracle, and output
+    # schema change on r8 evidence.
+    "agg_approx_quantile": 8,
+    # r11 (late): ann_trained_pins gained an sf0.001 bank so the
+    # unpinned-fixture guard no longer fires on the smallest fixture;
+    # the sf0.01/sf0.1 banks are byte-identical, but the key's helper
+    # closure changed on r9 evidence and the audit rightly flags it.
+    "dedup_embedding_ann_trained": 9,
 }
 
 

@@ -220,13 +220,13 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            (floor((quantile_cont(value, 0.50)) * 1e6 + 0.5) / 1e6) AS p50_exact,
            (floor((quantile_cont(value, 0.95)) * 1e6 + 0.5) / 1e6) AS p95_exact,
-           TRUE AS approx_within_2pct
+           TRUE AS approx_in_rank_band
     FROM events
     GROUP BY event_type
     """,
 )
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate quantiles (Greenwald-Khanna/t-digest family via
+    """Approximate quantiles (Greenwald-Khanna family via
     `approx_percentile`) with an in-query accuracy gate — the 100 TB
     path for percentile dashboards: mergeable constant-memory sketches
     per group instead of a per-group sort buffer (agg_percentiles is
@@ -234,10 +234,19 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle form (the agg_approx_distinct pattern): the sketch value is
     engine-specific, so the checked output carries the exact
-    interpolated percentiles plus a boolean asserting the sketch
-    landed within ±2% (relative) of each — DuckDB asserts the literal
-    TRUE, so sketch drift flips the hash. A real accuracy gate, not a
-    rows-only count.
+    interpolated percentiles plus a boolean accuracy gate — DuckDB
+    asserts the literal TRUE, so sketch drift flips the hash.
+
+    The gate is a RANK band, not a relative-value band: GK's guarantee
+    is on rank (error ≤ n/accuracy = 1e-4·n here), so the honest
+    assertion is that the sketch's answer lies between the exact
+    quantiles at p ± 0.01 — a 100× margin over the sketch's bound,
+    meaningful at every n. The first form (±2% of the interpolated
+    value) was gap-dominated at small n — surfaced by the r11 sf0.001
+    sweep: the 199-row 'signup' group has interpolated p95 150.02 but
+    its nearest data element is 156.01, so the sketch answered a real
+    element CORRECTLY and the value gate flipped false. A value gate
+    measures local order-statistic density, not sketch error.
     """
     from kafka_parquet_writer_spark.functions.portable import pround
 
@@ -245,18 +254,22 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy("event_type").agg(
         F.percentile("value", 0.50).alias("e50"),
         F.percentile("value", 0.95).alias("e95"),
+        F.percentile("value", 0.49).alias("lo50"),
+        F.percentile("value", 0.51).alias("hi50"),
+        F.percentile("value", 0.94).alias("lo95"),
+        F.percentile("value", 0.96).alias("hi95"),
         F.approx_percentile("value", 0.50, 10_000).alias("a50"),
         F.approx_percentile("value", 0.95, 10_000).alias("a95"),
     )
     ok = (
-        (F.abs(F.col("a50") - F.col("e50")) <= 0.02 * F.abs(F.col("e50")))
-        & (F.abs(F.col("a95") - F.col("e95")) <= 0.02 * F.abs(F.col("e95")))
+        F.col("a50").between(F.col("lo50"), F.col("hi50"))
+        & F.col("a95").between(F.col("lo95"), F.col("hi95"))
     )
     return agg.select(
         "event_type",
         pround(F.col("e50"), 6).alias("p50_exact"),
         pround(F.col("e95"), 6).alias("p95_exact"),
-        ok.alias("approx_within_2pct"),
+        ok.alias("approx_in_rank_band"),
     )
 
 

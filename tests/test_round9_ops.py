@@ -50,14 +50,27 @@ def _duck_on(sf_dir: str, sql: str):
     return con.execute(sql).fetchall()
 
 
-def test_trained_oracle_errors_loudly_on_unpinned_fixture():
+def test_trained_oracle_errors_loudly_on_unpinned_fixture(tmp_path):
+    """All three shipped fixtures are pinned as of r11 (sf0.001 joined
+    in the sf0.001-sweep addendum), so the unpinned case is
+    CONSTRUCTED: a copy of the smallest embeddings table minus one row
+    changes the content fingerprint, and the oracle must refuse
+    loudly, not fall through to a stale bank."""
+    import duckdb
+
     from kafka_parquet_writer_spark.operators.dedup import (
         _ann_trained_oracle,
     )
 
+    src = os.path.join(SF_UNPINNED, "embeddings.parquet")
+    dst = tmp_path / "embeddings.parquet"
+    duckdb.sql(
+        f"COPY (SELECT * FROM read_parquet('{src}') "
+        f"ORDER BY vec_id OFFSET 1) TO '{dst}' (FORMAT PARQUET)"
+    )
     sql = _ann_trained_oracle()
     with pytest.raises(Exception, match="gen_trained_pins"):
-        _duck_on(SF_UNPINNED, sql)
+        _duck_on(str(tmp_path), sql)
 
 
 def test_trained_oracle_still_green_on_pinned_fixture():
@@ -168,8 +181,8 @@ def test_trainer_reports_boundary_margin(spark):
 
 def test_pinned_banks_regenerated_with_margin_receipt():
     """The committed pins module's stats comments must carry the margin
-    field for BOTH fixtures, and gen_trained_pins must enforce the
-    floor — so the next regeneration cannot silently ship a pin a
+    field for EVERY pinned fixture, and gen_trained_pins must enforce
+    the floor — so the next regeneration cannot silently ship a pin a
     different executor layout could flip."""
     import inspect
 
@@ -177,7 +190,7 @@ def test_pinned_banks_regenerated_with_margin_receipt():
     from kafka_parquet_writer_spark.operators import ann_trained_pins
 
     src = open(ann_trained_pins.__file__.rstrip("c")).read()
-    assert src.count("min_boundary_margin_1e6") == 2
+    assert src.count("min_boundary_margin_1e6") == len(G.SF_DIRS)
     assert "min_boundary_margin_1e6" in inspect.getsource(G.main)
     assert "SystemExit" in inspect.getsource(G.main)
 

@@ -8,11 +8,16 @@ tolerance so near-misses are visible).
 Usage: python tools/verify_oracle.py [query ...]
 
 Set SPARK_GRAFT_ORACLE_SF_DIR to cross-check at a different scale
-(e.g. sf0.1 — 10× the driver's gate). Caveat at larger SFs: keys
-whose ORACLE text embeds data-size-derived literals with bounded
-coverage (the ANN centroid bank covers m ≤ 64 ⟺ n ≤ 8000; see
-dedup_embedding_ann's docstring) mismatch BY DESIGN past their
-coverage — the operator is then checked by recall tests instead.
+(e.g. sf0.1 — 10× the driver's gate, or sf0.001 — the small-data
+edge sweep; all three fixtures sweep clean as of r11). Caveat at
+larger SFs: keys whose ORACLE text embeds data-size-derived literals
+with bounded coverage (the ANN centroid bank covers m ≤ 64 ⟺
+n ≤ 8000; see dedup_embedding_ann's docstring) mismatch BY DESIGN
+past their coverage — the operator is then checked by recall tests
+instead. The sf0.001 sweep is worth re-running when an operator's
+gate logic changes: it surfaced that a ±2% VALUE gate on
+approx-quantiles is order-statistic-gap-dominated at small n (the
+r11 rank-band reformulation in governance.py).
 """
 
 from __future__ import annotations
