@@ -18,6 +18,14 @@ instead. The sf0.001 sweep is worth re-running when an operator's
 gate logic changes: it surfaced that a ±2% VALUE gate on
 approx-quantiles is order-statistic-gap-dominated at small n (the
 r11 rank-band reformulation in governance.py).
+
+Set SPARK_GRAFT_CPUS to sweep under a different core/shuffle-
+partition count (the session sizes spark.sql.shuffle.partitions to
+it): `SPARK_GRAFT_CPUS=7` re-checks every key's value hash under an
+odd partitioning — the partition-count-invariance receipt (ties in
+any top-k/limit/argmax that were broken by partition order instead
+of an explicit tiebreak would flip the hash). All 209 keys swept
+clean at 7 as of r11.
 """
 
 from __future__ import annotations
