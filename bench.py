@@ -174,13 +174,16 @@ def _sweep_stale_tmp() -> None:
     lane 1.75× slower (every streaming query pays mkdtemp + file-source
     listing in an ever-larger /tmp). This was tribal knowledge
     (memory + SURVEY note); now it's the first thing a timed run does
-    (r10 VERDICT item 8). Only dirs OLDER than an hour go — a
-    concurrent run's live checkpoints survive."""
+    (r10 VERDICT item 8). Only dirs OLDER than six hours go — a dir's
+    mtime is its CREATION time (later writes land in nested part/
+    checkpoint subdirs), so a 1-hour cutoff raced any concurrent
+    bench_scale lane past its first hour (r11 review); the stale
+    population this sweep exists for is rounds old, not hours."""
     import shutil
     import tempfile
 
     root = tempfile.gettempdir()
-    cutoff = time.time() - 3600
+    cutoff = time.time() - 6 * 3600
     n = 0
     try:
         names = os.listdir(root)

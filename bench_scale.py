@@ -103,6 +103,52 @@ KS_ANN = (1, 2, 4, 8, 16, 32)
 COPY_STRIDE = 100_000_000
 
 
+def _docs_times_k(spark, k: int, tag_words: bool):
+    """The ×k documents DataFrame every blow-up shares: doc_ids
+    re-keyed by COPY_STRIDE; with ``tag_words``, every word of copy
+    i > 0 gets a per-copy prefix so copies share NO vocabulary — the
+    decorrelated mode (near-dup/pair/vocab structure per copy is the
+    fixture's own, k times over); without it, copies keep the
+    fixture's vocabulary — the shared_vocab mode. One definition
+    (r11 review): three hand-rolled copies of this loop had to agree
+    on COPY_STRIDE and the tag regex for lane receipts to compare."""
+    from pyspark.sql import functions as F
+
+    from kafka_parquet_writer_spark.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    copies = []
+    for i in range(k):
+        c = docs.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(i * COPY_STRIDE)
+        )
+        if i > 0 and tag_words:
+            c = c.withColumn(
+                "text", F.regexp_replace("text", r"(\w+)", f"x{i}$1")
+            )
+        copies.append(c)
+    blown = copies[0]
+    for c in copies[1:]:
+        blown = blown.unionByName(c)
+    return blown
+
+
+def docs_blowup_dir(spark, k: int, tag_words: bool, prefix: str) -> str:
+    """Documents-only ×k staging dir: documents blown up, every other
+    table symlinked (the bpedrift/ragprep lane convention)."""
+    from kafka_parquet_writer_spark.catalog import TABLES, table_path
+
+    out = tempfile.mkdtemp(prefix=prefix)
+    for t in TABLES:
+        if t == "documents":
+            continue
+        os.symlink(table_path(SF_DIR, t), table_path(out, t))
+    _docs_times_k(spark, k, tag_words).write.mode("overwrite").parquet(
+        table_path(out, "documents")
+    )
+    return out
+
+
 def build_blowup(spark, k: int) -> str:
     """Materialize an sf-dir with documents/embeddings blown up ×k
     (decorrelated per copy), all other tables symlinked."""
@@ -125,24 +171,9 @@ def build_blowup(spark, k: int) -> str:
         "overwrite"
     ).parquet(table_path(out, "events"))
 
-    docs = load_table(spark, SF_DIR, "documents")
-    copies = []
-    for i in range(k):
-        c = docs.withColumn(
-            "doc_id", F.col("doc_id") + F.lit(i * COPY_STRIDE)
-        )
-        if i > 0:
-            # tag every word: shingles of copy i never collide with
-            # copy j's, so the near-dup structure per copy is the
-            # fixture's own, K times over
-            c = c.withColumn(
-                "text", F.regexp_replace("text", r"(\w+)", f"x{i}$1")
-            )
-        copies.append(c)
-    blown = copies[0]
-    for c in copies[1:]:
-        blown = blown.unionByName(c)
-    blown.write.mode("overwrite").parquet(table_path(out, "documents"))
+    _docs_times_k(spark, k, tag_words=True).write.mode(
+        "overwrite"
+    ).parquet(table_path(out, "documents"))
 
     emb = load_table(spark, SF_DIR, "embeddings")
     copies = []
@@ -1196,11 +1227,7 @@ def bpe_drift_lane() -> None:
     from pyspark.sql import functions as F
 
     from kafka_parquet_writer_spark import get_spark
-    from kafka_parquet_writer_spark.catalog import (
-        TABLES,
-        load_table,
-        table_path,
-    )
+    from kafka_parquet_writer_spark.catalog import load_table
     from kafka_parquet_writer_spark.functions import texthash as TH
     from kafka_parquet_writer_spark.operators import streaming_queries as SQ
 
@@ -1213,27 +1240,9 @@ def bpe_drift_lane() -> None:
     SQ.stream_bpe_vocab_drift(spark, SF_DIR).count()
 
     def build_docs(k: int, tag_words: bool) -> str:
-        out = tempfile.mkdtemp(prefix=f"kpws_bpedrift_x{k}_")
-        for t in TABLES:
-            if t == "documents":
-                continue
-            os.symlink(table_path(SF_DIR, t), table_path(out, t))
-        docs = load_table(spark, SF_DIR, "documents")
-        copies = []
-        for i in range(k):
-            c = docs.withColumn(
-                "doc_id", F.col("doc_id") + F.lit(i * COPY_STRIDE)
-            )
-            if i > 0 and tag_words:
-                c = c.withColumn(
-                    "text", F.regexp_replace("text", r"(\w+)", f"x{i}$1")
-                )
-            copies.append(c)
-        blown = copies[0]
-        for c in copies[1:]:
-            blown = blown.unionByName(c)
-        blown.write.mode("overwrite").parquet(table_path(out, "documents"))
-        return out
+        return docs_blowup_dir(
+            spark, k, tag_words, prefix=f"kpws_bpedrift_x{k}_"
+        )
 
     out: dict = {"epochs": B, "points": []}
     walls: dict[str, dict[int, float]] = {}
@@ -1385,11 +1394,7 @@ def rag_prep_lane() -> None:
     from pyspark.sql import functions as F
 
     from kafka_parquet_writer_spark import get_spark
-    from kafka_parquet_writer_spark.catalog import (
-        TABLES,
-        load_table,
-        table_path,
-    )
+    from kafka_parquet_writer_spark.catalog import load_table
     from kafka_parquet_writer_spark.functions import texthash as TH
     from kafka_parquet_writer_spark.operators import rag_prep as RP
     from kafka_parquet_writer_spark.operators import streaming_queries as SQ
@@ -1403,27 +1408,9 @@ def rag_prep_lane() -> None:
     SQ.stream_mixture_rebalance(spark, SF_DIR).count()
 
     def build_docs(k: int, tag_words: bool) -> str:
-        out = tempfile.mkdtemp(prefix=f"kpws_ragprep_x{k}_")
-        for t in TABLES:
-            if t == "documents":
-                continue
-            os.symlink(table_path(SF_DIR, t), table_path(out, t))
-        docs = load_table(spark, SF_DIR, "documents")
-        copies = []
-        for i in range(k):
-            c = docs.withColumn(
-                "doc_id", F.col("doc_id") + F.lit(i * COPY_STRIDE)
-            )
-            if i > 0 and tag_words:
-                c = c.withColumn(
-                    "text", F.regexp_replace("text", r"(\w+)", f"x{i}$1")
-                )
-            copies.append(c)
-        blown = copies[0]
-        for c in copies[1:]:
-            blown = blown.unionByName(c)
-        blown.write.mode("overwrite").parquet(table_path(out, "documents"))
-        return out
+        return docs_blowup_dir(
+            spark, k, tag_words, prefix=f"kpws_ragprep_x{k}_"
+        )
 
     out: dict = {"epochs": B, "shards": RP.RAG_INDEX_SHARDS, "points": []}
     points = [

@@ -251,3 +251,27 @@ def test_rag_passage_windows_exhaustive_boundary_lengths(spark, tmp_path):
         assert starts[-1] + min(W, n) == n
         want = [(k, st, min(W, n)) for k, st in enumerate(starts)]
         assert sorted(got[n]) == want, f"n={n}"
+
+
+def test_approx_quantile_rank_gate_holds_at_tiny_n(spark, tmp_path):
+    """The r11 review's live repro, pinned: at n = 50 with distinct
+    values (i²) the interpolated p±0.01 band edges are narrower than
+    one element gap, so the previous interpolated-band gate flipped
+    false on a RANK-EXACT sketch answer; n = 10 flipped both gates.
+    The rank-interval gate must hold at every group size, including
+    the degenerate n = 2."""
+    from kafka_parquet_writer_spark.operators.governance import (
+        agg_approx_quantile,
+    )
+
+    rows = [("g50", float(i * i)) for i in range(1, 51)]
+    rows += [("g10", float(i * i)) for i in range(1, 11)]
+    rows += [("g2", 1.0), ("g2", 2.0)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.event_type: r
+        for r in agg_approx_quantile(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"g50", "g10", "g2"}
+    assert all(r.approx_in_rank_band for r in out.values()), out
