@@ -539,3 +539,16 @@ def test_rag_shard_manifest_shuffles_vocab_only(spark, sf_dir):
     assert count_exchanges(df) == 2
     plan = formatted_plan(df)
     assert "array_distinct" in plan
+
+
+def test_approx_quantile_rank_gate_broadcasts_sketch(spark, sf_dir):
+    """The rank-interval accuracy gate (r11 review fix) joins the
+    |groups|-row sketch table back to events for the rank counts —
+    that join must be a BROADCAST (the sketch side is group-cardinal,
+    never corpus-shaped), and the whole plan pays exactly the two
+    keyed aggregates: sketch + rank count. A shuffle join or a third
+    exchange here would mean the corpus crosses the wire twice more
+    at 100 TB for a validation column."""
+    df = E.queries()["agg_approx_quantile"](spark, sf_dir)
+    assert uses_broadcast_join(df)
+    assert count_exchanges(df) <= 2
