@@ -167,7 +167,12 @@ def parse_wire_format(data: bytes) -> dict[int, list]:
             i += 1
             result |= (b & 0x7F) << shift
             if not b & 0x80:
-                return result
+                # mask to 64 bits: the 10th byte's high bits overflow
+                # the word and real parsers DROP them — without this,
+                # a hostile 10-byte varint yields an int up to ~2^70
+                # that crashes to_bytes(8)/Arrow int64 downstream
+                # instead of landing in the DLQ null row
+                return result & 0xFFFFFFFFFFFFFFFF
             shift += 7
             if shift > 63:
                 raise ValueError("varint too long")
@@ -299,7 +304,10 @@ def _varints_of(vals: list) -> list[int]:
                 shift += 7
                 if shift > 63:
                     raise ValueError("varint too long")
-            out.append(_signed(result))
+            # same 64-bit mask as the top-level parser: the 10th
+            # byte's high bits overflow the word and must be dropped,
+            # not handed to Arrow as a >int64 python int
+            out.append(_signed(result & 0xFFFFFFFFFFFFFFFF))
     return out
 
 
@@ -320,17 +328,45 @@ def _doubles_of(vals: list) -> list[float]:
     return out
 
 
+def _want_len(v) -> bytes:
+    """Require a length-delimited occurrence (bytes). A varint/fixed
+    occurrence where the schema declares string/bytes/message is a
+    wire-type mismatch — raise ValueError so the row lands in the DLQ
+    as all-null instead of crashing the executor: ``bytes(huge_int)``
+    would try to ALLOCATE that many zero bytes (a 10-byte varint can
+    demand a terabyte), and ``int.decode`` is an AttributeError the
+    row wrapper does not (and should not) catch."""
+    if isinstance(v, int):
+        raise ValueError("wire type mismatch: varint/fixed where LEN expected")
+    return bytes(v)
+
+
+def _want_word(v, bits: int) -> int:
+    """Require a numeric occurrence that fits ``bits``. A LEN
+    occurrence where the schema declares a numeric scalar is a
+    mismatch (``int(b"123")`` would silently misdecode digit bytes);
+    an I64/VARINT occurrence for a declared float must fit 32 bits or
+    ``to_bytes(4)`` raises OverflowError outside the DLQ contract."""
+    if not isinstance(v, int):
+        raise ValueError("wire type mismatch: LEN where numeric expected")
+    if v >> bits:
+        raise ValueError(f"numeric occurrence exceeds {bits} bits")
+    return v
+
+
 def _extract(parsed: dict[int, list], fnum: int, ftype) -> object:
     """One typed column value from parsed wire fields. ``ftype`` is a
     scalar name, an ``array<...>`` of scalars, or a nested field_map
     dict (→ struct as a python dict; singular message fields take the
     LAST occurrence — the proto3 merge rule collapsed to last-wins for
-    the scalar-leaf schemas this tier covers)."""
+    the scalar-leaf schemas this tier covers). Wire-type-vs-schema
+    mismatches raise ValueError (→ DLQ null row), never executor-
+    crashing exception types — pinned by the r11 fuzz tests."""
     vals = parsed.get(fnum)
     if isinstance(ftype, dict):
         if not vals:
             return None
-        sub = parse_wire_format(bytes(vals[-1]))
+        sub = parse_wire_format(_want_len(vals[-1]))
         return {
             name: _extract(sub, sfnum, sftype)
             for name, (sfnum, sftype) in ftype.items()
@@ -344,29 +380,33 @@ def _extract(parsed: dict[int, list], fnum: int, ftype) -> object:
             return []
         elem = ftype[len("array<"):-1]
         if elem == "string":
-            return [v.decode("utf-8", "replace") for v in vals]
+            return [_want_len(v).decode("utf-8", "replace") for v in vals]
         if elem == "double":
             return _doubles_of(vals)
         return _varints_of(vals)
     if not vals:
         return None
     if ftype == "string":
-        return vals[-1].decode("utf-8", "replace")
+        return _want_len(vals[-1]).decode("utf-8", "replace")
     if ftype == "boolean":
-        return bool(int(vals[-1]))
+        return bool(_want_word(vals[-1], 64))
     if ftype == "binary":
-        return bytes(vals[-1])
+        return _want_len(vals[-1])
     if ftype == "double":
         # I64 occurrences parse to ints (the raw little-endian bit
         # pattern); reinterpret as IEEE double — parseFrom semantics
         import struct
 
-        return struct.unpack("<d", int(vals[-1]).to_bytes(8, "little"))[0]
+        return struct.unpack(
+            "<d", _want_word(vals[-1], 64).to_bytes(8, "little")
+        )[0]
     if ftype == "float":
         import struct
 
-        return struct.unpack("<f", int(vals[-1]).to_bytes(4, "little"))[0]
-    return _signed(int(vals[-1]))
+        return struct.unpack(
+            "<f", _want_word(vals[-1], 32).to_bytes(4, "little")
+        )[0]
+    return _signed(_want_word(vals[-1], 64))
 
 
 def _sql_type(ftype) -> str:
