@@ -26,6 +26,13 @@ odd partitioning — the partition-count-invariance receipt (ties in
 any top-k/limit/argmax that were broken by partition order instead
 of an explicit tiebreak would flip the hash). All 209 keys swept
 clean at 7 as of r11.
+
+Run under an exotic TZ (`TZ=Australia/Eucla`, +08:45) to check that
+no key mixes UTC and session-local time conventions — Spark's
+session timezone and DuckDB's system timezone both follow the env,
+so a key that pins one side to UTC while the other buckets locally
+only diverges at a non-integral offset. All 209 keys swept clean
+there too as of r11.
 """
 
 from __future__ import annotations
