@@ -85,6 +85,38 @@ def values_close(a, b) -> bool:
     return a == b
 
 
+def compare(s_cols, s_rows, d_cols, d_rows) -> list:
+    """The gate's verdict for one key: a list of mismatch descriptions
+    (empty ⟺ OK). Factored out of main() so the comparator itself is
+    negative-testable (r11: the whole receipt chain rests on this
+    function actually flagging differences — see
+    tests/test_verify_oracle_meta.py)."""
+    status = []
+    if sorted(s_cols) != sorted(d_cols):
+        status.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+    if len(s_rows) != len(d_rows):
+        status.append(f"count spark={len(s_rows)} duck={len(d_rows)}")
+    if not status:
+        ns = normalize(s_rows, s_cols)
+        nd = normalize(d_rows, d_cols)
+        if ns != nd:
+            exact_mismatch = 0
+            close_enough = True
+            for a, b in zip(ns, nd):
+                if a != b:
+                    exact_mismatch += 1
+                    if not all(values_close(x, y) for x, y in zip(a, b)):
+                        close_enough = False
+                        if exact_mismatch <= 3:
+                            status.append(f"row diff: {a} vs {b}")
+            if close_enough and not status:
+                status.append(
+                    f"{exact_mismatch} rows differ only in float repr "
+                    "(HASH WOULD FAIL — tighten rounding)"
+                )
+    return status
+
+
 def main() -> int:
     import duckdb
 
@@ -126,29 +158,7 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
-        status = []
-        if sorted(s_cols) != sorted(d_cols):
-            status.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
-        if len(s_rows) != len(d_rows):
-            status.append(f"count spark={len(s_rows)} duck={len(d_rows)}")
-        if not status:
-            ns = normalize(s_rows, s_cols)
-            nd = normalize(d_rows, d_cols)
-            if ns != nd:
-                exact_mismatch = 0
-                close_enough = True
-                for a, b in zip(ns, nd):
-                    if a != b:
-                        exact_mismatch += 1
-                        if not all(values_close(x, y) for x, y in zip(a, b)):
-                            close_enough = False
-                            if exact_mismatch <= 3:
-                                status.append(f"row diff: {a} vs {b}")
-                if close_enough and not status:
-                    status.append(
-                        f"{exact_mismatch} rows differ only in float repr "
-                        "(HASH WOULD FAIL — tighten rounding)"
-                    )
+        status = compare(s_cols, s_rows, d_cols, d_rows)
         if status:
             failures.append(name)
             print(f"FAIL  {name}: " + "; ".join(status)[:500])
