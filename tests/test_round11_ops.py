@@ -275,3 +275,53 @@ def test_approx_quantile_rank_gate_holds_at_tiny_n(spark, tmp_path):
     }
     assert set(out) == {"g50", "g10", "g2"}
     assert all(r.approx_in_rank_band for r in out.values()), out
+
+
+def test_subseq_matcher_chunking_invariance_property():
+    """Micro-batch boundaries must NEVER change what the stateful
+    matcher emits: for random in-order series and random chunkings,
+    the concatenated per-batch emissions equal the single-batch run.
+    Generalizes test_round10_ops' fixed two-batch agreement into a
+    property — the state hand-off (tail carry + tail-window
+    exclusion) is exactly what varies with the chunking."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from test_round10_ops import _rows, _run
+    from kafka_parquet_writer_spark.operators.streaming_queries import (
+        make_subseq_matcher,
+    )
+
+    L = 4
+    q = [-0.57735, 1.732051, -0.57735, -0.57735]
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.floats(
+                min_value=-100, max_value=100,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=L,
+            max_size=24,
+        ),
+        st.data(),
+    )
+    def prop(series, data):
+        rows = _rows(series)
+        cuts = data.draw(
+            st.lists(
+                st.integers(min_value=1, max_value=len(rows) - 1),
+                max_size=4,
+                unique=True,
+            ).map(sorted)
+        )
+        bounds = [0] + cuts + [len(rows)]
+        batches = [
+            rows[a:b] for a, b in zip(bounds, bounds[1:]) if a < b
+        ]
+        single, _ = _run(make_subseq_matcher(L, q, 1e9), (1,), [rows])
+        chunked, _ = _run(make_subseq_matcher(L, q, 1e9), (1,), batches)
+        assert sum(chunked, []) == single[0]
+
+    prop()
