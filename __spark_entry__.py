@@ -206,6 +206,12 @@ _FORCE_RECHECK = {  # key -> round whose green is void
     # the sf0.01/sf0.1 banks are byte-identical, but the key's helper
     # closure changed on r9 evidence and the audit rightly flags it.
     "dedup_embedding_ann_trained": 9,
+    # r11 (late): the decontamination flag list lost its forced
+    # broadcast hint — the same corpus-shaped-operand class as
+    # clean_corpus's drop list (r10 VERDICT item 2), found by applying
+    # that review to the sibling composition. Plan change on r8
+    # evidence.
+    "pipeline_train_corpus": 8,
 }
 
 

@@ -148,9 +148,14 @@ def pipeline_train_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the whole chain is value-checked end-to-end.
 
     Scale shape: mixture membership is a per-row hash against a
-    broadcast rate table; decontamination is a broadcast semi-join of
-    a tiny flagged list; packing is the sharded prefix sum — the
-    corpus is never shuffled except the final per-bin aggregate.
+    broadcast rate table; packing is the sharded prefix sum — the
+    corpus is never shuffled except the final per-bin aggregate. The
+    decontamination anti-join carries NO broadcast hint (the same
+    reasoning as pipeline_clean_corpus's drop list, r11): the flagged
+    list is corpus-derived — contamination rates of 1–10% are routine
+    on large crawls where benchmark text is widely replicated — so a
+    forced broadcast is O(corpus_rows × rate) and AQE's runtime size
+    check must make the call instead.
     """
     from kafka_parquet_writer_spark.operators.corpus_prep import pack_bins
     from kafka_parquet_writer_spark.operators.llm_prep import (
@@ -163,7 +168,7 @@ def pipeline_train_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = decontaminate_ngram(spark, sf_dir).select("doc_id")
     surv = (
         mix.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
-        .join(F.broadcast(flagged), "doc_id", "left_anti")
+        .join(flagged, "doc_id", "left_anti")
         .select("doc_id", F.col("tok").alias("t"))
     )
     return pack_bins(surv)

@@ -325,3 +325,26 @@ def test_subseq_matcher_chunking_invariance_property():
         assert sum(chunked, []) == single[0]
 
     prop()
+
+
+def test_train_corpus_flagged_list_no_broadcast_but_rates_hinted(spark, sf_dir):
+    """pipeline_train_corpus's decontamination flag list is
+    corpus-derived (1-10% contamination rates are routine on large
+    crawls), so its anti-join must NOT force a broadcast — the same
+    class as clean_corpus's drop list. The mixture RATE table the
+    pipeline also joins IS legitimately hinted (|langs| rows), so the
+    assertion counts hint nodes rather than banning them outright:
+    every surviving hint must be on a grouped-aggregate input, never
+    on the flagged doc list."""
+    from kafka_parquet_writer_spark.operators.pipeline import (
+        pipeline_train_corpus,
+    )
+
+    df = pipeline_train_corpus(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    anti = analyzed.split("LeftAnti")
+    assert len(anti) >= 2, "expected the decontamination anti-join"
+    # a broadcast() on the flag list would surface as a ResolvedHint
+    # heading the anti-join's right child — the text immediately after
+    # the join header
+    assert "ResolvedHint" not in anti[1][:400]
