@@ -267,7 +267,11 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", 0.95).alias("e95"),
         F.approx_percentile("value", 0.50, 10_000).alias("a50"),
         F.approx_percentile("value", 0.95, 10_000).alias("a95"),
-        F.count(F.lit(1)).alias("n"),
+        # non-null count: percentile/approx_percentile and the lt/le
+        # rank sums below all ignore NULL values, so row count would
+        # inflate the p·n rank target on a null-bearing group and the
+        # gate could flip false (r11 ADVICE)
+        F.count("value").alias("n"),
     )
     j = ev.join(F.broadcast(sk), "event_type")
     g = j.groupBy("event_type").agg(

@@ -147,12 +147,29 @@ def build_file_descriptor_set(
 _VARINT, _I64, _LEN, _I32 = 0, 1, 2, 5
 
 
+class _Fixed32(int):
+    """An I32 occurrence, tagged with its wire type. Plain ``int``
+    everywhere ints are accepted, but lets declared float/double
+    reject cross-width occurrences (a 4-byte int reinterpreted as an
+    8-byte IEEE double is silent garbage — r11 ADVICE) the way real
+    parsers treat a wire-type mismatch: not as the declared field."""
+
+    __slots__ = ()
+
+
+class _Fixed64(int):
+    """An I64 occurrence, tagged with its wire type (see _Fixed32)."""
+
+    __slots__ = ()
+
+
 def parse_wire_format(data: bytes) -> dict[int, list]:
     """Parse top-level protobuf fields → {field_number: [raw values]}.
 
     varint fields decode to int; length-delimited to bytes; fixed32/64
-    to int (little-endian). Raises ValueError on truncation — callers
-    map that to null rows (DLQ policy).
+    to _Fixed32/_Fixed64 (int subclasses tagging the wire type,
+    little-endian). Raises ValueError on truncation — callers map
+    that to null rows (DLQ policy).
     """
     out: dict[int, list] = {}
     i, n = 0, len(data)
@@ -191,12 +208,12 @@ def parse_wire_format(data: bytes) -> dict[int, list]:
         elif wtype == _I64:
             if i + 8 > n:
                 raise ValueError("truncated fixed64")
-            val = int.from_bytes(data[i : i + 8], "little")
+            val = _Fixed64(int.from_bytes(data[i : i + 8], "little"))
             i += 8
         elif wtype == _I32:
             if i + 4 > n:
                 raise ValueError("truncated fixed32")
-            val = int.from_bytes(data[i : i + 4], "little")
+            val = _Fixed32(int.from_bytes(data[i : i + 4], "little"))
             i += 4
         else:
             raise ValueError(f"unsupported wire type {wtype}")
@@ -279,6 +296,16 @@ def _signed(v: int) -> int:
     return v - (1 << 64) if v > 0x7FFFFFFFFFFFFFFF else v
 
 
+def _int32(v: int) -> int:
+    # declared int32: parseFrom reads the full 64-bit varint then
+    # keeps the low 32 bits as a signed int (the Java `(int)` cast).
+    # Without this, a hostile varint outside int32 range (e.g. 2^40)
+    # passes the 64-bit check and crashes Arrow's int32 conversion —
+    # an executor crash instead of a decoded row (r11 ADVICE medium).
+    v &= 0xFFFFFFFF
+    return v - (1 << 32) if v > 0x7FFFFFFF else v
+
+
 def _varints_of(vals: list) -> list[int]:
     """Flatten repeated-varint occurrences: each occurrence is either a
     bare varint (unpacked) or a LEN payload of concatenated varints
@@ -320,6 +347,13 @@ def _doubles_of(vals: list) -> list[float]:
     out: list[float] = []
     for v in vals:
         if isinstance(v, int):
+            # only a true I64 occurrence carries double bits: a varint
+            # or I32 occurrence reinterpreted here is silent garbage
+            # (denormal from 4 bytes) — wire-type mismatch → DLQ
+            if not isinstance(v, _Fixed64):
+                raise ValueError(
+                    "wire type mismatch: double requires I64 occurrence"
+                )
             out.append(struct.unpack("<d", v.to_bytes(8, "little"))[0])
         else:
             if len(v) % 8:
@@ -383,6 +417,10 @@ def _extract(parsed: dict[int, list], fnum: int, ftype) -> object:
             return [_want_len(v).decode("utf-8", "replace") for v in vals]
         if elem == "double":
             return _doubles_of(vals)
+        if elem == "int":
+            # per-element int32 truncation, same parseFrom cast as the
+            # singular path (r11 ADVICE: 2^40 must not reach Arrow)
+            return [_int32(x) for x in _varints_of(vals)]
         return _varints_of(vals)
     if not vals:
         return None
@@ -393,19 +431,29 @@ def _extract(parsed: dict[int, list], fnum: int, ftype) -> object:
     if ftype == "binary":
         return _want_len(vals[-1])
     if ftype == "double":
-        # I64 occurrences parse to ints (the raw little-endian bit
-        # pattern); reinterpret as IEEE double — parseFrom semantics
+        # only an I64 occurrence carries double bits; a varint or I32
+        # occurrence is a wire-type mismatch — real parsers treat it
+        # as unknown, we DLQ the row (r11 ADVICE: the 4-byte-denormal
+        # silent-misdecode path)
         import struct
 
-        return struct.unpack(
-            "<d", _want_word(vals[-1], 64).to_bytes(8, "little")
-        )[0]
+        v = vals[-1]
+        if not isinstance(v, _Fixed64):
+            raise ValueError(
+                "wire type mismatch: double requires I64 occurrence"
+            )
+        return struct.unpack("<d", v.to_bytes(8, "little"))[0]
     if ftype == "float":
         import struct
 
-        return struct.unpack(
-            "<f", _want_word(vals[-1], 32).to_bytes(4, "little")
-        )[0]
+        v = vals[-1]
+        if not isinstance(v, _Fixed32):
+            raise ValueError(
+                "wire type mismatch: float requires I32 occurrence"
+            )
+        return struct.unpack("<f", v.to_bytes(4, "little"))[0]
+    if ftype == "int":
+        return _int32(_want_word(vals[-1], 64))
     return _signed(_want_word(vals[-1], 64))
 
 

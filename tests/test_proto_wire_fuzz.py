@@ -39,6 +39,12 @@ SCHEMA = {
     "xs": (8, "array<long>"),
     "ds": (9, "array<double>"),
     "sub": (10, {"a": (1, "long")}),
+    # r12: declared int32 columns — the r11 ADVICE hole: a varint
+    # outside int32 range passed _want_word(v, 64) and crashed Arrow
+    # conversion instead of truncating (parseFrom `(int)` cast) and
+    # the fuzz SCHEMA had no int column to catch it
+    "i": (11, "int"),
+    "ns": (12, "array<int>"),
 }
 
 
@@ -68,11 +74,39 @@ TEN_FF = bytes.fromhex("ffffffffffffffffff7f")
         # to_bytes(4) would raise OverflowError
         "3001",  # varint for field 6 (binary)
         "3803",  # varint for field 7 (array<string>)
+        # r12 (ADVICE low): wire-width mismatches for float/double —
+        # each previously reinterpreted bits silently
+        "1801",  # varint 1 for field 3 (double): would decode 5e-324
+        "1d00000040",  # I32 for field 3 (double): 4-byte denormal
+        "2001",  # small varint for field 4 (float): garbage bits
+        "210000000000000040",  # I64 for field 4 (float)
+        "4d0000803f",  # unpacked I32 occurrence for field 9
+        # (array<double>)
     ],
 )
 def test_mismatch_raises_value_error_only(hexdata):
     with pytest.raises(ValueError):
         _decode_row(bytes.fromhex(hexdata))
+
+
+def test_int32_truncates_like_parsefrom():
+    """Declared int32: parseFrom reads the 64-bit varint then keeps
+    the low 32 bits signed (the Java `(int)` cast). 2^40 must land as
+    0 in the row — before r12 it crashed Arrow int32 conversion
+    (ArrowInvalid is not ValueError → executor crash, r11 ADVICE)."""
+    # field 11 (int), varint 2^40 = hex 80 80 80 80 80 20
+    assert _decode_row(bytes.fromhex("58808080808020"))["i"] == 0
+    # 2^40 + 5 → low 32 bits = 5
+    assert _decode_row(bytes.fromhex("58858080808020"))["i"] == 5
+    # 0xFFFFFFFF → -1; 2^31 → INT_MIN
+    assert _decode_row(bytes.fromhex("58ffffffff0f"))["i"] == -1
+    assert _decode_row(bytes.fromhex("588080808008"))["i"] == -(1 << 31)
+    # negative int32 on the wire is the 10-byte 64-bit form
+    assert _decode_row(bytes.fromhex("58feffffffffffffffff01"))["i"] == -2
+    # array<int> (field 12), packed: [2^40+5, 0xFFFFFFFF] → [5, -1]
+    payload = bytes.fromhex("858080808020") + bytes.fromhex("ffffffff0f")
+    packed = bytes.fromhex("62") + bytes([len(payload)]) + payload
+    assert _decode_row(packed)["ns"] == [5, -1]
 
 
 def test_mismatched_rows_land_in_dlq_not_crash(spark):
@@ -125,3 +159,8 @@ def test_arbitrary_bytes_decode_or_value_error(data):
         assert -(1 << 63) <= n < (1 << 63)
     for x in row["xs"]:
         assert -(1 << 63) <= x < (1 << 63)
+    i = row["i"]
+    if i is not None:
+        assert -(1 << 31) <= i < (1 << 31)
+    for x in row["ns"]:
+        assert -(1 << 31) <= x < (1 << 31)
