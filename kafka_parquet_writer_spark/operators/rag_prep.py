@@ -85,33 +85,17 @@ def _passage_oracle() -> str:
     """
 
 
-@query("rag_passage_windows", oracle=_passage_oracle())
-def rag_passage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-anchored passage windowing — text_chunk's retrieval-shaped
-    sibling (the r10 SURVEY/VERDICT's RAG-prep candidate): width-W
-    token windows every S tokens, with the FINAL window clamped to
-    end at the document's last token, so every passage of a ≥W-token
-    document is full width (uniform embedding width; no sub-overlap
-    tail fragments in the index). Documents shorter than W yield one
-    passage of the whole document.
-
-    Window starts: k·S for k < n_pass−1, then n−W for the last —
-    n_pass = 1 + ⌈max(0, n−W)/S⌉, and (n_pass−2)·S < n−W strictly, so
-    starts never collide and consecutive middle windows overlap
-    exactly W−S tokens. The passage identity that downstream exact
-    dedup / index build consumes is the portable 64-bit hash of the
-    joined token span (the text_chunk parity hash), so the oracle
-    value-matches content, not just geometry.
-
-    Scale shape: single-pass expression-domain transform — words,
-    per-row start list (sequence + transform), explode, slice, hash;
-    no shuffle at all (the parquet scan's partitioning survives), no
-    Python. At 100 TB this is the map stage feeding the embedding
-    UDF; the explode multiplies rows by ~n/S ≈ 3–4×, which
-    files.maxPartitionBytes sizing already absorbs.
-    """
+def passage_frame(docs: DataFrame) -> DataFrame:
+    """The end-anchored passage windower as a frame transform: docs
+    (doc_id, text, …) → one row per passage with the geometry columns
+    and the portable content hash. Pure expression domain — words,
+    per-row start list, explode, slice, hash — with no shuffle, no
+    state, and no batch-only constructs, so the SAME function serves
+    rag_passage_windows (batch) and stream_passage_windows (per
+    micro-batch over the staged documents stream); the boundary-sweep
+    test exercises it once for both. See rag_passage_windows for the
+    window arithmetic."""
     W, S = PASSAGE_TOKENS, PASSAGE_STRIDE
-    docs = load_table(spark, sf_dir, "documents")
     w = docs.select(
         "doc_id",
         TH.words_expr("text").alias("ws"),
@@ -147,6 +131,36 @@ def rag_passage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("passage_hash"),
     )
+
+
+@query("rag_passage_windows", oracle=_passage_oracle())
+def rag_passage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-anchored passage windowing — text_chunk's retrieval-shaped
+    sibling (the r10 SURVEY/VERDICT's RAG-prep candidate): width-W
+    token windows every S tokens, with the FINAL window clamped to
+    end at the document's last token, so every passage of a ≥W-token
+    document is full width (uniform embedding width; no sub-overlap
+    tail fragments in the index). Documents shorter than W yield one
+    passage of the whole document.
+
+    Window starts: k·S for k < n_pass−1, then n−W for the last —
+    n_pass = 1 + ⌈max(0, n−W)/S⌉, and (n_pass−2)·S < n−W strictly, so
+    starts never collide and consecutive middle windows overlap
+    exactly W−S tokens. The passage identity that downstream exact
+    dedup / index build consumes is the portable 64-bit hash of the
+    joined token span (the text_chunk parity hash), so the oracle
+    value-matches content, not just geometry.
+
+    Scale shape: single-pass expression-domain transform — words,
+    per-row start list (sequence + transform), explode, slice, hash;
+    no shuffle at all (the parquet scan's partitioning survives), no
+    Python. At 100 TB this is the map stage feeding the embedding
+    UDF; the explode multiplies rows by ~n/S ≈ 3–4×, which
+    files.maxPartitionBytes sizing already absorbs. The transform
+    itself lives in passage_frame (shared with the streaming twin
+    stream_passage_windows).
+    """
+    return passage_frame(load_table(spark, sf_dir, "documents"))
 
 
 def _shard_manifest_oracle() -> str:

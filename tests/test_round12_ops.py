@@ -33,3 +33,23 @@ def test_approx_quantile_null_values_do_not_inflate_rank_target(
     assert all(r.approx_in_rank_band for r in out.values()), out
     # the exact percentiles also ignore NULLs — p50 of the 10 values
     assert out["nully"].p50_exact == pytest.approx(30.5)
+
+
+def test_stream_passage_windows_incremental_equals_batch(spark):
+    """The streaming windower is rag_prep.passage_frame — the same
+    function the batch key runs (so the 1..130-token boundary sweep
+    covers both) — executed once per micro-batch over the doc_id-
+    ranged staging. Stateless map ⇒ the union of per-batch outputs
+    must equal the batch result row-for-row."""
+    from kafka_parquet_writer_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        tuple(r) for r in QUERIES["rag_passage_windows"](spark, sf).collect()
+    }
+    stream = {
+        tuple(r)
+        for r in QUERIES["stream_passage_windows"](spark, sf).collect()
+    }
+    assert stream == batch
+    assert len(batch) > 0
