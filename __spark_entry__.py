@@ -180,38 +180,20 @@ _FORCE_RECHECK = {  # key -> round whose green is void
     # expired by r8/r9 greens; r10 subsequence pair — expired by the
     # r10 greens.)
     #
-    # r11: the drop-list anti-join lost its forced broadcast hint and
-    # the module docstring's scale claim was corrected (r10 VERDICT
-    # item 2) — plan change on r10 evidence.
-    "pipeline_clean_corpus": 10,
-    # r11: the drift oracle's pair extraction moved from the
-    # range(1, 1000000)-capped cross join to the lockstep dual unnest
-    # (r10 ADVICE low), and the state guard became code
-    # (_drift_state_guard, r10 VERDICT item 6) — oracle AND closure
-    # change on r10 evidence.
-    "stream_bpe_vocab_drift": 10,
-    # r11: make_subseq_matcher's length assert tightened to >= 2 (the
-    # length-1 state-slice degeneracy, r10 ADVICE low) — closure
-    # change on r10 evidence.
-    "stream_subsequence_match": 10,
-    # r11 (late, from the sf0.001 robustness sweep): the accuracy gate
-    # was reformulated from a ±2% VALUE band to a p±0.01 RANK band —
-    # GK's guarantee is on rank, and the value form was gap-dominated
-    # at small n (a tiny group's sketch answered a real element
-    # correctly and still flipped the gate). Plan, oracle, and output
-    # schema change on r8 evidence.
-    "agg_approx_quantile": 8,
-    # r11 (late): ann_trained_pins gained an sf0.001 bank so the
-    # unpinned-fixture guard no longer fires on the smallest fixture;
-    # the sf0.01/sf0.1 banks are byte-identical, but the key's helper
-    # closure changed on r9 evidence and the audit rightly flags it.
-    "dedup_embedding_ann_trained": 9,
-    # r11 (late): the decontamination flag list lost its forced
-    # broadcast hint — the same corpus-shaped-operand class as
-    # clean_corpus's drop list (r10 VERDICT item 2), found by applying
-    # that review to the sibling composition. Plan change on r8
-    # evidence.
-    "pipeline_train_corpus": 8,
+    # (r11's six entries — pipeline_clean_corpus, stream_bpe_vocab_drift,
+    # stream_subsequence_match, agg_approx_quantile@8,
+    # dedup_embedding_ann_trained, pipeline_train_corpus — all expired
+    # via their CORRECTNESS_r11 greens and are pruned per the policy.)
+    #
+    # r12: the rank gate's n moved from row count to non-null value
+    # count (r11 ADVICE low: NULL values inflated the p·n target) —
+    # closure change on r11 evidence.
+    "agg_approx_quantile": 11,
+    # r12: the windower body was factored out into passage_frame so
+    # stream_passage_windows runs the identical transform — the key's
+    # helper closure changed on r11 evidence (behavior-preserving
+    # refactor, but the audit rightly demands re-proof on shipped code).
+    "rag_passage_windows": 11,
 }
 
 
