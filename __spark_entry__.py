@@ -194,6 +194,10 @@ _FORCE_RECHECK = {  # key -> round whose green is void
     # helper closure changed on r11 evidence (behavior-preserving
     # refactor, but the audit rightly demands re-proof on shipped code).
     "rag_passage_windows": 11,
+    # r12: the min_support pre-filter became a real code path (r11
+    # VERDICT item 6) — the default path is unchanged but the key's
+    # closure changed on r11 evidence.
+    "stream_bpe_vocab_drift": 11,
 }
 
 

@@ -1663,10 +1663,69 @@ def _drift_state_guard(state: DataFrame, max_rows: int | None = None) -> DataFra
             f"over the {cap}-row in-memory ceiling — the corpus "
             "vocabulary is decorrelating across epochs. Hand off to "
             "the RocksDB state store (partitioned by pair hash) or "
-            "apply the text_heavy_hitters support threshold as a "
-            "state pre-filter; neither is applied silently."
+            "re-run with min_support > 1 (the support pre-filter code "
+            "path: pairs below the threshold never enter state — a "
+            "documented undercount trade); neither is applied silently."
         )
     return state
+
+
+def _run_support_filtered(
+    pairs: DataFrame, min_support: int
+) -> DataFrame:
+    """The drift key's SUPPORT-PRE-FILTERED state builder (opt-in via
+    stream_bpe_vocab_drift's ``min_support`` — the Misra-Gries-style
+    trade the state guard names, promoted from error-message prose to
+    code, r11 VERDICT item 6).
+
+    Per micro-batch: pair counts are aggregated BATCH-LOCALLY (no
+    state store), rows below ``min_support`` are dropped, and only the
+    survivors append to the accumulated state (a parquet accumulator —
+    the durable analogue of the memory sink, and the scale-honest one:
+    survivors land partitioned, never on the driver). Because the
+    staging maps one epoch per micro-batch, the filter is exactly a
+    per-epoch support threshold, so state holds only (epoch, pair)
+    rows whose count cleared ``min_support`` in their epoch.
+
+    SEMANTICS DELTA vs the exact path (document before opting in): a
+    pair with per-epoch count < min_support in SOME epochs is
+    undercounted in n_total/n_early/n_late by exactly those epochs'
+    contributions, and a pair below threshold everywhere disappears
+    entirely. The top-K heavy pairs the key reports are unaffected
+    whenever min_support ≪ their per-epoch counts — the same trade
+    text_heavy_hitters' support threshold makes in batch. The filter
+    is applied per MICRO-BATCH: if a staging ever mapped several
+    files to one epoch, support would bind per file, a strictly
+    stronger filter.
+    """
+    acc = tempfile.mkdtemp(prefix="kpws_drift_acc_")
+    ckpt = tempfile.mkdtemp(prefix="kpws_ckpt_")
+    spark = pairs.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+    )
+
+    def fold(batch_df, _batch_id: int) -> None:
+        (
+            batch_df.groupBy("epoch", "a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .filter(F.col("n") >= min_support)
+            .write.mode("append")
+            .parquet(acc)
+        )
+
+    try:
+        q = (
+            pairs.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(acc)
 
 
 def _bpe_drift_oracle() -> str:
@@ -1718,7 +1777,9 @@ def _bpe_drift_oracle() -> str:
 
 
 @query("stream_bpe_vocab_drift", oracle=_bpe_drift_oracle())
-def stream_bpe_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_bpe_vocab_drift(
+    spark: SparkSession, sf_dir: str, min_support: int | None = None
+) -> DataFrame:
     """Streaming VOCABULARY DRIFT — the tokenizer story's continuous
     half (the r9 SURVEY's own r10 candidate): documents arrive in
     doc_id-ordered micro-batches (corpus epochs), and a streaming
@@ -1743,7 +1804,10 @@ def stream_bpe_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrences, cross the wire). State is O(distinct pairs × epochs),
     bounded by observed-vocab² — guarded IN CODE by
     BPE_DRIFT_MAX_STATE_ROWS (_drift_state_guard raises loudly past
-    it, naming the RocksDB-store / heavy-hitters-support hand-offs);
+    it, naming the RocksDB-store hand-off and the ``min_support``
+    pre-filter, which is itself a code path here: opt in via the
+    keyword to drop below-support pairs before state insertion, with
+    the undercount trade documented on _run_support_filtered);
     the drift finisher reads only the state table, never the corpus.
     Events-side ingest parity: the reference lands raw bytes and would
     recompute these stats in a nightly batch (KafkaProtoParquetWriter
@@ -1781,10 +1845,20 @@ def stream_bpe_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("epoch", "p.a", "p.b")
-    agg = pairs.groupBy("epoch", "a", "b").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    out = _drift_state_guard(_run_to_memory(agg, "complete"))
+    if min_support is None:
+        # exact path (the declared key): complete-mode stateful agg,
+        # one state update per micro-batch
+        agg = pairs.groupBy("epoch", "a", "b").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        out = _drift_state_guard(_run_to_memory(agg, "complete"))
+    else:
+        # opt-in support pre-filter: pairs below min_support in their
+        # epoch never enter state (see _run_support_filtered for the
+        # documented undercount semantics delta)
+        out = _drift_state_guard(
+            _run_support_filtered(pairs, min_support)
+        )
     return (
         out.groupBy("a", "b")
         .agg(

@@ -35,6 +35,40 @@ def test_approx_quantile_null_values_do_not_inflate_rank_target(
     assert out["nully"].p50_exact == pytest.approx(30.5)
 
 
+def test_drift_min_support_prefilter_caps_state(spark, tmp_path):
+    """The support pre-filter promoted from the state guard's error
+    message to a code path (r11 VERDICT item 6): on a decorrelated
+    corpus shape (per-epoch disjoint noise vocabulary — the state
+    blow-up the guard raises on), min_support=2 must keep only pairs
+    clearing the threshold in their epoch, so the below-support noise
+    never enters state and never reaches the report, while the heavy
+    pair's counts stay EXACT (it clears support in every epoch)."""
+    from kafka_parquet_writer_spark.operators.streaming_queries import (
+        stream_bpe_vocab_drift,
+    )
+
+    docs = [
+        (i, "hh hh hh " + " ".join(f"e{i}w{j}" for j in range(10)))
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    exact = stream_bpe_vocab_drift(spark, str(tmp_path)).collect()
+    # decorrelated noise: 1 shared pair + 4 epochs x 10 unique pairs
+    assert len(exact) == 40  # capped at BPE_DRIFT_TOPK, 41 candidates
+
+    filtered = stream_bpe_vocab_drift(
+        spark, str(tmp_path), min_support=2
+    ).collect()
+    assert len(filtered) == 1  # noise pairs (per-epoch count 1) dropped
+    row = filtered[0]
+    assert (row.a, row.b) == ("hh", "hh")
+    # the surviving pair's stats are exact: 2 occurrences x 4 epochs
+    assert row.n_total == 8 and row.n_early == 4 and row.n_late == 4
+    assert row.drift_milli == 0
+
+
 def test_stream_passage_windows_incremental_equals_batch(spark):
     """The streaming windower is rag_prep.passage_frame — the same
     function the batch key runs (so the 1..130-token boundary sweep
