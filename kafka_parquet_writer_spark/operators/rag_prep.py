@@ -339,3 +339,121 @@ def rag_query_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_shards_skipped"),
         F.sum("budget").cast("long").alias("postings_budget"),
     )
+
+
+#: documents returned per query by the end-to-end retrieval key
+RAG_TOPK = 10
+#: integer idf scale — score = Σ tf · (SCALE div df), engine-portable
+RAG_IDF_SCALE = 1_000_000
+
+
+def _topk_retrieval_oracle() -> str:
+    K, SC = RAG_TOPK, RAG_IDF_SCALE
+    return f"""
+    WITH qt AS (
+      SELECT DISTINCT p_partkey AS query_id,
+             unnest({TH.sql_words('p_name')}) AS term
+      FROM part
+    ), terms AS (
+      SELECT DISTINCT term FROM qt
+    ), tok AS (
+      SELECT doc_id, unnest({TH.sql_words('text')}) AS token
+      FROM documents
+    ), mtok AS (
+      SELECT doc_id, token FROM tok JOIN terms ON token = term
+    ), tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM mtok GROUP BY doc_id, token
+    ), dfv AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df
+      FROM tf GROUP BY token
+    ), sc AS (
+      SELECT qt.query_id, tf.doc_id,
+             CAST(sum(tf.tf * ({SC} // dfv.df)) AS BIGINT) AS score
+      FROM tf
+      JOIN dfv USING (token)
+      JOIN qt ON tf.token = qt.term
+      GROUP BY qt.query_id, tf.doc_id
+    ), rk AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM sc
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM rk WHERE rnk <= {K}
+    """
+
+
+@query("rag_topk_retrieval", oracle=_topk_retrieval_oracle())
+def rag_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end routed RETRIEVAL — the query the whole RAG surface
+    exists to serve, completing the story (windows → manifest →
+    router → this): for each query (the router's workload, `part`
+    name tokens), the top-{RAG_TOPK} documents by integer tf-idf over
+    the matching postings, ties broken by doc_id.
+
+    Scoring is engine-portable on purpose: score = Σ_t tf(t, d) ·
+    ({RAG_IDF_SCALE} div df(t)) — integer division against the exact
+    document frequency, monotone in 1/df like idf, no floats anywhere
+    — so the key carries a full DuckDB value oracle (the LSH-oracle
+    pattern: the declared operator IS the portable-arithmetic form).
+
+    Scale shape — the filter runs BEFORE any shuffle: the query
+    vocabulary (|terms|, tiny) broadcasts into the exploded corpus
+    token stream, so only MATCHING postings ever reach an exchange.
+    Then: one partial-agg shuffle keyed (doc_id, token) for tf
+    (match-sized), df as a count window over tf keyed token (tf rows
+    are distinct (doc, token) pairs — a window, not a second
+    aggregate branch, because Catalyst does not share subplans and a
+    branch would scan the corpus twice), a broadcast join of the
+    query-terms table, one (query_id, doc_id) score aggregate, and a
+    per-query top-k window over score rows only. The corpus is
+    scanned once (text + doc_id, plan-gated), never joined at corpus
+    scale; every exchange is sized by the match set. At 100 TB this
+    is the standard IR shape: cost ∝ postings of the queried terms,
+    not corpus size.
+    """
+    K, SC = RAG_TOPK, RAG_IDF_SCALE
+    from pyspark.sql.window import Window
+
+    qt = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("query_id"),
+        F.explode(F.array_distinct(TH.words_expr("p_name"))).alias("term"),
+    )
+    terms = qt.select("term").distinct()
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(TH.words_expr("text")).alias("token"))
+        .join(F.broadcast(terms), F.col("token") == F.col("term"))
+        .drop("term")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    # df as a window over tf (tf rows are distinct (doc, token) pairs)
+    # instead of a second aggregate branch: a branch would duplicate
+    # the whole tf subtree — Catalyst does not share subplans — and
+    # scan the corpus twice; the window pays one match-sized shuffle
+    # keyed token and keeps the corpus scan single
+    wtf = tf.withColumn(
+        "wgt",
+        F.expr(f"{SC} div count(1) over (partition by token)"),
+    )
+    sc = (
+        wtf.join(F.broadcast(qt), F.col("token") == F.col("term"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("tf") * F.col("wgt")).cast("long").alias("score"))
+    )
+    rk = sc.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("score").desc(), F.col("doc_id")
+            )
+        ),
+    )
+    return rk.filter(F.col("rnk") <= K).select(
+        "query_id", "doc_id", "score", F.col("rnk").cast("long").alias("rnk")
+    )

@@ -568,6 +568,30 @@ def test_rag_query_router_broadcasts_manifest(spark, sf_dir):
     assert set(read_schema_columns(df)) == {"text", "p_partkey", "p_name"}
 
 
+def test_rag_topk_retrieval_single_corpus_scan(spark, sf_dir):
+    """End-to-end retrieval must pay the IR shape, not the corpus
+    shape: the query vocabulary broadcasts into the exploded token
+    stream BEFORE any exchange (so only matching postings shuffle),
+    df comes from a window over tf rather than a second aggregate
+    branch (Catalyst does not share subplans — the branch form scanned
+    documents twice, caught by this gate's first run), and no join is
+    ever sort-merge. documents appears exactly once among the scans;
+    the two part scans are the broadcast query side."""
+    import re
+
+    df = E.queries()["rag_topk_retrieval"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+    assert len(scans) == 3, scans  # documents + 2 broadcast part sides
+    # the scan headers carry no path; Location detail lines do —
+    # documents' location must appear exactly once
+    assert plan.count("documents.parquet") == 1
+    assert count_exchanges(df) <= 5
+
+
 def test_approx_quantile_rank_gate_broadcasts_sketch(spark, sf_dir):
     """The rank-interval accuracy gate (r11 review fix) joins the
     |groups|-row sketch table back to events for the rank counts —
