@@ -133,6 +133,9 @@ HEADLINE = [
     # round 11
     "rag_passage_windows",
     "rag_shard_manifest",
+    # round 12
+    "rag_query_router",
+    "rag_topk_retrieval",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming
@@ -156,6 +159,8 @@ STREAMING_HEADLINE = [
     "stream_bpe_vocab_drift",
     # round 11
     "stream_mixture_rebalance",
+    # round 12
+    "stream_passage_windows",
 ]
 
 

@@ -1541,6 +1541,7 @@ KNOWN_LANES = frozenset({
     "jaccard_repin", "subseq_prune_experiment",
     "bpe_drift_experiment", "rag_prep_experiment",
     "ann_x32_receipt", "containment_affine_receipt",
+    "rag_retrieval_experiment",
 })
 
 
@@ -1842,6 +1843,104 @@ def affine_receipt_lane() -> None:
     print(json.dumps(out))
 
 
+def rag_retrieval_lane() -> None:
+    """Opt-in lane (`python bench_scale.py ragretrieval`): scale
+    receipt for rag_topk_retrieval's claim — "cost ∝ postings of the
+    queried terms, not corpus size" (the broadcast query vocabulary
+    filters the exploded token stream BEFORE any exchange).
+
+    decorrelated ×k (per-copy word tags): copies share NO vocabulary
+    with the part-name query workload, so MATCHED postings stay flat
+    while the corpus grows ×k — wall growth is the cheap scan/explode
+    only, and the exchanges (all keyed by match-sized sets) must not
+    grow. shared_vocab ×k (doc_ids re-keyed, fixture vocabulary
+    kept): matched postings grow ∝ k — the honest worst case, cost
+    must grow ~linearly. Per (mode, k): min-of-3 walls plus the
+    matched-postings count receipt. Merged into BENCH_SCALE.json as
+    "rag_retrieval_experiment"."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kafka_parquet_writer_spark import get_spark
+    from kafka_parquet_writer_spark.catalog import load_table
+    from kafka_parquet_writer_spark.functions import texthash as TH
+    from kafka_parquet_writer_spark.operators import rag_prep as RP
+
+    spark = get_spark("rag_retrieval_lane")
+    RP.rag_topk_retrieval(spark, SF_DIR).count()  # warm
+
+    points = [
+        (mode, k)
+        for mode in ("decorrelated", "shared_vocab")
+        for k in (1, 2, 4, 8)
+    ]
+    dirs = {
+        (mode, k): docs_blowup_dir(
+            spark, k, tag_words=(mode == "decorrelated"),
+            prefix=f"kpws_ragret_x{k}_",
+        )
+        for mode, k in points
+    }
+    best: dict[tuple, float] = {}
+    for _pass in range(3):
+        for p in points:
+            spark.catalog.clearCache()
+            t0 = time.time()
+            RP.rag_topk_retrieval(spark, dirs[p]).count()
+            dt = time.time() - t0
+            best[p] = min(best.get(p, dt), dt)
+            print(
+                f"{p[0]} x{p[1]}: {dt:.3f}s (pass {_pass + 1})",
+                file=sys.stderr,
+            )
+
+    out: dict = {"points": [], "topk": RP.RAG_TOPK}
+    walls: dict[str, dict[int, float]] = {}
+    for mode, k in points:
+        d = dirs[(mode, k)]
+        terms = (
+            load_table(spark, SF_DIR, "part")
+            .select(
+                F.explode(
+                    F.array_distinct(TH.words_expr("p_name"))
+                ).alias("term")
+            )
+            .distinct()
+        )
+        matched = (
+            load_table(spark, d, "documents")
+            .select(F.explode(TH.words_expr("text")).alias("token"))
+            .join(F.broadcast(terms), F.col("token") == F.col("term"))
+            .count()
+        )
+        rec = {
+            "mode": mode,
+            "k": k,
+            "wall_sec": round(best[(mode, k)], 3),
+            "matched_postings": int(matched),
+        }
+        walls.setdefault(mode, {})[k] = rec["wall_sec"]
+        out["points"].append(rec)
+        print(
+            f"{mode} x{k}: matched_postings={matched}", file=sys.stderr
+        )
+        shutil.rmtree(d, ignore_errors=True)
+    out["wall_affine"] = {m: fit_affine(t) for m, t in walls.items()}
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json"
+    )
+    try:
+        with open(path) as f:
+            blob = json.load(f)
+    except (OSError, ValueError):
+        blob = {}
+    blob["rag_retrieval_experiment"] = out
+    with open(path, "w") as f:
+        f.write(json.dumps(blob) + "\n")
+    print(json.dumps({"rag_retrieval_experiment": out}))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "imi":
         imi_ceiling_lane()
@@ -1859,5 +1958,7 @@ if __name__ == "__main__":
         rag_prep_lane()
     elif len(sys.argv) > 1 and sys.argv[1] == "affine":
         affine_receipt_lane()
+    elif len(sys.argv) > 1 and sys.argv[1] == "ragretrieval":
+        rag_retrieval_lane()
     else:
         main()
