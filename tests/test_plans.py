@@ -584,6 +584,10 @@ def test_rag_topk_retrieval_single_corpus_scan(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+    # the impact-list truncation (the quadratic guard) must compile
+    # to WindowGroupLimit — per-partition partial top-L ahead of the
+    # token shuffle, not a full-postings sort
+    assert "WindowGroupLimit" in plan
     scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
     assert len(scans) == 3, scans  # documents + 2 broadcast part sides
     # the scan headers carry no path; Location detail lines do —
