@@ -1811,6 +1811,7 @@ def affine_receipt_lane() -> None:
             "exponent": fit_exponent(ann_best),
             "cells_at_x32": 64_000 // 125,
             "flat_ceiling_cells": 65536,
+            "loadavg_end": load,
             "note": (
                 "isolated re-measure of the full ladder; the r11 6.77s "
                 "x32 point does not reproduce (see lane docstring)"
@@ -1822,12 +1823,12 @@ def affine_receipt_lane() -> None:
             "exponent_full_ladder": fit_exponent(
                 {k: v for k, v in cont_best.items() if k >= 1}
             ),
+            "loadavg_end": load,
             "note": (
                 "fractional points pin the fixed floor; marginal cost "
                 "is the per-k slope (see lane docstring)"
             ),
         },
-        "loadavg_end": load,
     }
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json"
