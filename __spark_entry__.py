@@ -198,6 +198,13 @@ _FORCE_RECHECK = {  # key -> round whose green is void
     # VERDICT item 6) — the default path is unchanged but the key's
     # closure changed on r11 evidence.
     "stream_bpe_vocab_drift": 11,
+    # r12: the anti join's build side gained the urgent-orders filter
+    # — its previous green was VACUOUS (0 rows == 0 rows at every
+    # driver SF: the fixture gives every customer an order), the r5
+    # dedup_url class, surfaced by verify_oracle's new 0-row warning.
+    # Oracle + closure change on r9 evidence; the re-check now proves
+    # real anti semantics (203 rows at sf0.01).
+    "join_anti": 9,
 }
 
 

@@ -162,6 +162,15 @@ def main() -> int:
         if status:
             failures.append(name)
             print(f"FAIL  {name}: " + "; ".join(status)[:500])
+        elif not s_rows:
+            # 0 == 0 is a VACUOUS green (the r5 dedup_url lesson; hit
+            # again in r12 when a stop-term ceiling pruned the whole
+            # retrieval workload): it proves the oracle agrees, not
+            # that the operator computes anything. Loud, not fatal —
+            # some keys legitimately go empty at tiny SFs.
+            print(f"OK    {name}: 0 rows match — VACUOUS (both sides "
+                  f"empty; check the key is meant to be empty at this "
+                  f"SF) [{time.time()-t0:.1f}s]")
         else:
             print(f"OK    {name}: {len(s_rows)} rows match "
                   f"[{time.time()-t0:.1f}s]")
