@@ -378,9 +378,13 @@ def _want_len(v) -> bytes:
 def _want_word(v, bits: int) -> int:
     """Require a numeric occurrence that fits ``bits``. A LEN
     occurrence where the schema declares a numeric scalar is a
-    mismatch (``int(b"123")`` would silently misdecode digit bytes);
-    an I64/VARINT occurrence for a declared float must fit 32 bits or
-    ``to_bytes(4)`` raises OverflowError outside the DLQ contract."""
+    mismatch (``int(b"123")`` would silently misdecode digit bytes).
+    float/double no longer route through here (r12: they demand the
+    exact _Fixed32/_Fixed64 wire tag instead); the remaining callers
+    are the 64-bit integer family, where accepting a fixed-width
+    occurrence is deliberate — its little-endian int IS the correct
+    value for a fixed64/sfixed64-declared proto field mapped to
+    "long" in the tier-2 type table."""
     if not isinstance(v, int):
         raise ValueError("wire type mismatch: LEN where numeric expected")
     if v >> bits:
