@@ -164,3 +164,53 @@ def test_arbitrary_bytes_decode_or_value_error(data):
         assert -(1 << 31) <= i < (1 << 31)
     for x in row["ns"]:
         assert -(1 << 31) <= x < (1 << 31)
+
+
+# ------------------------------------------------- structured round-trip
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    s=st.text(max_size=12),
+    n=st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+    i=st.integers(min_value=-(1 << 31), max_value=(1 << 31) - 1),
+    d=st.floats(allow_nan=False),
+    b=st.booleans(),
+    raw=st.binary(max_size=16),
+    tags=st.lists(st.text(max_size=6), max_size=4),
+    xs=st.lists(
+        st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+        max_size=4,
+    ),
+    ds=st.lists(st.floats(allow_nan=False), max_size=4),
+    sub=st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+)
+def test_structured_round_trip(s, n, i, d, b, raw, tags, xs, ds, sub):
+    """Well-formed messages must decode EXACTLY — the complement of
+    the adversarial sweep above and of the spec-byte-vector pins:
+    random in-range values per declared type, through our own encoder
+    (its conventions match the spec forms the vectors pin: 64-bit
+    two's-complement varints, I64 doubles, packed repeated scalars,
+    repeated LEN strings, nested LEN messages). Guards the mismatch
+    hardening against over-rejection: tightening the wire-type checks
+    must never start DLQ-ing valid rows."""
+    from kafka_parquet_writer_spark.sources.decoders import (
+        encode_wire_format,
+    )
+
+    fields = {1: s, 2: n, 3: float(d), 5: int(b), 6: raw,
+              7: tags, 8: xs, 9: [float(x) for x in ds],
+              10: {1: sub}, 11: i}
+    # the encoder skips empty strings/bytes/lists at the occurrence
+    # level only for lists; scalar empties still encode as LEN 0
+    row = _decode_row(encode_wire_format(fields))
+    assert row["s"] == s
+    assert row["n"] == n
+    assert row["i"] == i
+    assert row["d"] == d or (row["d"] != row["d"]) == (d != d)
+    assert row["b"] is b
+    assert row["raw"] == raw
+    assert row["tags"] == tags
+    assert row["xs"] == xs
+    assert row["ds"] == [float(x) for x in ds]
+    assert row["sub"] == {"a": sub}
