@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import itertools
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1661,11 +1662,12 @@ def _drift_state_guard(state: DataFrame, max_rows: int | None = None) -> DataFra
         raise ValueError(
             f"stream_bpe_vocab_drift state has {n} (epoch, pair) rows, "
             f"over the {cap}-row in-memory ceiling — the corpus "
-            "vocabulary is decorrelating across epochs. Hand off to "
-            "the RocksDB state store (partitioned by pair hash) or "
-            "re-run with min_support > 1 (the support pre-filter code "
-            "path: pairs below the threshold never enter state — a "
-            "documented undercount trade); neither is applied silently."
+            "vocabulary is decorrelating across epochs. Re-run with "
+            "state_store='rocksdb' (disk-backed store, exact results) "
+            "or min_support > 1 (support pre-filter: pairs below the "
+            "threshold never enter state — a documented undercount "
+            "trade). Both are code paths here; neither is applied "
+            "silently."
         )
     return state
 
@@ -1776,9 +1778,50 @@ def _bpe_drift_oracle() -> str:
     """
 
 
+#: provider class for the disk-backed state store hand-off (the
+#: rocksdbjni jar ships with pyspark 4, so the hand-off is runnable
+#: here, not just nameable — state no longer bounded by executor
+#: heap). Scoped to the drift key on purpose: threading it through
+#: _run_to_memory would void the helper closure of every streaming
+#: key's driver evidence for a knob only this key exposes.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
+@contextmanager
+def _state_store_provider(spark: SparkSession, state_store: str | None):
+    """Bracket a stream start with the chosen state-store provider.
+
+    The provider conf is captured when the streaming query STARTS, so
+    wrapping the _run_to_memory call is equivalent to setting it
+    inside — and set/restore must survive exceptions (validated
+    BEFORE any conf mutation: raising between set and restore would
+    leak the override into every later batch plan)."""
+    if state_store not in (None, "rocksdb"):
+        raise ValueError(f"unknown state_store {state_store!r}")
+    if state_store is None:
+        yield
+        return
+    prev = spark.conf.get(_PROVIDER_CONF, None)
+    spark.conf.set(_PROVIDER_CONF, ROCKSDB_PROVIDER)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(_PROVIDER_CONF)
+        else:
+            spark.conf.set(_PROVIDER_CONF, prev)
+
+
 @query("stream_bpe_vocab_drift", oracle=_bpe_drift_oracle())
 def stream_bpe_vocab_drift(
-    spark: SparkSession, sf_dir: str, min_support: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    min_support: int | None = None,
+    state_store: str | None = None,
 ) -> DataFrame:
     """Streaming VOCABULARY DRIFT — the tokenizer story's continuous
     half (the r9 SURVEY's own r10 candidate): documents arrive in
@@ -1847,15 +1890,19 @@ def stream_bpe_vocab_drift(
     ).select("epoch", "p.a", "p.b")
     if min_support is None:
         # exact path (the declared key): complete-mode stateful agg,
-        # one state update per micro-batch
+        # one state update per micro-batch. state_store="rocksdb"
+        # runs the SAME aggregate on the disk-backed provider — the
+        # other hand-off the state guard names, provider-invariant.
         agg = pairs.groupBy("epoch", "a", "b").agg(
             F.count(F.lit(1)).alias("n")
         )
-        out = _drift_state_guard(_run_to_memory(agg, "complete"))
+        with _state_store_provider(spark, state_store):
+            out = _drift_state_guard(_run_to_memory(agg, "complete"))
     else:
         # opt-in support pre-filter: pairs below min_support in their
         # epoch never enter state (see _run_support_filtered for the
-        # documented undercount semantics delta)
+        # documented undercount semantics delta; batch-local aggs
+        # have no state store, so state_store does not apply here)
         out = _drift_state_guard(
             _run_support_filtered(pairs, min_support)
         )

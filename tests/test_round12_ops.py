@@ -69,6 +69,42 @@ def test_drift_min_support_prefilter_caps_state(spark, tmp_path):
     assert row.drift_milli == 0
 
 
+def test_drift_rocksdb_state_store_is_provider_invariant(spark, tmp_path):
+    """The OTHER hand-off the state guard names is code too: the
+    rocksdbjni jar ships with pyspark 4, so state_store='rocksdb'
+    runs the exact complete-mode aggregate on the disk-backed
+    provider. Results must be identical to the default in-memory
+    provider, and the session conf must be restored afterwards."""
+    from kafka_parquet_writer_spark.operators.streaming_queries import (
+        _PROVIDER_CONF,
+        stream_bpe_vocab_drift,
+    )
+
+    docs = [
+        (i, "hh hh hh " + " ".join(f"e{i}w{j}" for j in range(6)))
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    default = {
+        tuple(r) for r in stream_bpe_vocab_drift(spark, str(tmp_path)).collect()
+    }
+    rocks = {
+        tuple(r)
+        for r in stream_bpe_vocab_drift(
+            spark, str(tmp_path), state_store="rocksdb"
+        ).collect()
+    }
+    assert rocks == default and len(default) > 0
+    assert spark.conf.get(_PROVIDER_CONF, None) is None  # restored
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown state_store"):
+        stream_bpe_vocab_drift(spark, str(tmp_path), state_store="bogus")
+
+
 def test_stream_passage_windows_incremental_equals_batch(spark):
     """The streaming windower is rag_prep.passage_frame — the same
     function the batch key runs (so the 1..130-token boundary sweep
