@@ -183,28 +183,17 @@ _FORCE_RECHECK = {  # key -> round whose green is void
     # (r11's six entries — pipeline_clean_corpus, stream_bpe_vocab_drift,
     # stream_subsequence_match, agg_approx_quantile@8,
     # dedup_embedding_ann_trained, pipeline_train_corpus — all expired
-    # via their CORRECTNESS_r11 greens and are pruned per the policy.)
+    # via their CORRECTNESS_r11 greens and are pruned per the policy,
+    # as are r12's four — agg_approx_quantile@11, rag_passage_windows,
+    # stream_bpe_vocab_drift@11, join_anti@9 — expired by their
+    # CORRECTNESS_r12 greens.)
     #
-    # r12: the rank gate's n moved from row count to non-null value
-    # count (r11 ADVICE low: NULL values inflated the p·n target) —
-    # closure change on r11 evidence.
-    "agg_approx_quantile": 11,
-    # r12: the windower body was factored out into passage_frame so
-    # stream_passage_windows runs the identical transform — the key's
-    # helper closure changed on r11 evidence (behavior-preserving
-    # refactor, but the audit rightly demands re-proof on shipped code).
-    "rag_passage_windows": 11,
-    # r12: the min_support pre-filter became a real code path (r11
-    # VERDICT item 6) — the default path is unchanged but the key's
-    # closure changed on r11 evidence.
-    "stream_bpe_vocab_drift": 11,
-    # r12: the anti join's build side gained the urgent-orders filter
-    # — its previous green was VACUOUS (0 rows == 0 rows at every
-    # driver SF: the fixture gives every customer an order), the r5
-    # dedup_url class, surfaced by verify_oracle's new 0-row warning.
-    # Oracle + closure change on r9 evidence; the re-check now proves
-    # real anti semantics (203 rows at sf0.01).
-    "join_anti": 9,
+    # r13: the support pre-filter's foreachBatch became idempotent
+    # (batch-id-named overwrite subdirs, typed empty-accumulator read
+    # — r12 ADVICE low) — helper-closure change on r12 evidence; the
+    # default exact path is untouched but the audit rightly demands
+    # re-proof on shipped code.
+    "stream_bpe_vocab_drift": 12,
 }
 
 

@@ -1699,6 +1699,15 @@ def _run_support_filtered(
     is applied per MICRO-BATCH: if a staging ever mapped several
     files to one epoch, support would bind per file, a strictly
     stronger filter.
+
+    EXACTLY-ONCE: each micro-batch OVERWRITES its own batch-id-named
+    subdirectory (the standard idempotent-foreachBatch shape —
+    ``append`` to a shared dir would double-count (epoch, pair) rows
+    when the engine retries a batch after a sink failure, r12
+    ADVICE). The final read lists the batch dirs with an explicit
+    schema, so a run where every batch filters out every pair yields
+    an empty TYPED result instead of a schemaless-directory read
+    error.
     """
     acc = tempfile.mkdtemp(prefix="kpws_drift_acc_")
     ckpt = tempfile.mkdtemp(prefix="kpws_ckpt_")
@@ -1707,19 +1716,11 @@ def _run_support_filtered(
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
     )
-
-    def fold(batch_df, _batch_id: int) -> None:
-        (
-            batch_df.groupBy("epoch", "a", "b")
-            .agg(F.count(F.lit(1)).cast("long").alias("n"))
-            .filter(F.col("n") >= min_support)
-            .write.mode("append")
-            .parquet(acc)
-        )
-
     try:
         q = (
-            pairs.writeStream.foreachBatch(fold)
+            pairs.writeStream.foreachBatch(
+                lambda bdf, bid: _fold_support_batch(bdf, bid, acc, min_support)
+            )
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -1727,7 +1728,52 @@ def _run_support_filtered(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.read.parquet(acc)
+    return _read_support_accumulator(spark, acc)
+
+
+#: the support accumulator's fixed on-disk schema — read with it
+#: explicitly so an all-filtered run (zero batch dirs / all-empty
+#: batch dirs) still yields a typed empty DataFrame, never a
+#: schema-inference error on an empty directory (r12 ADVICE).
+_SUPPORT_STATE_SCHEMA = "epoch BIGINT, a STRING, b STRING, n BIGINT"
+
+
+def _fold_support_batch(
+    batch_df: DataFrame, batch_id: int, acc: str, min_support: int
+) -> None:
+    """One micro-batch of the support pre-filter, written IDEMPOTENTLY:
+    the batch-local aggregate lands in a subdirectory named by the
+    batch id with mode("overwrite"), so a batch the engine retries
+    after a sink failure REPLACES its own rows instead of appending a
+    second copy (the standard idempotent-foreachBatch shape; plain
+    append to a shared dir double-counted (epoch, pair) rows on
+    retry — r12 ADVICE). The dir name uses '-' not '=' so the final
+    read never mistakes it for a Hive partition column."""
+    import os
+
+    (
+        batch_df.groupBy("epoch", "a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= min_support)
+        .write.mode("overwrite")
+        .parquet(os.path.join(acc, f"batch-{batch_id}"))
+    )
+
+
+def _read_support_accumulator(spark: SparkSession, acc: str) -> DataFrame:
+    """Union of the batch-id dirs under ``acc`` with the accumulator's
+    explicit schema; empty (every batch filtered everything, or the
+    stream saw zero batches) → typed empty DataFrame."""
+    import os
+
+    batch_dirs = [
+        os.path.join(acc, d)
+        for d in sorted(os.listdir(acc))
+        if d.startswith("batch-")
+    ]
+    if not batch_dirs:
+        return spark.createDataFrame([], _SUPPORT_STATE_SCHEMA)
+    return spark.read.schema(_SUPPORT_STATE_SCHEMA).parquet(*batch_dirs)
 
 
 def _bpe_drift_oracle() -> str:

@@ -314,6 +314,14 @@ def _varints_of(vals: list) -> list[int]:
     encoding spec), so this does."""
     out: list[int] = []
     for v in vals:
+        if isinstance(v, (_Fixed32, _Fixed64)):
+            # an unpacked fixed-width occurrence in a varint-declared
+            # repeated field is a wire-type mismatch, same as the
+            # singular path — treating its little-endian int as a
+            # varint value silently misdecodes (r12 ADVICE)
+            raise ValueError(
+                "wire type mismatch: fixed32/fixed64 in repeated varint"
+            )
         if isinstance(v, int):
             out.append(_signed(v))
             continue
@@ -376,15 +384,22 @@ def _want_len(v) -> bytes:
 
 
 def _want_word(v, bits: int) -> int:
-    """Require a numeric occurrence that fits ``bits``. A LEN
+    """Require a VARINT occurrence that fits ``bits``. A LEN
     occurrence where the schema declares a numeric scalar is a
-    mismatch (``int(b"123")`` would silently misdecode digit bytes).
-    float/double no longer route through here (r12: they demand the
-    exact _Fixed32/_Fixed64 wire tag instead); the remaining callers
-    are the 64-bit integer family, where accepting a fixed-width
-    occurrence is deliberate — its little-endian int IS the correct
-    value for a fixed64/sfixed64-declared proto field mapped to
-    "long" in the tier-2 type table."""
+    mismatch (``int(b"123")`` would silently misdecode digit bytes),
+    and so is a fixed-width I32/I64 occurrence: every type the tier-2
+    table maps to this path (long/int/boolean → proto int64/int32/
+    bool) is varint-encoded on the wire — the table has no fixed64/
+    fixed32 entry, so a 4- or 8-byte occurrence here is another
+    message's field, not a width-flexible encoding of ours, and
+    reinterpreting its little-endian int is silent garbage (r12
+    ADVICE: the float/double tag check left this family open).
+    float/double demand the exact _Fixed32/_Fixed64 tag in _extract
+    and never route through here."""
+    if isinstance(v, (_Fixed32, _Fixed64)):
+        raise ValueError(
+            "wire type mismatch: fixed32/fixed64 where varint expected"
+        )
     if not isinstance(v, int):
         raise ValueError("wire type mismatch: LEN where numeric expected")
     if v >> bits:

@@ -1,0 +1,144 @@
+"""Round-13 regression tests: the r12 ADVICE fixes (wire-type
+strictness for the varint family, idempotent support-filter batches)
+and the round's new operators."""
+
+import pytest
+
+from kafka_parquet_writer_spark.sources.decoders import (
+    _extract,
+    parse_wire_format,
+)
+
+
+def _one(data: bytes, fnum: int, ftype):
+    return _extract(parse_wire_format(data), fnum, ftype)
+
+
+# --------------------------------------------------------- ADVICE fix 1
+# _want_word accepted _Fixed32/_Fixed64 occurrences for the varint-
+# declared family (long/int/boolean), silently decoding another
+# message's fixed-width field as its little-endian int — the tier-2
+# type table has no fixed64/fixed32 entry to justify acceptance.
+
+
+@pytest.mark.parametrize("ftype", ["long", "int", "boolean"])
+def test_fixed32_occurrence_rejected_for_varint_family(ftype):
+    # field 1, wire type I32 (tag 0x0D), 4 bytes LE = 150
+    data = bytes.fromhex("0d96000000")
+    with pytest.raises(ValueError, match="wire type mismatch"):
+        _one(data, 1, ftype)
+
+
+@pytest.mark.parametrize("ftype", ["long", "int", "boolean"])
+def test_fixed64_occurrence_rejected_for_varint_family(ftype):
+    # field 1, wire type I64 (tag 0x09), 8 bytes LE = 150
+    data = bytes.fromhex("099600000000000000")
+    with pytest.raises(ValueError, match="wire type mismatch"):
+        _one(data, 1, ftype)
+
+
+def test_varint_occurrence_still_decodes_for_varint_family():
+    # the guard must not over-reject: the spec's Test1 bytes stay valid
+    data = bytes.fromhex("089601")
+    assert _one(data, 1, "long") == 150
+    assert _one(data, 1, "int") == 150
+    assert _one(data, 1, "boolean") is True
+
+
+# --------------------------------------------------------- ADVICE fix 2
+# _varints_of flattened _Fixed32/_Fixed64 occurrences as bare varint
+# values for array<long>/array<int> (isinstance(v, int) matched the
+# tagged subclasses), silently misdecoding unpacked fixed-width
+# occurrences in repeated-int fields.
+
+
+@pytest.mark.parametrize("ftype", ["array<long>", "array<int>"])
+def test_fixed_occurrence_in_repeated_varint_field_rejected(ftype):
+    # field 6: one legit varint occurrence then an I32 occurrence
+    data = bytes.fromhex("3003") + bytes.fromhex("3596000000")
+    with pytest.raises(ValueError, match="wire type mismatch"):
+        _one(data, 6, ftype)
+    # and an I64 occurrence (tag 0x31 = field 6, wire type 1)
+    data = bytes.fromhex("3003") + bytes.fromhex("319600000000000000")
+    with pytest.raises(ValueError, match="wire type mismatch"):
+        _one(data, 6, ftype)
+
+
+def test_repeated_varint_both_encodings_still_decode():
+    # packed + unpacked mix stays accepted (encoding-spec requirement)
+    packed = bytes.fromhex("3206038e029ea705")
+    unpacked = bytes.fromhex("3003308e02309ea705")
+    assert _one(packed, 6, "array<long>") == [3, 270, 86942]
+    assert _one(unpacked, 6, "array<long>") == [3, 270, 86942]
+
+
+def test_fixed_mismatch_lands_in_dlq_not_crash(spark):
+    """End-to-end: a fixed-width occurrence on a varint-declared field
+    yields the all-null DLQ row through the mapInPandas decoder, while
+    well-formed rows beside it decode normally."""
+    from kafka_parquet_writer_spark.sources.decoders import (
+        encode_wire_format,
+        wire_format_decoder,
+    )
+
+    good = encode_wire_format({1: 7, 2: "ok"})
+    bad = bytes.fromhex("0d96000000") + encode_wire_format({2: "poison"})
+    df = spark.createDataFrame([(good,), (bad,)], "value binary")
+    decoder = wire_format_decoder({"n": (1, "long"), "s": (2, "string")})
+    rows = {(r.n, r.s) for r in decoder(df).collect()}
+    assert rows == {(7, "ok"), (None, None)}
+
+
+# --------------------------------------------------------- ADVICE fix 3
+# _run_support_filtered appended to a shared parquet dir without using
+# the batch id, so a retried micro-batch double-counted, and an
+# all-filtered run left a schemaless directory.
+
+
+def test_support_fold_batch_retry_is_idempotent(spark, tmp_path):
+    from kafka_parquet_writer_spark.operators.streaming_queries import (
+        _fold_support_batch,
+        _read_support_accumulator,
+    )
+
+    acc = str(tmp_path / "acc")
+    (tmp_path / "acc").mkdir()
+    batch = spark.createDataFrame(
+        [(0, "a", "b")] * 3 + [(0, "x", "y")],
+        "epoch long, a string, b string",
+    )
+    _fold_support_batch(batch, 0, acc, min_support=2)
+    # the engine retries batch 0 after a sink failure: same id, same
+    # data — the overwrite must REPLACE, not append a second copy
+    _fold_support_batch(batch, 0, acc, min_support=2)
+    out = _read_support_accumulator(spark, acc).collect()
+    assert len(out) == 1
+    assert (out[0].epoch, out[0].a, out[0].b, out[0].n) == (0, "a", "b", 3)
+
+
+def test_support_accumulator_all_filtered_is_typed_empty(spark, tmp_path):
+    from kafka_parquet_writer_spark.operators.streaming_queries import (
+        _SUPPORT_STATE_SCHEMA,
+        _fold_support_batch,
+        _read_support_accumulator,
+    )
+
+    # zero batches ever written
+    empty_acc = str(tmp_path / "never")
+    (tmp_path / "never").mkdir()
+    out = _read_support_accumulator(spark, empty_acc)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["epoch", "a", "b", "n"]
+
+    # batches written but every pair below support
+    acc = str(tmp_path / "filtered")
+    (tmp_path / "filtered").mkdir()
+    batch = spark.createDataFrame(
+        [(0, "a", "b")], "epoch long, a string, b string"
+    )
+    _fold_support_batch(batch, 0, acc, min_support=99)
+    out2 = _read_support_accumulator(spark, acc)
+    assert out2.count() == 0
+    assert out2.schema == spark.createDataFrame(
+        [], _SUPPORT_STATE_SCHEMA
+    ).schema
