@@ -161,6 +161,8 @@ STREAMING_HEADLINE = [
     "stream_mixture_rebalance",
     # round 12
     "stream_passage_windows",
+    # round 13
+    "stream_query_router",
 ]
 
 

@@ -2167,3 +2167,191 @@ def stream_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rate_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming query router (stream-static enrich on the retrieval surface)
+# ---------------------------------------------------------------------------
+
+#: query-workload micro-batches for the streaming router (p_partkey-
+#: ranged, so every query lives entirely inside one micro-batch and
+#: the per-query rollup needs nothing across batches)
+QUERY_STREAM_BATCHES = 4
+
+_query_stage_cache: dict[str, str] = {}
+
+
+def _part_batched_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Split the part table (the retrieval surface's query workload)
+    into QUERY_STREAM_BATCHES p_partkey-ranged parquet files with
+    strictly increasing mtimes, one per future micro-batch — the
+    documents splitter's pattern applied to the QUERY side: queries
+    arrive over time, the corpus-derived manifest is the static
+    side."""
+    import glob
+    import os
+    import shutil
+
+    key = f"{sf_dir}|part|{QUERY_STREAM_BATCHES}"
+    if key in _query_stage_cache:
+        return _query_stage_cache[key]
+    part = spark.read.parquet(table_path(sf_dir, "part"))
+    lo, hi = part.agg(F.min("p_partkey"), F.max("p_partkey")).first()
+    span = (hi - lo + QUERY_STREAM_BATCHES) // QUERY_STREAM_BATCHES
+    stage = tempfile.mkdtemp(prefix="kpws_query_src_")
+    base_t = 1_600_000_000
+    for i in range(QUERY_STREAM_BATCHES):
+        part_dir = os.path.join(stage, f"_tmp{i}")
+        part.filter(
+            (F.col("p_partkey") >= lo + i * span)
+            & (F.col("p_partkey") < lo + (i + 1) * span)
+        ).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        [pfile] = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dst = os.path.join(stage, f"{i:03d}.parquet")
+        shutil.move(pfile, dst)
+        shutil.rmtree(part_dir)
+        os.utime(dst, (base_t + i * 10, base_t + i * 10))
+    _query_stage_cache[key] = stage
+    return stage
+
+
+def _run_to_memory_traced(
+    stream_df: DataFrame, mode: str
+) -> tuple[DataFrame, dict]:
+    """_run_to_memory plus the finished query's receipts for plan
+    gates: the micro-batch PHYSICAL plan string (explainInternal on
+    the terminated query reads its lastExecution — the plan that
+    actually ran, where BroadcastHashJoin vs SortMergeJoin and
+    StateStore presence are visible; a streaming DataFrame cannot be
+    explain()ed to a physical plan before start) and the final
+    progress's stateOperators list (empty ⇔ the query carried zero
+    streaming state). A separate helper on purpose: threading this
+    through _run_to_memory would void the helper closure of every
+    streaming key's driver evidence for a receipt only new keys
+    use."""
+    name = f"kpws_stream_{next(_counter)}"
+    ckpt = tempfile.mkdtemp(prefix="kpws_ckpt_")
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+    )
+    try:
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    progress = q.lastProgress or {}
+    info = {
+        "plan": q._jsq.explainInternal(True),
+        "state_operators": progress.get("stateOperators", []),
+    }
+    return spark.table(name), info
+
+
+#: the last stream_query_router run's plan receipts (tests read this
+#: after invoking the key; bounded: one plan string + one list)
+LAST_ROUTER_TRACE: dict = {}
+
+
+def _stream_router_oracle() -> str:
+    from kafka_parquet_writer_spark.operators.rag_prep import (
+        _query_router_oracle,
+    )
+
+    return _query_router_oracle()
+
+
+@query("stream_query_router", oracle=_stream_router_oracle())
+def stream_query_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The query router moved to SERVING time — stream-static enrich
+    on the retrieval surface (r12 VERDICT item 3): queries arrive in
+    micro-batches (the p_partkey-ranged staging) and each batch is
+    routed against the {RAG_INDEX_SHARDS}-row shard manifest — a
+    STATIC DataFrame built once from the landed corpus and broadcast
+    into every micro-batch (Spark's stream-static join; the static
+    side is planned per batch, the stream side never waits). This is
+    the production router's actual position: the manifest changes at
+    index-build cadence, queries at request cadence.
+
+    ZERO streaming state by construction: the in-stream stage is only
+    explode + hash-shard + the stream-static broadcast left join +
+    per-row probe/budget columns — a stateless map over each batch,
+    so append mode needs no watermark and no state store (the
+    finished query's stateOperators list is empty — receipt in
+    LAST_ROUTER_TRACE, plan-gated). The per-query rollup (two
+    aggregates keyed (query_id, shard_id) then query_id) runs BATCH-
+    side over the routed memory-sink rows: each query_id lives in
+    exactly one micro-batch, so the rollup over the union of batches
+    is identical to the batch rollup — incremental ≡ batch, and the
+    oracle is rag_query_router's own SQL, value-exact.
+
+    Scale shape: per micro-batch the cost is that batch's queries ×
+    terms — the manifest broadcast is 16 rows, the corpus is touched
+    only once at manifest-build time (rag_shard_manifest's two
+    bounded exchanges), and nothing in the serving path scales with
+    the corpus. The rollup's exchanges are query-workload-sized, the
+    batch router's own shape.
+    """
+    from kafka_parquet_writer_spark.operators.rag_prep import (
+        RAG_INDEX_SHARDS,
+        rag_shard_manifest,
+    )
+    from kafka_parquet_writer_spark.functions import texthash as TH
+
+    # static side, built once from the landed corpus (batch plan)
+    man = rag_shard_manifest(spark, sf_dir).select(
+        "shard_id", "max_df", "min_token", "max_token"
+    )
+
+    stage = _part_batched_dir(spark, sf_dir)
+    schema = spark.read.parquet(table_path(sf_dir, "part")).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    qt = src.select(
+        F.col("p_partkey").cast("long").alias("query_id"),
+        F.explode(F.array_distinct(TH.words_expr("p_name"))).alias("term"),
+    )
+    rt = qt.withColumn(
+        "shard_id",
+        (TH.portable_tid(F.col("term")) % RAG_INDEX_SHARDS).cast("long"),
+    )
+    j = rt.join(F.broadcast(man), "shard_id", "left")
+    probed = (
+        F.col("min_token").isNotNull()
+        & (F.col("term") >= F.col("min_token"))
+        & (F.col("term") <= F.col("max_token"))
+    ).cast("int")
+    routed = j.select(
+        "query_id",
+        "shard_id",
+        probed.alias("probed"),
+        (probed * F.coalesce(F.col("max_df"), F.lit(0))).alias("budget"),
+    )
+    table, info = _run_to_memory_traced(routed, "append")
+    LAST_ROUTER_TRACE.clear()
+    LAST_ROUTER_TRACE.update(info)
+
+    ps = table.groupBy("query_id", "shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_in_shard"),
+        F.max("probed").cast("long").alias("any_probed"),
+        F.sum("budget").cast("long").alias("budget"),
+    )
+    return ps.groupBy("query_id").agg(
+        F.sum("n_terms_in_shard").cast("long").alias("n_terms"),
+        F.sum("any_probed").cast("long").alias("n_shards_probed"),
+        F.sum(F.lit(1) - F.col("any_probed"))
+        .cast("long")
+        .alias("n_shards_skipped"),
+        F.sum("budget").cast("long").alias("postings_budget"),
+    )
