@@ -136,6 +136,8 @@ HEADLINE = [
     # round 12
     "rag_query_router",
     "rag_topk_retrieval",
+    # round 13
+    "rag_topk_retrieval_wand",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming

@@ -1541,7 +1541,7 @@ KNOWN_LANES = frozenset({
     "jaccard_repin", "subseq_prune_experiment",
     "bpe_drift_experiment", "rag_prep_experiment",
     "ann_x32_receipt", "containment_affine_receipt",
-    "rag_retrieval_experiment",
+    "rag_retrieval_experiment", "wand_prune_receipt",
 })
 
 
@@ -1942,6 +1942,147 @@ def rag_retrieval_lane() -> None:
     print(json.dumps({"rag_retrieval_experiment": out}))
 
 
+
+def wand_prune_lane() -> None:
+    """Opt-in lane (`python bench_scale.py wandprune`): receipt for
+    rag_topk_retrieval_wand's claim — MaxScore/WAND pruning shrinks
+    the scored candidate set while staying EXACT. The real fixtures
+    cannot show this (their query workload matches a single document
+    token, and a one-term query is never prunable), so the lane
+    builds the workload shape the pruning exists for, at scale:
+    every doc carries a stopword-like term (df = n, impact floor),
+    75% also carry one of n/100 rare terms with tf 3 (df ~ 75 fixed
+    as n grows — the Zipf tail); 500 queries mix the stopword with
+    two rare terms. Per ×k: min-of-3 wall for the WAND key, the WAND
+    candidate count, the static-L truncated candidate count
+    (rag_topk_retrieval's bound — WAND should be in its vicinity
+    while returning the exhaustive answer, not the truncated one),
+    and the exhaustive score-row fan-out Σ_t qf(t)·df(t) it avoids.
+    Merged into BENCH_SCALE.json as "wand_prune_receipt"."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from kafka_parquet_writer_spark import get_spark
+    from kafka_parquet_writer_spark.operators import rag_prep as RP
+
+    spark = get_spark("wand_prune_lane")
+
+    def skewed_dir(k: int) -> str:
+        n, r_vocab, n_q = 20_000 * k, 200 * k, 500
+        out = tempfile.mkdtemp(prefix=f"kpws_wand_x{k}_")
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("zz "),
+                F.when(
+                    F.col("id") < int(0.75 * n),
+                    F.concat(
+                        F.lit("rare"),
+                        (F.col("id") % r_vocab).cast("string"),
+                        F.lit(" rare"),
+                        (F.col("id") % r_vocab).cast("string"),
+                        F.lit(" rare"),
+                        (F.col("id") % r_vocab).cast("string"),
+                    ),
+                ).otherwise(F.lit("tail")),
+                F.lit(" filler"),
+                (F.col("id") % 7).cast("string"),
+            ).alias("text"),
+        )
+        docs.write.mode("overwrite").parquet(
+            os.path.join(out, "documents.parquet")
+        )
+        qs = spark.range(1, n_q + 1).select(
+            F.col("id").alias("p_partkey"),
+            F.concat(
+                F.lit("zz rare"),
+                (F.col("id") % r_vocab).cast("string"),
+                F.lit(" rare"),
+                ((F.col("id") + 1) % r_vocab).cast("string"),
+            ).alias("p_name"),
+        )
+        qs.write.mode("overwrite").parquet(
+            os.path.join(out, "part.parquet")
+        )
+        return out
+
+    ks = (1, 2, 4, 8)
+    dirs = {k: skewed_dir(k) for k in ks}
+    best: dict[int, float] = {}
+    for _pass in range(3):
+        for k in ks:
+            spark.catalog.clearCache()
+            t0 = time.time()
+            RP.rag_topk_retrieval_wand(spark, dirs[k]).count()
+            dt = time.time() - t0
+            best[k] = min(best.get(k, dt), dt)
+            print(f"wand x{k}: {dt:.3f}s (pass {_pass + 1})", file=sys.stderr)
+
+    out: dict = {"points": [], "topk": RP.RAG_TOPK, "queries": 500}
+    for k in ks:
+        spark.catalog.clearCache()
+        p = RP._wand_plan(spark, dirs[k])
+        wand_cand = p["cand"].count()
+        # exhaustive fan-out the pruning avoids: score rows
+        exhaustive_rows = (
+            p["qt"]
+            .join(p["tstats"], F.col("term") == F.col("token"))
+            .agg(F.sum("df"))
+            .first()[0]
+        )
+        # static-L candidates: distinct (q, d) over truncated lists
+        L = RP.RAG_IMPACT_L
+        il = (
+            p["imp"]
+            .withColumn(
+                "pos",
+                F.row_number().over(
+                    Window.partitionBy("token").orderBy(
+                        F.col("impact").desc(), F.col("doc_id")
+                    )
+                ),
+            )
+            .filter(F.col("pos") <= L)
+        )
+        static_cand = (
+            il.join(
+                F.broadcast(p["qt"]), F.col("token") == F.col("term")
+            )
+            .select("query_id", "doc_id")
+            .distinct()
+            .count()
+        )
+        rec = {
+            "k": k,
+            "wall_sec": round(best[k], 3),
+            "wand_candidates": int(wand_cand),
+            "static_L_candidates": int(static_cand),
+            "exhaustive_score_rows": int(exhaustive_rows),
+            "shrink_vs_exhaustive": round(
+                wand_cand / max(1, exhaustive_rows), 5
+            ),
+        }
+        out["points"].append(rec)
+        print(json.dumps(rec), file=sys.stderr)
+        spark.catalog.clearCache()
+        shutil.rmtree(dirs[k], ignore_errors=True)
+    out["wall_affine"] = fit_affine(best)
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json"
+    )
+    try:
+        with open(path) as f:
+            blob = json.load(f)
+    except (OSError, ValueError):
+        blob = {}
+    blob["wand_prune_receipt"] = out
+    with open(path, "w") as f:
+        f.write(json.dumps(blob) + "\n")
+    print(json.dumps({"wand_prune_receipt": out}))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "imi":
         imi_ceiling_lane()
@@ -1961,5 +2102,7 @@ if __name__ == "__main__":
         affine_receipt_lane()
     elif len(sys.argv) > 1 and sys.argv[1] == "ragretrieval":
         rag_retrieval_lane()
+    elif len(sys.argv) > 1 and sys.argv[1] == "wandprune":
+        wand_prune_lane()
     else:
         main()

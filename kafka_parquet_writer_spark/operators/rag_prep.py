@@ -500,3 +500,254 @@ def rag_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rk.filter(F.col("rnk") <= K).select(
         "query_id", "doc_id", "score", F.col("rnk").cast("long").alias("rnk")
     )
+
+
+def _topk_exhaustive_oracle() -> str:
+    """The UNTRUNCATED tf-idf top-k — rag_topk_retrieval's oracle with
+    the impact-list cut removed. This is the right oracle for the
+    WAND key because MaxScore/WAND pruning is SAFE-up-to-k: it must
+    return exactly the exhaustive answer, so the oracle proves both
+    the scores and the pruning's safety in one comparison."""
+    K, SC = RAG_TOPK, RAG_IDF_SCALE
+    return f"""
+    WITH qt AS (
+      SELECT DISTINCT p_partkey AS query_id,
+             unnest({TH.sql_words('p_name')}) AS term
+      FROM part
+    ), terms AS (
+      SELECT DISTINCT term FROM qt
+    ), tok AS (
+      SELECT doc_id, unnest({TH.sql_words('text')}) AS token
+      FROM documents
+    ), mtok AS (
+      SELECT doc_id, token FROM tok JOIN terms ON token = term
+    ), tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM mtok GROUP BY doc_id, token
+    ), dfv AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df
+      FROM tf GROUP BY token
+    ), sc AS (
+      SELECT qt.query_id, tf.doc_id,
+             CAST(sum(tf.tf * ({SC} // dfv.df)) AS BIGINT) AS score
+      FROM tf
+      JOIN dfv USING (token)
+      JOIN qt ON tf.token = qt.term
+      GROUP BY qt.query_id, tf.doc_id
+    ), rk AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM sc
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM rk WHERE rnk <= {K}
+    """
+
+
+def _wand_plan(spark: SparkSession, sf_dir: str) -> dict:
+    """The MaxScore/WAND candidate pipeline as named stages, so the
+    key composes them and the bench lane can count intermediates
+    (candidate shrinkage receipt) without re-deriving the plan.
+
+    Returns {"qt", "imp", "tstats", "theta", "essential", "cand"}:
+      qt        (query_id, term)           the query workload
+      imp       (doc_id, token, impact)    exact matched postings
+      tstats    (token, ub, df)            per-term upper bound + df
+      theta     (query_id, theta)          admissible per-query bound
+      essential (query_id, term)           MaxScore essential terms
+      cand      (query_id, doc_id)         surviving candidates
+    """
+    from pyspark.sql.window import Window
+
+    K, SC, L = RAG_TOPK, RAG_IDF_SCALE, RAG_IMPACT_L
+
+    qt = (
+        load_table(spark, sf_dir, "part")
+        .select(
+            F.col("p_partkey").cast("long").alias("query_id"),
+            F.explode(
+                F.array_distinct(TH.words_expr("p_name"))
+            ).alias("term"),
+        )
+        .cache()
+    )
+    terms = qt.select("term").distinct()
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(TH.words_expr("text")).alias("token"))
+        .join(F.broadcast(terms), F.col("token") == F.col("term"))
+        .drop("term")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    # exact impacts: df as a window over tf (single corpus scan — the
+    # same subplan-sharing reason as rag_topk_retrieval). CACHED:
+    # imp feeds four consumers (UB stats, θ seed, candidate semi-
+    # join, final scoring) and Catalyst does not share subplans —
+    # uncached, each consumer re-scans the corpus (4 document scans,
+    # caught by the plan gate's first run). imp is MATCH-sized
+    # (query-vocabulary postings, never the corpus), the same bound
+    # dedup's signature caches rely on; qt (queries × terms) is
+    # cached for the same reason.
+    imp = (
+        tf.withColumn(
+            "impact",
+            F.col("tf")
+            * F.expr(f"{SC} div count(1) over (partition by token)"),
+        )
+        .select("doc_id", "token", "impact")
+        .cache()
+    )
+
+    # per-term upper bound: the max impact over the term's full list
+    # (vocabulary-sized — broadcastable; MaxScore's term statistic)
+    tstats = imp.groupBy("token").agg(
+        F.max("impact").cast("long").alias("ub"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
+
+    # admissible threshold θ_q: the k-th best score over the L-
+    # truncated impact lists (rag_topk_retrieval's own pass). A
+    # truncated score is ≤ the true score (impacts are non-negative),
+    # so the k-th best truncated score is ≤ the true k-th best —
+    # pruning against it can never drop a true top-k document.
+    il = imp.withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("token").orderBy(
+                F.col("impact").desc(), F.col("doc_id")
+            )
+        ),
+    ).filter(F.col("pos") <= L)
+    sc0 = (
+        il.join(F.broadcast(qt), F.col("token") == F.col("term"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("impact").cast("long").alias("score"))
+    )
+    theta = (
+        sc0.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("score").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("rnk") == K)
+        .select("query_id", F.col("score").alias("theta"))
+    )
+
+    # MaxScore split: ascending-UB prefix whose cumulative UB sum
+    # stays below θ_q is non-essential — a document matching ONLY
+    # those terms is bounded above by that sum and cannot enter the
+    # top k. Queries with fewer than K truncated candidates get
+    # θ_q = 0 (no pruning: every term essential — exhaustive there).
+    qs = (
+        qt.join(F.broadcast(tstats), F.col("term") == F.col("token"))
+        .drop("token")
+        .join(F.broadcast(theta), "query_id", "left")
+        .withColumn("theta", F.coalesce(F.col("theta"), F.lit(0)))
+    )
+    cum = F.sum("ub").over(
+        Window.partitionBy("query_id")
+        .orderBy(F.col("ub").asc(), F.col("term"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    essential = (
+        qs.withColumn("cum_ub", cum)
+        .filter(F.col("cum_ub") >= F.col("theta"))
+        .select("query_id", "term")
+    )
+
+    # candidates: documents matching at least one essential term
+    cand = (
+        imp.join(
+            F.broadcast(essential), F.col("token") == F.col("term")
+        )
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    return {
+        "qt": qt,
+        "imp": imp,
+        "tstats": tstats,
+        "theta": theta,
+        "essential": essential,
+        "cand": cand,
+    }
+
+
+@query("rag_topk_retrieval_wand", oracle=_topk_exhaustive_oracle())
+def rag_topk_retrieval_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT top-{RAG_TOPK} retrieval under MaxScore/WAND dynamic
+    pruning (r12 VERDICT item 4) — the other production answer to the
+    quadratic fan-out, complementary to rag_topk_retrieval's static
+    impact-L truncation: where the static cut CHANGES the declared
+    algorithm (bounded candidates, approximate tail), dynamic pruning
+    is SAFE-up-to-k — it must return exactly the exhaustive tf-idf
+    answer, which is what the oracle checks (the untruncated SQL).
+    Design follows the public MaxScore/WAND literature (Turtle &
+    Flood, IPM 1995; Broder et al., CIKM 2003) re-expressed as set
+    operations instead of document-at-a-time pointer movement:
+
+    1. θ_q — an admissible per-query threshold: the k-th best score
+       over the L-truncated impact lists (the static key's pass, here
+       demoted from answer to bound; truncated scores are lower
+       bounds, so θ_q ≤ the true k-th score — pruning is safe).
+    2. Per-term upper bounds UB(t) = max impact in t's posting list
+       (the WAND term statistic, vocabulary-sized).
+    3. MaxScore split per query: the ascending-UB prefix of terms
+       whose cumulative UB stays below θ_q is non-essential — a
+       document matching only non-essential terms cannot reach θ_q.
+    4. Candidates = documents with ≥1 essential-term posting; only
+       those are scored EXACTLY (all their matched postings), then
+       the per-query top-k window runs over this shrunken set.
+
+    Scale shape: one corpus scan (query vocabulary broadcast into the
+    token stream before any exchange, df/UB from windows/aggregates
+    over match-sized tf rows); θ_q's seed pass is the static key's
+    bounded queries × terms × L shape; the candidate semi-join and
+    final scoring are keyed doc_id then (query_id, doc_id) — both
+    candidate-sized, which the MaxScore bound keeps well under the
+    exhaustive queries × df fan-out (the lane receipt measures the
+    shrink on the shared-vocab blow-up). At 100 TB the essential-term
+    filter is what keeps high-df noise terms (stopword-like) from
+    fanning out: their UB is low, so they fall in the non-essential
+    prefix everywhere θ_q is healthy.
+    """
+    from pyspark.sql.window import Window
+
+    K = RAG_TOPK
+    p = _wand_plan(spark, sf_dir)
+    qt, imp, cand = p["qt"], p["imp"], p["cand"]
+
+    # exact scoring restricted to candidates: candidate docs pull
+    # their matched postings (keyed doc_id), then keep only the
+    # query's own terms (broadcast qt) — cost ∝ candidates × terms
+    # per doc, never queries × df
+    full = (
+        cand.join(imp, "doc_id")
+        .join(
+            F.broadcast(qt.withColumnRenamed("query_id", "q2")),
+            (F.col("query_id") == F.col("q2"))
+            & (F.col("token") == F.col("term")),
+        )
+        .select("query_id", "doc_id", "impact")
+    )
+    sc = full.groupBy("query_id", "doc_id").agg(
+        F.sum("impact").cast("long").alias("score")
+    )
+    rk = sc.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("score").desc(), F.col("doc_id")
+            )
+        ),
+    )
+    return rk.filter(F.col("rnk") <= K).select(
+        "query_id", "doc_id", "score", F.col("rnk").cast("long").alias("rnk")
+    )

@@ -607,3 +607,28 @@ def test_approx_quantile_rank_gate_broadcasts_sketch(spark, sf_dir):
     df = E.queries()["agg_approx_quantile"](spark, sf_dir)
     assert uses_broadcast_join(df)
     assert count_exchanges(df) <= 2
+
+
+def test_rag_topk_retrieval_wand_single_scan_no_smj(spark, sf_dir):
+    """The WAND key must pay the same IR shape as the static key —
+    corpus scanned ONCE (imp is cached: four consumers, and Catalyst
+    does not share subplans — uncached this was 4 document scans,
+    caught by this gate's first run), query side once, every join
+    broadcast or candidate-sized, never sort-merge, never a
+    cartesian."""
+    import re
+
+    spark.catalog.clearCache()
+    df = E.queries()["rag_topk_retrieval_wand"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("documents.parquet") == 1, plan.count(
+        "documents.parquet"
+    )
+    assert plan.count("part.parquet") == 1
+    # the theta seed pass keeps the static key's WindowGroupLimit
+    # partial top-L (the quadratic guard survives inside WAND)
+    assert "WindowGroupLimit" in plan
+    spark.catalog.clearCache()

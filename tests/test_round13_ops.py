@@ -183,3 +183,119 @@ def test_stream_query_router_zero_state_broadcast_manifest(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "StateStore" not in plan
+
+
+def _exhaustive_topk(p):
+    """Inline exhaustive tf-idf top-k from a _wand_plan's imp/qt (the
+    untruncated answer WAND must reproduce exactly)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from kafka_parquet_writer_spark.operators.rag_prep import RAG_TOPK
+
+    ex_sc = (
+        p["imp"]
+        .join(F.broadcast(p["qt"]), F.col("token") == F.col("term"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("impact").cast("long").alias("score"))
+    )
+    topk = (
+        ex_sc.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("score").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= RAG_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            "score",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+    return ex_sc, topk
+
+
+def test_wand_is_safe_on_the_fixture(spark):
+    """MaxScore/WAND must return EXACTLY the exhaustive tf-idf top-k
+    (safe-up-to-k pruning — the oracle also proves this against
+    DuckDB; here against an inline exhaustive Spark plan so the
+    property is pinned without the driver). NOTE: on this fixture the
+    query workload matches a SINGLE document token, and MaxScore can
+    never prune a one-term query (its only term is always essential)
+    — the shrink property is tested on the skewed fixture below."""
+    from kafka_parquet_writer_spark.operators.rag_prep import (
+        _wand_plan,
+        rag_topk_retrieval_wand,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    p = _wand_plan(spark, sf)
+    _, ex_topk_df = _exhaustive_topk(p)
+    ex_topk = {tuple(r) for r in ex_topk_df.collect()}
+    wand = {
+        tuple(r) for r in rag_topk_retrieval_wand(spark, sf).collect()
+    }
+    assert wand == ex_topk and len(wand) > 0
+
+
+def test_wand_pruning_binds_on_skewed_df(spark, tmp_path):
+    """The receipt that the pruning PRUNES, on the workload shape it
+    exists for: multi-term queries mixing a stopword-like high-df /
+    low-impact term with rare high-impact terms. The stopword's UB
+    falls below θ_q (the k-th best truncated score), so it lands in
+    the non-essential prefix and documents matching ONLY it are never
+    candidates — while the answer stays exactly exhaustive."""
+    from pyspark.sql import functions as F
+
+    from kafka_parquet_writer_spark.operators.rag_prep import (
+        _wand_plan,
+        rag_topk_retrieval_wand,
+    )
+
+    # 200 docs, all contain stopword "zz" once (df 200 -> impact
+    # 5000); the first 150 also carry one of rare0..rare9 with tf 3
+    # (df 15 -> impact 3*(1e6 div 15) = 199998). Each query matches
+    # 30 rare docs, so its 10th-best truncated score is >= 199998,
+    # far above UB(zz) — zz MUST land in the non-essential prefix
+    # (the split is strict: ties with theta stay essential, because a
+    # doc scoring exactly theta can still win its rank on the doc_id
+    # tie-break).
+    docs = []
+    for d in range(200):
+        words = ["zz"]
+        if d < 150:
+            words += [f"rare{d % 10}"] * 3
+        docs.append((d, " ".join(words + ["filler%d" % (d % 5)])))
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    # 20 queries: stopword + two rare terms each
+    qs = [
+        (q, f"zz rare{q % 10} rare{(q + 1) % 10}") for q in range(1, 21)
+    ]
+    spark.createDataFrame(qs, "p_partkey long, p_name string").write.parquet(
+        str(tmp_path / "part.parquet")
+    )
+
+    sf = str(tmp_path)
+    p = _wand_plan(spark, sf)
+    ex_sc, ex_topk_df = _exhaustive_topk(p)
+    ex_topk = {tuple(r) for r in ex_topk_df.collect()}
+    wand = {
+        tuple(r) for r in rag_topk_retrieval_wand(spark, sf).collect()
+    }
+    assert wand == ex_topk and len(wand) > 0
+
+    # the stopword is non-essential somewhere -> fewer essential
+    # (query, term) rows than query-term rows, and the candidate set
+    # is strictly smaller than the exhaustive (query, doc) fan-out
+    n_qterms = p["qt"].count()
+    n_essential = p["essential"].count()
+    assert n_essential < n_qterms, (n_essential, n_qterms)
+    n_cand = p["cand"].count()
+    n_exhaustive_pairs = ex_sc.count()
+    assert n_cand < n_exhaustive_pairs, (n_cand, n_exhaustive_pairs)
