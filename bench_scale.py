@@ -1542,6 +1542,7 @@ KNOWN_LANES = frozenset({
     "bpe_drift_experiment", "rag_prep_experiment",
     "ann_x32_receipt", "containment_affine_receipt",
     "rag_retrieval_experiment", "wand_prune_receipt",
+    "bpe_drift_rocksdb_point",
 })
 
 
@@ -2083,6 +2084,73 @@ def wand_prune_lane() -> None:
     print(json.dumps({"wand_prune_receipt": out}))
 
 
+
+def bpe_drift_rocksdb_lane() -> None:
+    """Opt-in lane (`python bench_scale.py bpedriftrocks`): one
+    decorrelated blow-up point through the RocksDB state-store
+    provider (r12 VERDICT item 6). The provider-invariance test pins
+    value equality on the fixture; this receipts the HAND-OFF CLAIM
+    itself — the exact complete-mode drift aggregate runs on the
+    disk-backed store at the worst-case state growth mode
+    (decorrelated ×8: distinct pairs ∝ corpus) and returns the same
+    rows as the default in-memory provider at the same point. Merged
+    into BENCH_SCALE.json as "bpe_drift_rocksdb_point"."""
+    import shutil
+
+    from kafka_parquet_writer_spark import get_spark
+    from kafka_parquet_writer_spark.operators import streaming_queries as SQ
+
+    spark = get_spark("bpe_drift_rocksdb_lane")
+    SQ.stream_bpe_vocab_drift(spark, SF_DIR).count()  # warm
+
+    k = 8
+    d = docs_blowup_dir(spark, k, tag_words=True, prefix="kpws_bpedrocks_")
+    try:
+        default_rows = {
+            tuple(r)
+            for r in SQ.stream_bpe_vocab_drift(spark, d).collect()
+        }
+        best = None
+        rocks_rows = None
+        for _pass in range(2):
+            t0 = time.time()
+            rocks_rows = {
+                tuple(r)
+                for r in SQ.stream_bpe_vocab_drift(
+                    spark, d, state_store="rocksdb"
+                ).collect()
+            }
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            print(f"rocksdb x{k}: {dt:.3f}s", file=sys.stderr)
+        out = {
+            "mode": "decorrelated",
+            "k": k,
+            "wall_sec_rocksdb": round(best, 3),
+            "rows_out": len(rocks_rows),
+            "equals_default_provider": rocks_rows == default_rows,
+        }
+    finally:
+        staged = SQ._dedup_stage_cache.pop(
+            f"{d}|{SQ.DEDUP_STREAM_BATCHES}", None
+        )
+        if staged:
+            shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(d, ignore_errors=True)
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json"
+    )
+    try:
+        with open(path) as f:
+            blob = json.load(f)
+    except (OSError, ValueError):
+        blob = {}
+    blob["bpe_drift_rocksdb_point"] = out
+    with open(path, "w") as f:
+        f.write(json.dumps(blob) + "\n")
+    print(json.dumps({"bpe_drift_rocksdb_point": out}))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "imi":
         imi_ceiling_lane()
@@ -2104,5 +2172,7 @@ if __name__ == "__main__":
         rag_retrieval_lane()
     elif len(sys.argv) > 1 and sys.argv[1] == "wandprune":
         wand_prune_lane()
+    elif len(sys.argv) > 1 and sys.argv[1] == "bpedriftrocks":
+        bpe_drift_rocksdb_lane()
     else:
         main()
