@@ -138,6 +138,7 @@ HEADLINE = [
     "rag_topk_retrieval",
     # round 13
     "rag_topk_retrieval_wand",
+    "rag_topk_retrieval_bm25",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming

@@ -751,3 +751,168 @@ def rag_topk_retrieval_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rk.filter(F.col("rnk") <= K).select(
         "query_id", "doc_id", "score", F.col("rnk").cast("long").alias("rnk")
     )
+
+
+#: BM25 parameters, folded into integer rationals: k1 = 1.2 and
+#: b = 0.75 give the per-term score
+#:   idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+#: = (idf · 88 · tf · avgdl) div (40·avgdl·tf + 12·avgdl + 36·dl)
+#: — numerator and denominator both scaled by 40·avgdl so the WHOLE
+#: term reduces to ONE positive integer division, identical under
+#: Spark's div and DuckDB's // (floor == truncation for positives).
+#: No floats anywhere, so the key carries an exact value oracle; the
+#: constants 88/40/12/36 are 40·(k1+1)=88, 40, 40·k1·(1−b)=12,
+#: 40·k1·b=36.
+BM25_NUM = 88
+BM25_DEN_TF = 40
+BM25_DEN_FIXED = 12
+BM25_DEN_DL = 36
+
+
+def _topk_bm25_oracle() -> str:
+    K, SC, L = RAG_TOPK, RAG_IDF_SCALE, RAG_IMPACT_L
+    A, B_TF, B_FX, B_DL = BM25_NUM, BM25_DEN_TF, BM25_DEN_FIXED, BM25_DEN_DL
+    return f"""
+    WITH qt AS (
+      SELECT DISTINCT p_partkey AS query_id,
+             unnest({TH.sql_words('p_name')}) AS term
+      FROM part
+    ), terms AS (
+      SELECT DISTINCT term FROM qt
+    ), stats AS (
+      SELECT CAST(sum(len({TH.sql_words('text')})) AS BIGINT)
+               // CAST(count(*) AS BIGINT) AS avgdl
+      FROM documents
+    ), tok AS (
+      SELECT doc_id,
+             CAST(len({TH.sql_words('text')}) AS BIGINT) AS dl,
+             unnest({TH.sql_words('text')}) AS token
+      FROM documents
+    ), mtok AS (
+      SELECT doc_id, dl, token FROM tok JOIN terms ON token = term
+    ), tf AS (
+      SELECT doc_id, token, max(dl) AS dl,
+             CAST(count(*) AS BIGINT) AS tf
+      FROM mtok GROUP BY doc_id, token
+    ), dfv AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df
+      FROM tf GROUP BY token
+    ), il AS (
+      SELECT tf.doc_id, tf.token,
+             (({SC} // dfv.df) * {A} * tf.tf * stats.avgdl)
+               // ({B_TF} * stats.avgdl * tf.tf
+                   + {B_FX} * stats.avgdl + {B_DL} * tf.dl) AS impact,
+             row_number() OVER (PARTITION BY tf.token
+                 ORDER BY (({SC} // dfv.df) * {A} * tf.tf * stats.avgdl)
+                   // ({B_TF} * stats.avgdl * tf.tf
+                       + {B_FX} * stats.avgdl + {B_DL} * tf.dl) DESC,
+                          tf.doc_id) AS pos
+      FROM tf JOIN dfv USING (token) CROSS JOIN stats
+    ), sc AS (
+      SELECT qt.query_id, il.doc_id,
+             CAST(sum(il.impact) AS BIGINT) AS score
+      FROM il
+      JOIN qt ON il.token = qt.term
+      WHERE il.pos <= {L}
+      GROUP BY qt.query_id, il.doc_id
+    ), rk AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM sc
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM rk WHERE rnk <= {K}
+    """
+
+
+@query("rag_topk_retrieval_bm25", oracle=_topk_bm25_oracle())
+def rag_topk_retrieval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{RAG_TOPK} retrieval under BM25 — the production-default
+    ranking function (Robertson & Zaragoza 2009, "The Probabilistic
+    Relevance Framework: BM25 and Beyond") completing the scorer
+    family beside the tf-idf key: term frequency SATURATES (k1 = 1.2
+    — a term's 20th occurrence adds almost nothing, where raw tf·idf
+    keeps growing linearly) and documents are LENGTH-NORMALIZED
+    (b = 0.75 — long documents stop winning on bulk). Both parameters
+    are folded into one positive integer division per (doc, term)
+    (see BM25_NUM.. — numerator and denominator pre-scaled by
+    40·avgdl), with the suite's integer idf ({RAG_IDF_SCALE} div df),
+    so every score is exact int64 on both engines and the key carries
+    a full DuckDB value oracle.
+
+    Shape is rag_topk_retrieval's IR shape exactly — query vocabulary
+    broadcast into the token stream BEFORE any exchange, df as a
+    window over match-sized tf rows (single corpus scan, plan-gated),
+    impact-ordered list truncation at L={RAG_IMPACT_L} as the
+    quadratic guard (BM25 impacts are doc-side-only, so the same
+    static pruning applies; WindowGroupLimit keeps the top-L partial)
+    — plus the two corpus scalars BM25 needs (avgdl, via one
+    driver-side aggregate at plan-build time, the drift key's lo/hi
+    pattern) and per-token document length carried through the
+    explode (max(dl) per (doc, token) group: dl is functionally
+    dependent on doc_id, the aggregate form both engines agree on).
+    """
+    from pyspark.sql.window import Window
+
+    K, SC, L = RAG_TOPK, RAG_IDF_SCALE, RAG_IMPACT_L
+    A, B_TF, B_FX, B_DL = BM25_NUM, BM25_DEN_TF, BM25_DEN_FIXED, BM25_DEN_DL
+
+    docs = load_table(spark, sf_dir, "documents")
+    total_dl, n_docs = docs.agg(
+        F.sum(F.size(TH.words_expr("text"))), F.count(F.lit(1))
+    ).first()
+    avgdl = int(total_dl) // int(n_docs)
+
+    qt = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("query_id"),
+        F.explode(F.array_distinct(TH.words_expr("p_name"))).alias("term"),
+    )
+    terms = qt.select("term").distinct()
+    tok = (
+        docs.select(
+            "doc_id",
+            F.size(TH.words_expr("text")).cast("long").alias("dl"),
+            F.explode(TH.words_expr("text")).alias("token"),
+        )
+        .join(F.broadcast(terms), F.col("token") == F.col("term"))
+        .drop("term")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.max("dl").alias("dl"),
+        F.count(F.lit(1)).cast("long").alias("tf"),
+    )
+    wtf = tf.withColumn(
+        "impact",
+        F.expr(
+            f"(({SC} div count(1) over (partition by token))"
+            f" * {A} * tf * {avgdl})"
+            f" div ({B_TF} * {avgdl} * tf + {B_FX} * {avgdl}"
+            f" + {B_DL} * dl)"
+        ),
+    )
+    il = wtf.withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("token").orderBy(
+                F.col("impact").desc(), F.col("doc_id")
+            )
+        ),
+    ).filter(F.col("pos") <= L)
+    sc = (
+        il.join(F.broadcast(qt), F.col("token") == F.col("term"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("impact").cast("long").alias("score"))
+    )
+    rk = sc.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("score").desc(), F.col("doc_id")
+            )
+        ),
+    )
+    return rk.filter(F.col("rnk") <= K).select(
+        "query_id", "doc_id", "score", F.col("rnk").cast("long").alias("rnk")
+    )

@@ -632,3 +632,21 @@ def test_rag_topk_retrieval_wand_single_scan_no_smj(spark, sf_dir):
     # partial top-L (the quadratic guard survives inside WAND)
     assert "WindowGroupLimit" in plan
     spark.catalog.clearCache()
+
+
+def test_rag_topk_retrieval_bm25_keeps_ir_shape(spark, sf_dir):
+    """BM25 must pay the static key's IR shape: query vocabulary
+    broadcast before any exchange, df via window over match-sized tf
+    rows (single documents scan in the returned plan — avgdl comes
+    from a separate build-time scalar, not an aggregate branch),
+    WindowGroupLimit truncation, no sort-merge join."""
+    import re
+
+    df = E.queries()["rag_topk_retrieval_bm25"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert plan.count("documents.parquet") == 1
+    assert count_exchanges(df) <= 5

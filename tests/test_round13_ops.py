@@ -299,3 +299,44 @@ def test_wand_pruning_binds_on_skewed_df(spark, tmp_path):
     n_cand = p["cand"].count()
     n_exhaustive_pairs = ex_sc.count()
     assert n_cand < n_exhaustive_pairs, (n_cand, n_exhaustive_pairs)
+
+
+def test_bm25_saturation_and_length_normalization(spark, tmp_path):
+    """The two properties BM25 exists for, pinned against raw tf·idf
+    behavior: (a) SATURATION — doubling an already-high tf barely
+    moves the score (k1 bound: impact < idf·(k1+1) = idf·88/40),
+    while raw tf·idf doubles; (b) LENGTH NORMALIZATION — same tf in a
+    much longer document scores LOWER."""
+    from pyspark.sql import functions as F
+
+    from kafka_parquet_writer_spark.operators.rag_prep import (
+        rag_topk_retrieval_bm25,
+    )
+
+    # doc 0: tf(hot)=2, short. doc 1: tf=20, same length class.
+    # doc 2: tf(hot)=2 but 10x longer. filler words are unique per
+    # doc so df(hot)=3 and nothing else matches the query.
+    docs = [
+        (0, "hot hot " + " ".join(f"a{i}" for i in range(8))),
+        (1, " ".join(["hot"] * 20) + " " + " ".join(f"b{i}" for i in range(8))),
+        (2, "hot hot " + " ".join(f"c{i}" for i in range(98))),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    spark.createDataFrame(
+        [(1, "hot")], "p_partkey long, p_name string"
+    ).write.parquet(str(tmp_path / "part.parquet"))
+
+    out = {
+        r.doc_id: r.score
+        for r in rag_topk_retrieval_bm25(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    idf = 1_000_000 // 3
+    # saturation: 10x the tf gains less than 2x the score, and stays
+    # under the k1+1 asymptote
+    assert out[1] < 2 * out[0]
+    assert out[1] < idf * 88 // 40
+    # length normalization: same tf, 10x length -> strictly lower
+    assert out[2] < out[0]
