@@ -551,13 +551,29 @@ def _wand_plan(spark: SparkSession, sf_dir: str) -> dict:
     key composes them and the bench lane can count intermediates
     (candidate shrinkage receipt) without re-deriving the plan.
 
-    Returns {"qt", "imp", "tstats", "theta", "essential", "cand"}:
+    Returns {"qt", "imp", "il", "tstats", "theta", "qt_single",
+    "qt_multi", "essential", "cand"}:
       qt        (query_id, term)           the query workload
       imp       (doc_id, token, impact)    exact matched postings
+      il        (doc_id, token, impact)    top-L impact lists
       tstats    (token, ub, df)            per-term upper bound + df
       theta     (query_id, theta)          admissible per-query bound
+      qt_single (query_id, term)           one-matched-term queries
+      qt_multi  (query_id, term)           the rest
       essential (query_id, term)           MaxScore essential terms
+                                           (multi-term queries only)
       cand      (query_id, doc_id)         surviving candidates
+                                           (multi-term queries only)
+
+    The single/multi split is the production fast path: a query with
+    ONE matched term needs no candidate generation at all — its exact
+    top-k IS the head of that term's impact-ordered list (score =
+    impact, same (impact desc, doc_id) order), already materialized
+    in the θ seed's top-L lists since L ≥ k. Without the split, a
+    one-term query pays the candidate machinery for zero pruning
+    (one essential term ⇒ candidates = the full posting list ⇒
+    ~3× the exhaustive cost: measured 12.3 s vs 1.4 s for the static
+    key at sf0.1, where EVERY fixture query is one-term).
     """
     from pyspark.sql.window import Window
 
@@ -640,16 +656,26 @@ def _wand_plan(spark: SparkSession, sf_dir: str) -> dict:
         .select("query_id", F.col("score").alias("theta"))
     )
 
-    # MaxScore split: ascending-UB prefix whose cumulative UB sum
-    # stays below θ_q is non-essential — a document matching ONLY
-    # those terms is bounded above by that sum and cannot enter the
-    # top k. Queries with fewer than K truncated candidates get
-    # θ_q = 0 (no pruning: every term essential — exhaustive there).
-    qs = (
-        qt.join(F.broadcast(tstats), F.col("term") == F.col("token"))
-        .drop("token")
-        .join(F.broadcast(theta), "query_id", "left")
-        .withColumn("theta", F.coalesce(F.col("theta"), F.lit(0)))
+    # single/multi split on MATCHED term count (terms absent from the
+    # corpus have no tstats row and can never contribute to a score,
+    # so they don't make a query "multi"): queries-sized window, no
+    # extra exchange beyond the broadcast joins below
+    qm = qt.join(F.broadcast(tstats), F.col("term") == F.col("token")).drop(
+        "token", "df"
+    )
+    nt = F.count(F.lit(1)).over(Window.partitionBy("query_id"))
+    qm = qm.withColumn("nt", nt)
+    qt_single = qm.filter(F.col("nt") == 1).select("query_id", "term")
+    qt_multi_ub = qm.filter(F.col("nt") > 1)
+
+    # MaxScore split (multi-term queries only — see docstring):
+    # ascending-UB prefix whose cumulative UB sum stays below θ_q is
+    # non-essential — a document matching ONLY those terms is bounded
+    # above by that sum and cannot enter the top k. Queries with
+    # fewer than K truncated candidates get θ_q = 0 (no pruning:
+    # every term essential — exhaustive there).
+    qs = qt_multi_ub.join(F.broadcast(theta), "query_id", "left").withColumn(
+        "theta", F.coalesce(F.col("theta"), F.lit(0))
     )
     cum = F.sum("ub").over(
         Window.partitionBy("query_id")
@@ -673,8 +699,11 @@ def _wand_plan(spark: SparkSession, sf_dir: str) -> dict:
     return {
         "qt": qt,
         "imp": imp,
+        "il": il,
         "tstats": tstats,
         "theta": theta,
+        "qt_single": qt_single,
+        "qt_multi": qt_multi_ub.select("query_id", "term"),
         "essential": essential,
         "cand": cand,
     }
@@ -705,6 +734,16 @@ def rag_topk_retrieval_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     4. Candidates = documents with ≥1 essential-term posting; only
        those are scored EXACTLY (all their matched postings), then
        the per-query top-k window runs over this shrunken set.
+    5. SINGLE-matched-term queries skip 3–4 entirely (the production
+       fast path): their exact top-k is the head of the term's
+       impact-ordered list — score = impact, identical (impact desc,
+       doc_id) order — served straight from the θ seed's top-L lists
+       (L = {RAG_IMPACT_L} ≥ k = {RAG_TOPK}, asserted). MaxScore can
+       never prune a one-term query (its only term is always
+       essential), so routing one through the candidate machinery
+       pays ~3× the exhaustive cost for zero pruning — measured
+       12.3 s vs 1.4 s for the static key at sf0.1, where every
+       fixture query matches exactly one corpus term.
 
     Scale shape: one corpus scan (query vocabulary broadcast into the
     token stream before any exchange, df/UB from windows/aggregates
@@ -713,25 +752,36 @@ def rag_topk_retrieval_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     final scoring are keyed doc_id then (query_id, doc_id) — both
     candidate-sized, which the MaxScore bound keeps well under the
     exhaustive queries × df fan-out (the lane receipt measures the
-    shrink on the shared-vocab blow-up). At 100 TB the essential-term
-    filter is what keeps high-df noise terms (stopword-like) from
-    fanning out: their UB is low, so they fall in the non-essential
-    prefix everywhere θ_q is healthy.
+    shrink on the shared-vocab blow-up); single-term queries cost
+    queries × k, list-serving. At 100 TB the essential-term filter
+    is what keeps high-df noise terms (stopword-like) from fanning
+    out: their UB is low, so they fall in the non-essential prefix
+    everywhere θ_q is healthy.
     """
     from pyspark.sql.window import Window
 
-    K = RAG_TOPK
+    K, L = RAG_TOPK, RAG_IMPACT_L
+    assert L >= K, "single-term fast path needs the full top-k in il"
     p = _wand_plan(spark, sf_dir)
-    qt, imp, cand = p["qt"], p["imp"], p["cand"]
+    imp, il, cand = p["imp"], p["il"], p["cand"]
 
-    # exact scoring restricted to candidates: candidate docs pull
-    # their matched postings (keyed doc_id), then keep only the
-    # query's own terms (broadcast qt) — cost ∝ candidates × terms
-    # per doc, never queries × df
+    # fast path: one matched term ⇒ top-k from the impact list head
+    fast = (
+        il.join(
+            F.broadcast(p["qt_single"]), F.col("token") == F.col("term")
+        )
+        .select("query_id", "doc_id", F.col("impact").alias("score"))
+    )
+
+    # candidate path (multi-term queries): candidate docs pull their
+    # matched postings (keyed doc_id), then keep only the query's own
+    # terms (broadcast qt_multi) — cost ∝ candidates × terms per doc,
+    # never queries × df
+    qt_multi = p["qt_multi"]
     full = (
         cand.join(imp, "doc_id")
         .join(
-            F.broadcast(qt.withColumnRenamed("query_id", "q2")),
+            F.broadcast(qt_multi.withColumnRenamed("query_id", "q2")),
             (F.col("query_id") == F.col("q2"))
             & (F.col("token") == F.col("term")),
         )
@@ -740,7 +790,9 @@ def rag_topk_retrieval_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = full.groupBy("query_id", "doc_id").agg(
         F.sum("impact").cast("long").alias("score")
     )
-    rk = sc.withColumn(
+
+    # the two paths cover disjoint query sets; rank after the union
+    rk = fast.unionByName(sc).withColumn(
         "rnk",
         F.row_number().over(
             Window.partitionBy("query_id").orderBy(
@@ -870,11 +922,19 @@ def rag_topk_retrieval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_distinct(TH.words_expr("p_name"))).alias("term"),
     )
     terms = qt.select("term").distinct()
+    # dl must ride the explode as size(ws) over the PRE-SPLIT array:
+    # written as size(words(text)) beside explode(words(text)), the
+    # optimizer floats the dl projection ABOVE the Generate and the
+    # regex tokenize re-runs per TOKEN row — O(tokens × doclen),
+    # measured 3.9 s vs 0.8 s for this stage at sf0.1. With ws
+    # materialized by the child projection, the generate splits once
+    # per document and size(ws) after it is O(1) array metadata.
+    w = docs.select("doc_id", TH.words_expr("text").alias("ws"))
     tok = (
-        docs.select(
+        w.select(
             "doc_id",
-            F.size(TH.words_expr("text")).cast("long").alias("dl"),
-            F.explode(TH.words_expr("text")).alias("token"),
+            F.size("ws").cast("long").alias("dl"),
+            F.explode("ws").alias("token"),
         )
         .join(F.broadcast(terms), F.col("token") == F.col("term"))
         .drop("term")
