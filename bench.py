@@ -139,6 +139,7 @@ HEADLINE = [
     # round 13
     "rag_topk_retrieval_wand",
     "rag_topk_retrieval_bm25",
+    "rag_topk_retrieval_wand_bm25",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming

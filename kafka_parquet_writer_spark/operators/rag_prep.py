@@ -546,10 +546,21 @@ def _topk_exhaustive_oracle() -> str:
     """
 
 
-def _wand_plan(spark: SparkSession, sf_dir: str) -> dict:
+def _wand_plan(
+    spark: SparkSession, sf_dir: str, scorer: str = "tfidf"
+) -> dict:
     """The MaxScore/WAND candidate pipeline as named stages, so the
     key composes them and the bench lane can count intermediates
     (candidate shrinkage receipt) without re-deriving the plan.
+
+    ``scorer`` selects the impact function — "tfidf" (tf · integer
+    idf, rag_topk_retrieval's weights) or "bm25" (the saturated
+    length-normalized form, rag_topk_retrieval_bm25's weights).
+    MaxScore/WAND is SCORER-AGNOSTIC: the safety argument needs only
+    non-negative per-term impacts summed additively (truncated
+    scores stay lower bounds; per-term maxima stay upper bounds), so
+    the whole candidate machinery below is shared verbatim and only
+    the ``imp`` builder changes.
 
     Returns {"qt", "imp", "il", "tstats", "theta", "qt_single",
     "qt_multi", "essential", "cand"}:
@@ -590,15 +601,56 @@ def _wand_plan(spark: SparkSession, sf_dir: str) -> dict:
         .cache()
     )
     terms = qt.select("term").distinct()
-    tok = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(TH.words_expr("text")).alias("token"))
-        .join(F.broadcast(terms), F.col("token") == F.col("term"))
-        .drop("term")
-    )
-    tf = tok.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    if scorer == "tfidf":
+        tok = (
+            docs.select(
+                "doc_id", F.explode(TH.words_expr("text")).alias("token")
+            )
+            .join(F.broadcast(terms), F.col("token") == F.col("term"))
+            .drop("term")
+        )
+        tf = tok.groupBy("doc_id", "token").agg(
+            F.count(F.lit(1)).cast("long").alias("tf")
+        )
+        impact_expr = F.col("tf") * F.expr(
+            f"{SC} div count(1) over (partition by token)"
+        )
+    elif scorer == "bm25":
+        # the BM25 key's exact integer form (see BM25_NUM..): needs
+        # dl riding the explode as O(1) size(ws) over the pre-split
+        # array (NOT size(words(text)) beside the generate — the
+        # optimizer floats that above the Generate and re-tokenizes
+        # per token row) and the corpus scalar avgdl from one
+        # build-time aggregate
+        total_dl, n_docs = docs.agg(
+            F.sum(F.size(TH.words_expr("text"))), F.count(F.lit(1))
+        ).first()
+        avgdl = int(total_dl) // int(n_docs)
+        A = BM25_NUM
+        B_TF, B_FX, B_DL = BM25_DEN_TF, BM25_DEN_FIXED, BM25_DEN_DL
+        w = docs.select("doc_id", TH.words_expr("text").alias("ws"))
+        tok = (
+            w.select(
+                "doc_id",
+                F.size("ws").cast("long").alias("dl"),
+                F.explode("ws").alias("token"),
+            )
+            .join(F.broadcast(terms), F.col("token") == F.col("term"))
+            .drop("term")
+        )
+        tf = tok.groupBy("doc_id", "token").agg(
+            F.max("dl").alias("dl"),
+            F.count(F.lit(1)).cast("long").alias("tf"),
+        )
+        impact_expr = F.expr(
+            f"(({SC} div count(1) over (partition by token))"
+            f" * {A} * tf * {avgdl})"
+            f" div ({B_TF} * {avgdl} * tf + {B_FX} * {avgdl}"
+            f" + {B_DL} * dl)"
+        )
+    else:
+        raise ValueError(f"unknown scorer {scorer!r}")
     # exact impacts: df as a window over tf (single corpus scan — the
     # same subplan-sharing reason as rag_topk_retrieval). CACHED:
     # imp feeds four consumers (UB stats, θ seed, candidate semi-
@@ -609,11 +661,7 @@ def _wand_plan(spark: SparkSession, sf_dir: str) -> dict:
     # dedup's signature caches rely on; qt (queries × terms) is
     # cached for the same reason.
     imp = (
-        tf.withColumn(
-            "impact",
-            F.col("tf")
-            * F.expr(f"{SC} div count(1) over (partition by token)"),
-        )
+        tf.withColumn("impact", impact_expr)
         .select("doc_id", "token", "impact")
         .cache()
     )
@@ -758,11 +806,19 @@ def rag_topk_retrieval_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     out: their UB is low, so they fall in the non-essential prefix
     everywhere θ_q is healthy.
     """
+    return _wand_topk(_wand_plan(spark, sf_dir))
+
+
+def _wand_topk(p: dict) -> DataFrame:
+    """Shared final stage of the MaxScore/WAND keys — scorer-agnostic
+    by construction (see _wand_plan: only ``imp`` differs between the
+    tf-idf and BM25 variants): single-matched-term fast path from the
+    impact-list heads, exact candidate scoring for the rest, one
+    per-query top-k window over the union."""
     from pyspark.sql.window import Window
 
     K, L = RAG_TOPK, RAG_IMPACT_L
     assert L >= K, "single-term fast path needs the full top-k in il"
-    p = _wand_plan(spark, sf_dir)
     imp, il, cand = p["imp"], p["il"], p["cand"]
 
     # fast path: one matched term ⇒ top-k from the impact list head
@@ -976,3 +1032,83 @@ def rag_topk_retrieval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rk.filter(F.col("rnk") <= K).select(
         "query_id", "doc_id", "score", F.col("rnk").cast("long").alias("rnk")
     )
+
+
+def _bm25_exhaustive_oracle() -> str:
+    """The untruncated BM25 top-k — rag_topk_retrieval_bm25's oracle
+    with the impact-list cut removed (the WAND-safety oracle shape:
+    MaxScore pruning must return exactly the exhaustive answer)."""
+    K, SC = RAG_TOPK, RAG_IDF_SCALE
+    A, B_TF, B_FX, B_DL = BM25_NUM, BM25_DEN_TF, BM25_DEN_FIXED, BM25_DEN_DL
+    return f"""
+    WITH qt AS (
+      SELECT DISTINCT p_partkey AS query_id,
+             unnest({TH.sql_words('p_name')}) AS term
+      FROM part
+    ), terms AS (
+      SELECT DISTINCT term FROM qt
+    ), stats AS (
+      SELECT CAST(sum(len({TH.sql_words('text')})) AS BIGINT)
+               // CAST(count(*) AS BIGINT) AS avgdl
+      FROM documents
+    ), tok AS (
+      SELECT doc_id,
+             CAST(len({TH.sql_words('text')}) AS BIGINT) AS dl,
+             unnest({TH.sql_words('text')}) AS token
+      FROM documents
+    ), mtok AS (
+      SELECT doc_id, dl, token FROM tok JOIN terms ON token = term
+    ), tf AS (
+      SELECT doc_id, token, max(dl) AS dl,
+             CAST(count(*) AS BIGINT) AS tf
+      FROM mtok GROUP BY doc_id, token
+    ), dfv AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df
+      FROM tf GROUP BY token
+    ), sc AS (
+      SELECT qt.query_id, tf.doc_id,
+             CAST(sum((({SC} // dfv.df) * {A} * tf.tf * stats.avgdl)
+               // ({B_TF} * stats.avgdl * tf.tf
+                   + {B_FX} * stats.avgdl + {B_DL} * tf.dl))
+               AS BIGINT) AS score
+      FROM tf
+      JOIN dfv USING (token)
+      JOIN qt ON tf.token = qt.term
+      CROSS JOIN stats
+      GROUP BY qt.query_id, tf.doc_id
+    ), rk AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM sc
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM rk WHERE rnk <= {K}
+    """
+
+
+@query("rag_topk_retrieval_wand_bm25", oracle=_bm25_exhaustive_oracle())
+def rag_topk_retrieval_wand_bm25(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT BM25 top-{RAG_TOPK} under MaxScore/WAND dynamic pruning —
+    the two production pieces composed: the default scorer
+    (rag_topk_retrieval_bm25's exact integer BM25) served through the
+    safe-up-to-k candidate machinery (rag_topk_retrieval_wand's).
+    MaxScore is scorer-agnostic — its safety argument needs only
+    non-negative per-term impacts summed additively, which BM25's
+    saturated length-normalized impacts are — so _wand_plan is shared
+    verbatim with ``scorer="bm25"`` swapping the impact builder, and
+    the oracle is the UNTRUNCATED BM25 SQL: one comparison proves the
+    scores and the pruning's safety together. BM25 is also the
+    scorer where MaxScore EARNS more: tf saturation caps every
+    impact at idf·(k1+1), so high-df stopword-like terms have low,
+    tightly-bounded UB and fall into the non-essential prefix
+    earlier than under unbounded tf·idf.
+
+    Scale shape: identical to rag_topk_retrieval_wand (one corpus
+    scan, match-sized exchanges, candidate-sized scoring,
+    queries × k single-term fast path) plus BM25's one build-time
+    avgdl scalar."""
+    return _wand_topk(_wand_plan(spark, sf_dir, scorer="bm25"))

@@ -650,3 +650,21 @@ def test_rag_topk_retrieval_bm25_keeps_ir_shape(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert plan.count("documents.parquet") == 1
     assert count_exchanges(df) <= 5
+
+
+def test_rag_topk_retrieval_wand_bm25_single_scan(spark, sf_dir):
+    """The BM25-scored WAND variant shares the candidate machinery —
+    same gate: one documents scan (imp cached), broadcast-only joins,
+    no cartesian, theta seed's WindowGroupLimit intact."""
+    import re
+
+    spark.catalog.clearCache()
+    df = E.queries()["rag_topk_retrieval_wand_bm25"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert plan.count("documents.parquet") == 1
+    assert plan.count("part.parquet") == 1
+    spark.catalog.clearCache()

@@ -340,3 +340,69 @@ def test_bm25_saturation_and_length_normalization(spark, tmp_path):
     assert out[1] < idf * 88 // 40
     # length normalization: same tf, 10x length -> strictly lower
     assert out[2] < out[0]
+
+
+def test_wand_bm25_safe_and_prunes_on_skewed_df(spark, tmp_path):
+    """MaxScore is scorer-agnostic: under BM25 impacts the pruned
+    top-k must equal the exhaustive BM25 top-k, and on the skewed
+    fixture the saturation-capped stopword UB must fall in the
+    non-essential prefix (pruning binds)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from kafka_parquet_writer_spark.operators.rag_prep import (
+        RAG_TOPK,
+        _wand_plan,
+        rag_topk_retrieval_wand_bm25,
+    )
+
+    docs = []
+    for d in range(200):
+        words = ["zz"]
+        if d < 150:
+            words += [f"rare{d % 10}"] * 3
+        docs.append((d, " ".join(words + ["filler%d" % (d % 5)])))
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    qs = [
+        (q, f"zz rare{q % 10} rare{(q + 1) % 10}") for q in range(1, 21)
+    ]
+    spark.createDataFrame(qs, "p_partkey long, p_name string").write.parquet(
+        str(tmp_path / "part.parquet")
+    )
+
+    sf = str(tmp_path)
+    p = _wand_plan(spark, sf, scorer="bm25")
+    ex_sc = (
+        p["imp"]
+        .join(F.broadcast(p["qt"]), F.col("token") == F.col("term"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("impact").cast("long").alias("score"))
+    )
+    ex_topk = {
+        tuple(r)
+        for r in ex_sc.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("score").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= RAG_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            "score",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+        .collect()
+    }
+    wand = {
+        tuple(r)
+        for r in rag_topk_retrieval_wand_bm25(spark, sf).collect()
+    }
+    assert wand == ex_topk and len(wand) > 0
+    assert p["essential"].count() < p["qt"].count()
+    assert p["cand"].count() < ex_sc.count()
