@@ -167,6 +167,7 @@ STREAMING_HEADLINE = [
     "stream_passage_windows",
     # round 13
     "stream_query_router",
+    "stream_ann_route",
 ]
 
 

@@ -2355,3 +2355,152 @@ def stream_query_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_shards_skipped"),
         F.sum("budget").cast("long").alias("postings_budget"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming ANN route (stream-static serving on the embedding surface)
+# ---------------------------------------------------------------------------
+
+#: query micro-batches for the streaming ANN route (vec_id-ranged over
+#: the IVF query set, so every query lives inside one micro-batch)
+ANN_STREAM_BATCHES = 4
+
+_ann_stage_cache: dict[str, str] = {}
+
+
+def _embedding_queries_batched_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the IVF query set (vec_id < IVF_N_QUERIES of the
+    embeddings table) into ANN_STREAM_BATCHES vec_id-ranged parquet
+    files with strictly increasing mtimes — the query-side staging
+    pattern (documents/part splitters) applied to the embedding
+    surface."""
+    import glob
+    import os
+    import shutil
+
+    from kafka_parquet_writer_spark.operators.similarity import (
+        IVF_N_QUERIES,
+    )
+
+    key = f"{sf_dir}|annq|{ANN_STREAM_BATCHES}"
+    if key in _ann_stage_cache:
+        return _ann_stage_cache[key]
+    q = spark.read.parquet(table_path(sf_dir, "embeddings")).filter(
+        F.col("vec_id") < IVF_N_QUERIES
+    )
+    span = (IVF_N_QUERIES + ANN_STREAM_BATCHES - 1) // ANN_STREAM_BATCHES
+    stage = tempfile.mkdtemp(prefix="kpws_annq_src_")
+    base_t = 1_600_000_000
+    for i in range(ANN_STREAM_BATCHES):
+        part_dir = os.path.join(stage, f"_tmp{i}")
+        q.filter(
+            (F.col("vec_id") >= i * span)
+            & (F.col("vec_id") < (i + 1) * span)
+        ).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        [pfile] = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dst = os.path.join(stage, f"{i:03d}.parquet")
+        shutil.move(pfile, dst)
+        shutil.rmtree(part_dir)
+        os.utime(dst, (base_t + i * 10, base_t + i * 10))
+    _ann_stage_cache[key] = stage
+    return stage
+
+
+def _stream_ann_oracle() -> str:
+    from kafka_parquet_writer_spark.operators.similarity import _ivf_oracle
+
+    return _ivf_oracle()
+
+
+#: the last stream_ann_route run's plan receipts (same shape as
+#: LAST_ROUTER_TRACE; tests read this after invoking the key)
+LAST_ANN_ROUTE_TRACE: dict = {}
+
+
+@query("stream_ann_route", oracle=_stream_ann_oracle())
+def stream_ann_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN serving moved to REQUEST time — the stream-static
+    pattern on the embedding surface, completing the serving trio
+    (stream_static_enrich: dimension lookup; stream_query_router:
+    inverted-index routing; this: vector search): query embeddings
+    arrive in vec_id-ranged micro-batches, each row is assigned its
+    IVF_PROBE nearest cells by the same per-row centroid expressions
+    the batch key uses (similarity.py:_ivf_cell_structs — stateless,
+    no Python), and the probe rows join the STATIC cell-assigned
+    corpus per micro-batch with the exact-cosine re-rank computed
+    in-stream. Zero streaming state: assignment is a per-row map and
+    the stream-static inner join is stateless, so append mode needs
+    no watermark and no state store (receipted from the finished
+    query in LAST_ANN_ROUTE_TRACE, plan-gated). The per-query top-k
+    runs batch-side over the scored memory-sink rows — exact because
+    each query lives in one micro-batch; the oracle is
+    similarity_ivf's own SQL (incremental ≡ batch, float-portable
+    via the suite's pround on the final cosine).
+
+    Scale shape: per micro-batch the cost is that batch's queries ×
+    probed-cell sizes — the production ANN serving bound. The corpus
+    side is assigned cells ONCE per run by a batch plan (at 100 TB
+    it would be the materialized cell-bucketed index; here it is the
+    same expression plan the batch key gates) and the per-batch join
+    is broadcast at fixture scale; nothing in the serving path
+    shuffles the corpus.
+    """
+    from kafka_parquet_writer_spark.functions import vector as V
+    from kafka_parquet_writer_spark.operators.similarity import (
+        IVF_CENTROIDS,
+        IVF_PROBE,
+        IVF_TOPK,
+        _ivf_cell_structs,
+    )
+    from pyspark.sql.window import Window
+
+    emb_path = table_path(sf_dir, "embeddings")
+    # static side: the cell-assigned corpus (batch plan, built once)
+    corpus = spark.read.parquet(emb_path).select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("cv"),
+        F.array_min(
+            _ivf_cell_structs(F.col("embedding"))
+        )["c"].alias("cell"),
+    )
+
+    stage = _embedding_queries_batched_dir(spark, sf_dir)
+    schema = spark.read.parquet(emb_path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    probes = (
+        src.select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qv"),
+            F.explode(
+                F.slice(
+                    F.array_sort(_ivf_cell_structs(F.col("embedding"))),
+                    1,
+                    IVF_PROBE,
+                )
+            ).alias("p"),
+        )
+        .select("q_id", "qv", F.col("p.c").alias("cell"))
+    )
+    scored = (
+        probes.join(F.broadcast(corpus), "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            pround(V.cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    table, info = _run_to_memory_traced(scored, "append")
+    LAST_ANN_ROUTE_TRACE.clear()
+    LAST_ANN_ROUTE_TRACE.update(info)
+
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        table.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= IVF_TOPK)
+        .select("q_id", "n_id", "cos")
+    )

@@ -406,3 +406,27 @@ def test_wand_bm25_safe_and_prunes_on_skewed_df(spark, tmp_path):
     assert wand == ex_topk and len(wand) > 0
     assert p["essential"].count() < p["qt"].count()
     assert p["cand"].count() < ex_sc.count()
+
+
+def test_stream_ann_route_incremental_equals_batch_zero_state(spark):
+    """ANN serving at request time: vec_id-ranged query micro-batches
+    assigned + probed against the static cell-assigned corpus must
+    reproduce similarity_ivf row-for-row, with zero streaming state
+    (stateless per-row assignment + stream-static join)."""
+    from kafka_parquet_writer_spark.operators.streaming_queries import (
+        LAST_ANN_ROUTE_TRACE,
+    )
+    from kafka_parquet_writer_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        tuple(r) for r in QUERIES["similarity_ivf"](spark, sf).collect()
+    }
+    stream = {
+        tuple(r) for r in QUERIES["stream_ann_route"](spark, sf).collect()
+    }
+    assert stream == batch and len(batch) > 0
+    assert LAST_ANN_ROUTE_TRACE["state_operators"] == []
+    plan = LAST_ANN_ROUTE_TRACE["plan"]
+    assert "BroadcastHashJoin" in plan
+    assert "StateStore" not in plan
