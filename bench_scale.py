@@ -2055,10 +2055,17 @@ def wand_prune_lane() -> None:
             .distinct()
             .count()
         )
+        # scorer comparison on the same workload: BM25's saturated
+        # impacts tighten every UB (capped at idf·(k1+1)), so its
+        # essential split should prune at least as hard as tf-idf's
+        spark.catalog.clearCache()
+        pb = RP._wand_plan(spark, dirs[k], scorer="bm25")
+        bm25_cand = pb["cand"].count()
         rec = {
             "k": k,
             "wall_sec": round(best[k], 3),
             "wand_candidates": int(wand_cand),
+            "wand_bm25_candidates": int(bm25_cand),
             "static_L_candidates": int(static_cand),
             "exhaustive_score_rows": int(exhaustive_rows),
             "shrink_vs_exhaustive": round(
