@@ -188,12 +188,9 @@ _FORCE_RECHECK = {  # key -> round whose green is void
     # stream_bpe_vocab_drift@11, join_anti@9 — expired by their
     # CORRECTNESS_r12 greens.)
     #
-    # r13: the support pre-filter's foreachBatch became idempotent
-    # (batch-id-named overwrite subdirs, typed empty-accumulator read
-    # — r12 ADVICE low) — helper-closure change on r12 evidence; the
-    # default exact path is untouched but the audit rightly demands
-    # re-proof on shipped code.
-    "stream_bpe_vocab_drift": 12,
+    # (r13's single entry — stream_bpe_vocab_drift@12, the idempotent
+    # foreachBatch rewrite — expired via its CORRECTNESS_r13 green and
+    # is pruned per the policy.)
 }
 
 
