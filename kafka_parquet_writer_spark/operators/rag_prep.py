@@ -546,8 +546,17 @@ def _topk_exhaustive_oracle() -> str:
     """
 
 
+#: one-deep registry of _wand_plan's cached qt/imp pair — see the
+#: docstring's cache-lifetime note (r13 ADVICE: unbounded per-call
+#: cache leak in long sessions)
+_WAND_CACHED: list[DataFrame] = []
+
+
 def _wand_plan(
-    spark: SparkSession, sf_dir: str, scorer: str = "tfidf"
+    spark: SparkSession,
+    sf_dir: str,
+    scorer: str = "tfidf",
+    qt: DataFrame | None = None,
 ) -> dict:
     """The MaxScore/WAND candidate pipeline as named stages, so the
     key composes them and the bench lane can count intermediates
@@ -563,7 +572,7 @@ def _wand_plan(
     the ``imp`` builder changes.
 
     Returns {"qt", "imp", "il", "tstats", "theta", "qt_single",
-    "qt_multi", "essential", "cand"}:
+    "qt_multi", "qs", "essential", "cand"}:
       qt        (query_id, term)           the query workload
       imp       (doc_id, token, impact)    exact matched postings
       il        (doc_id, token, impact)    top-L impact lists
@@ -585,21 +594,36 @@ def _wand_plan(
     (one essential term ⇒ candidates = the full posting list ⇒
     ~3× the exhaustive cost: measured 12.3 s vs 1.4 s for the static
     key at sf0.1, where EVERY fixture query is one-term).
+
+    Cache lifetime (r13 ADVICE): the two ``.cache()`` calls below are
+    registered in a module-level one-deep registry — each _wand_plan
+    call unpersists the PREVIOUS call's qt/imp pair before caching its
+    own, so a long session (oracle sweep, pytest) holds at most one
+    pair instead of leaking two cached DataFrames per invocation.
+    Unpersisting a DataFrame another plan still references is safe in
+    Spark (it recomputes), so the bound costs nothing in correctness.
+
+    ``qt`` overrides the query workload (query_id, term) — default is
+    the part-names workload every fixture query key uses; the derived
+    multi-matched-term workload (rag_topk_retrieval_wand_multi) passes
+    its own.
     """
     from pyspark.sql.window import Window
 
     K, SC, L = RAG_TOPK, RAG_IDF_SCALE, RAG_IMPACT_L
 
-    qt = (
-        load_table(spark, sf_dir, "part")
-        .select(
+    if qt is None:
+        qt = load_table(spark, sf_dir, "part").select(
             F.col("p_partkey").cast("long").alias("query_id"),
             F.explode(
                 F.array_distinct(TH.words_expr("p_name"))
             ).alias("term"),
         )
-        .cache()
-    )
+    for prev in _WAND_CACHED:
+        prev.unpersist()
+    _WAND_CACHED.clear()
+    qt = qt.cache()
+    _WAND_CACHED.append(qt)
     terms = qt.select("term").distinct()
     docs = load_table(spark, sf_dir, "documents")
     if scorer == "tfidf":
@@ -665,6 +689,7 @@ def _wand_plan(
         .select("doc_id", "token", "impact")
         .cache()
     )
+    _WAND_CACHED.append(imp)
 
     # per-term upper bound: the max impact over the term's full list
     # (vocabulary-sized — broadcastable; MaxScore's term statistic)
@@ -752,6 +777,10 @@ def _wand_plan(
         "theta": theta,
         "qt_single": qt_single,
         "qt_multi": qt_multi_ub.select("query_id", "term"),
+        # per-(query, matched term) rows with ub and θ_q — the raw
+        # material the block-max refinement (rag_topk_retrieval_bmw)
+        # builds its per-term "rest" upper bounds from
+        "qs": qs,
         "essential": essential,
         "cand": cand,
     }

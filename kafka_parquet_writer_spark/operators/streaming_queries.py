@@ -1763,14 +1763,27 @@ def _fold_support_batch(
 def _read_support_accumulator(spark: SparkSession, acc: str) -> DataFrame:
     """Union of the batch-id dirs under ``acc`` with the accumulator's
     explicit schema; empty (every batch filtered everything, or the
-    stream saw zero batches) → typed empty DataFrame."""
-    import os
+    stream saw zero batches) → typed empty DataFrame.
 
-    batch_dirs = [
-        os.path.join(acc, d)
-        for d in sorted(os.listdir(acc))
-        if d.startswith("batch-")
-    ]
+    Listing goes through the Hadoop FileSystem API (the same layer the
+    executors wrote through), NOT driver-local ``os.listdir`` — on a
+    real cluster the accumulator lives on a shared/remote FS (HDFS,
+    object store) where a local listdir would miss or fail; resolving
+    the path against its own FileSystem keeps the read
+    deployment-agnostic (r13 ADVICE)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(acc)
+    fs = root.getFileSystem(hconf)
+    batch_dirs = (
+        sorted(
+            st.getPath().toString()
+            for st in fs.listStatus(root)
+            if st.getPath().getName().startswith("batch-")
+        )
+        if fs.exists(root)
+        else []
+    )
     if not batch_dirs:
         return spark.createDataFrame([], _SUPPORT_STATE_SCHEMA)
     return spark.read.schema(_SUPPORT_STATE_SCHEMA).parquet(*batch_dirs)

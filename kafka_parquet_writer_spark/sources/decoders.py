@@ -19,6 +19,23 @@ Malformed-record policy: the reference CRASHES the worker on a parse
 error with an acknowledged TODO for a dead-letter queue (:272-277).
 Here malformed records decode to null fields and can be routed with a
 ``decoded IS NULL`` filter — the DLQ the reference never built.
+
+Tier-1/tier-2 divergence on wire-type-vs-schema mismatches (r13
+ADVICE, documented as the contract rather than papered over): tier-2
+DLQs the WHOLE ROW (all declared fields null) when ANY occurrence's
+wire type contradicts the declared schema — a LEN payload on a numeric
+field, a fixed32/fixed64 occurrence on a varint-family field, a
+varint where LEN is declared. protobuf-java (tier-1 ``from_protobuf``)
+instead treats a wire-type-mismatched occurrence as an UNKNOWN FIELD:
+it is skipped and the siblings still decode. The tier-2 choice is
+deliberate: a type confusion on one field is evidence the bytes are
+not the declared message at all (another schema, corruption, a
+producer bug), and silently shipping the sibling fields would launder
+half-decoded garbage past the ``decoded IS NULL`` DLQ filter. Inputs
+whose occurrences all match the declared wire types decode
+identically on both tiers (spec-vector + fuzz pinned); inputs that
+differ are exactly the rows tier-2 routes to the DLQ and tier-1
+partially decodes.
 """
 
 from __future__ import annotations
