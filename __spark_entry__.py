@@ -191,6 +191,17 @@ _FORCE_RECHECK = {  # key -> round whose green is void
     # (r13's single entry — stream_bpe_vocab_drift@12, the idempotent
     # foreachBatch rewrite — expired via its CORRECTNESS_r13 green and
     # is pruned per the policy.)
+    #
+    # r14: three keys whose helper closures changed after their r13
+    # greens and which the 50-key window (4 new keys + the 24-key r9
+    # cohort + next-stalest) cannot reach naturally:
+    # _wand_plan grew the one-deep cache registry + injectable qt
+    # (r13 ADVICE cache leak), re-proving both r13 WAND keys;
+    # _read_support_accumulator moved from os.listdir to the Hadoop
+    # FileSystem API (r13 ADVICE), re-proving the drift key.
+    "rag_topk_retrieval_wand": 13,
+    "rag_topk_retrieval_wand_bm25": 13,
+    "stream_bpe_vocab_drift": 13,
 }
 
 

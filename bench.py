@@ -140,6 +140,11 @@ HEADLINE = [
     "rag_topk_retrieval_wand",
     "rag_topk_retrieval_bm25",
     "rag_topk_retrieval_wand_bm25",
+    # round 14
+    "rag_topk_retrieval_wand_multi",
+    "rag_topk_retrieval_bmw",
+    "rag_index_build",
+    "rag_topk_from_index",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming

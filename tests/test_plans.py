@@ -668,3 +668,74 @@ def test_rag_topk_retrieval_wand_bm25_single_scan(spark, sf_dir):
     assert plan.count("documents.parquet") == 1
     assert plan.count("part.parquet") == 1
     spark.catalog.clearCache()
+
+
+def test_rag_topk_from_index_never_scans_corpus(spark, sf_dir):
+    """THE materialized-index gate (r13 VERDICT item 2): the serving
+    plan must read ONLY the persisted impact-L table plus the query
+    workload — the raw corpus appears nowhere at query time. Build
+    cost is paid inside _ensure_impact_index before this plan exists;
+    query-time cost is queries × terms × L, corpus-independent."""
+    spark.catalog.clearCache()
+    df = E.queries()["rag_topk_from_index"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("documents.parquet") == 0
+    assert "kpws_rag_idx.impact_l_" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # per-query top-k compiles to WindowGroupLimit, never a global sort
+    assert "WindowGroupLimit" in plan
+    assert count_exchanges(df) <= 2
+
+
+def test_rag_index_build_single_scan_topl_partial(spark, sf_dir):
+    """The build side pays the corpus exactly once: single documents
+    scan, df via window over the tf rows (no second aggregate branch),
+    WindowGroupLimit keeping the top-L truncation partial ahead of the
+    token exchange, no join anywhere."""
+    df = E.queries()["rag_index_build"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("documents.parquet") == 1
+    assert "Join" not in plan
+    assert "WindowGroupLimit" in plan
+    assert count_exchanges(df) <= 2
+
+
+def test_rag_wand_multi_two_scans_no_smj(spark, sf_dir):
+    """The derived-workload WAND key pays _wand_plan's IR shape plus
+    the workload generator: exactly two documents scans (the sampled
+    derivation scan — doc_id % predicate pushed down — and the
+    match-filtered postings scan), part untouched, every join
+    broadcast, never sort-merge, θ seed's WindowGroupLimit intact."""
+    spark.catalog.clearCache()
+    df = E.queries()["rag_topk_retrieval_wand_multi"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert plan.count("documents.parquet") == 2
+    assert plan.count("part.parquet") == 0
+    # the sampling predicate reaches the derivation scan
+    assert has_pushed_filters(df, "doc_id")
+    spark.catalog.clearCache()
+
+
+def test_rag_bmw_same_shape_no_extra_block_exchange(spark, sf_dir):
+    """Block-max WAND must not pay an extra exchange for the block
+    table: pos/blk/blockmax ride the SAME token partitioning as the
+    impact lists (HashPartitioning(token) satisfies the (token, blk)
+    clustering), so the plan's exchange count stays within one of the
+    plain multi-term WAND key's."""
+    spark.catalog.clearCache()
+    df_ms = E.queries()["rag_topk_retrieval_wand_multi"](spark, sf_dir)
+    n_ms = count_exchanges(df_ms)
+    spark.catalog.clearCache()
+    df = E.queries()["rag_topk_retrieval_bmw"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("documents.parquet") == 2
+    assert count_exchanges(df) <= n_ms + 1
+    spark.catalog.clearCache()
