@@ -173,6 +173,8 @@ STREAMING_HEADLINE = [
     # round 13
     "stream_query_router",
     "stream_ann_route",
+    # round 14
+    "stream_ann_route_pq",
 ]
 
 

@@ -2077,6 +2077,87 @@ def wand_prune_lane() -> None:
         spark.catalog.clearCache()
         shutil.rmtree(dirs[k], ignore_errors=True)
     out["wall_affine"] = fit_affine(best)
+
+    # ---- block-max sub-receipt (r13 VERDICT item 4) -----------------
+    # BMW needs impacts that DECAY along a list to beat MaxScore (the
+    # main corpus's rare tf is flat 3 — blockmax is constant there, so
+    # block bounds add nothing, correctly). Variant corpus: rare tf =
+    # 1 + (id div r_vocab) % 5, queries = (zz, rare_i) pairs. Worked
+    # bound: θ ≈ 5·idf(rare) (the tf-5 docs own the truncated top-k),
+    # UB(zz) is an n-df floor ⇒ a rare posting is admitted only where
+    # blockmax ≥ θ − UB(zz) ≈ 5·idf — true for the head block only,
+    # so BMW keeps ~block_b of each ~75-posting essential list where
+    # MaxScore keeps all of it. Exactness is asserted in-lane (BMW
+    # top-k ≡ MaxScore top-k row-for-row).
+    def decaying_dir(k: int) -> str:
+        n, r_vocab, n_q = 20_000 * k, 200 * k, 500
+        out_d = tempfile.mkdtemp(prefix=f"kpws_bmw_x{k}_")
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("zz"),
+                F.when(
+                    F.col("id") < int(0.75 * n),
+                    F.repeat(
+                        F.concat(
+                            F.lit(" rare"),
+                            (F.col("id") % r_vocab).cast("string"),
+                        ),
+                        (
+                            F.lit(1)
+                            + (F.col("id") / r_vocab).cast("long") % 5
+                        ).cast("int"),
+                    ),
+                ).otherwise(F.lit(" tail")),
+                F.lit(" filler"),
+                (F.col("id") % 7).cast("string"),
+            ).alias("text"),
+        )
+        docs.write.mode("overwrite").parquet(
+            os.path.join(out_d, "documents.parquet")
+        )
+        qs = spark.range(1, n_q + 1).select(
+            F.col("id").alias("p_partkey"),
+            F.concat(
+                F.lit("zz rare"), (F.col("id") % r_vocab).cast("string")
+            ).alias("p_name"),
+        )
+        qs.write.mode("overwrite").parquet(
+            os.path.join(out_d, "part.parquet")
+        )
+        return out_d
+
+    bmw_block = 16
+    bout: dict = {"points": [], "block_b": bmw_block, "queries": 500}
+    for k in ks:
+        d = decaying_dir(k)
+        spark.catalog.clearCache()
+        p = RP._wand_plan(spark, d)
+        ms_cand = p["cand"].count()
+        bmw = RP._bmw_cand(p, block_b=bmw_block)
+        bmw_cand = bmw.count()
+        exact = RP._wand_topk(p)
+        pruned = RP._wand_topk({**p, "cand": bmw})
+        matches = (
+            exact.exceptAll(pruned).count() == 0
+            and pruned.exceptAll(exact).count() == 0
+        )
+        t0 = time.time()
+        RP._wand_topk({**p, "cand": RP._bmw_cand(p, block_b=bmw_block)}).count()
+        wall = time.time() - t0
+        rec = {
+            "k": k,
+            "maxscore_candidates": int(ms_cand),
+            "bmw_candidates": int(bmw_cand),
+            "shrink_vs_maxscore": round(bmw_cand / max(1, ms_cand), 4),
+            "bmw_matches_exact": bool(matches),
+            "bmw_wall_sec": round(wall, 3),
+        }
+        bout["points"].append(rec)
+        print(json.dumps(rec), file=sys.stderr)
+        spark.catalog.clearCache()
+        shutil.rmtree(d, ignore_errors=True)
+
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json"
     )
@@ -2086,6 +2167,7 @@ def wand_prune_lane() -> None:
     except (OSError, ValueError):
         blob = {}
     blob["wand_prune_receipt"] = out
+    blob["bmw_prune_receipt"] = bout
     with open(path, "w") as f:
         f.write(json.dumps(blob) + "\n")
     print(json.dumps({"wand_prune_receipt": out}))

@@ -2517,3 +2517,167 @@ def stream_ann_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= IVF_TOPK)
         .select("q_id", "n_id", "cos")
     )
+
+
+def _stream_ann_pq_oracle() -> str:
+    from kafka_parquet_writer_spark.operators.similarity import (
+        _ivfpq_oracle,
+    )
+
+    return _ivfpq_oracle()
+
+
+#: the last stream_ann_route_pq run's plan receipts (LAST_ANN_ROUTE_TRACE
+#: shape; tests read this after invoking the key)
+LAST_ANN_PQ_TRACE: dict = {}
+
+
+@query("stream_ann_route_pq", oracle=_stream_ann_pq_oracle())
+def stream_ann_route_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-COMPRESSED ANN serving at request time — the compressed half
+    of the serving trio's vector leg (r13 VERDICT item 8):
+    similarity_ivf_pq's full machinery (IVF cells + 4×4-bit product
+    quantization + asymmetric-distance shortlist + exact re-rank)
+    with the query side arriving as vec_id-ranged micro-batches. The
+    static side the stream joins is the PQ-COMPRESSED corpus — per
+    vector only (cell, c0..c3): 2 bytes of code at production widths
+    instead of the raw embedding, which is the memory-residency
+    argument that lets the broadcast side hold 100× more vectors than
+    stream_ann_route's raw-vector corpus. Per micro-batch each query
+    row builds its per-subspace ADC lookup tables as pure JVM
+    expressions (the batch key's own transform/element_at trees —
+    stateless, no Python), probes its {IVFPQ_PROBE} nearest cells,
+    and scores candidates by LUT indexing alone — no candidate
+    embedding is touched in-stream. Zero streaming state (stateless
+    broadcast join + per-row expressions; receipted from the finished
+    query in LAST_ANN_PQ_TRACE, plan-gated). Batch-side, exactly as
+    the batch key: ADC shortlist of {IVFPQ_RERANK} per query, exact
+    cosine re-rank of only that shortlist against the raw vector
+    store, top-{IVFPQ_TOPK} — exact per query because each query
+    lives in one micro-batch. The oracle is similarity_ivf_pq's own
+    SQL (incremental ≡ batch), so assignment, coding, ADC, and
+    re-rank are all value-hash-verified through the stream.
+
+    Scale shape: per-batch cost = that batch's queries × probed-cell
+    sizes over 2-byte codes; the raw store is touched only by the
+    (queries × {IVFPQ_RERANK})-row broadcast re-rank join. The corpus
+    is cell-assigned + coded ONCE per run by a batch plan (at 100 TB:
+    the materialized cell-bucketed PQ index — rag_topk_from_index's
+    pattern on the vector side)."""
+    from pyspark.sql.window import Window
+
+    from kafka_parquet_writer_spark.functions import vector as V
+    from kafka_parquet_writer_spark.operators.similarity import (
+        EMBED_DIM,
+        IVF_CENTROIDS,
+        IVFPQ_N_QUERIES,
+        IVFPQ_PROBE,
+        IVFPQ_RERANK,
+        IVFPQ_TOPK,
+        PQ_CODEBOOKS,
+        _ivf_cell_structs,
+    )
+
+    subdim = EMBED_DIM // len(PQ_CODEBOOKS)
+    norms_lit = [
+        V.lit_vector([sum(x * x for x in c) for c in book])
+        for book in PQ_CODEBOOKS
+    ]
+
+    emb_path = table_path(sf_dir, "embeddings")
+    v = F.col("embedding")
+    cl = _ivf_cell_structs(v)
+
+    # static side: the PQ-compressed corpus — (cell, per-book codes)
+    def _code_structs(sub, norms):
+        def fn(c, j):
+            return F.struct(
+                (
+                    F.element_at(norms, j + 1) - 2.0 * V.dot_expr(sub, c)
+                ).alias("s"),
+                j.alias("c"),
+            )
+
+        return fn
+
+    code_cols = []
+    for m, book in enumerate(PQ_CODEBOOKS):
+        sub = F.slice(v, m * subdim + 1, subdim)
+        structs = F.transform(
+            V.lit_matrix(book), _code_structs(sub, norms_lit[m])
+        )
+        code_cols.append(F.array_min(structs)["c"].alias(f"c{m}"))
+    corpus = spark.read.parquet(emb_path).select(
+        F.col("vec_id").alias("n_id"),
+        F.array_min(cl)["c"].alias("cell"),
+        *code_cols,
+    )
+
+    # stream side: vec_id-ranged query micro-batches (the staged dir
+    # covers vec_id < IVF_N_QUERIES == IVFPQ_N_QUERIES)
+    stage = _embedding_queries_batched_dir(spark, sf_dir)
+    schema = spark.read.parquet(emb_path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    probes = (
+        src.filter(F.col("vec_id") < IVFPQ_N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            v.alias("qv"),
+            F.explode(
+                F.slice(F.array_sort(_ivf_cell_structs(v)), 1, IVFPQ_PROBE)
+            ).alias("p"),
+        )
+        .select("q_id", "qv", F.col("p.c").alias("cell"))
+    )
+    # per-row ADC: query-side LUT per subspace, indexed by the
+    # candidate's code — identical expression trees to ivf_pq_topk
+    def _lut_entry(qsub, norms):
+        def fn(c, j):
+            return F.element_at(norms, j + 1) - 2.0 * V.dot_expr(qsub, c)
+
+        return fn
+
+    terms = None
+    for m, book in enumerate(PQ_CODEBOOKS):
+        qsub = F.slice(F.col("qv"), m * subdim + 1, subdim)
+        lut = F.transform(V.lit_matrix(book), _lut_entry(qsub, norms_lit[m]))
+        term = F.element_at(lut, F.col(f"c{m}") + 1) + V.sq_norm_expr(qsub)
+        terms = term if terms is None else terms + term
+    scored = (
+        probes.join(F.broadcast(corpus), "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "qv", "n_id", pround(terms, 6).alias("adc6"))
+    )
+    table, info = _run_to_memory_traced(scored, "append")
+    LAST_ANN_PQ_TRACE.clear()
+    LAST_ANN_PQ_TRACE.update(info)
+
+    # batch side over the sunk ADC rows: shortlist → exact re-rank
+    ws = Window.partitionBy("q_id").orderBy(F.col("adc6"), F.col("n_id"))
+    short = (
+        table.withColumn("srnk", F.row_number().over(ws))
+        .filter(F.col("srnk") <= IVFPQ_RERANK)
+        .drop("srnk")
+    )
+    store = spark.read.parquet(emb_path).select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("cv")
+    )
+    rer = (
+        F.broadcast(short)
+        .join(store, "n_id")
+        .select(
+            "q_id",
+            "n_id",
+            pround(V.cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        rer.withColumn("rnk", F.row_number().over(wk).cast("int"))
+        .filter(F.col("rnk") <= IVFPQ_TOPK)
+        .select("q_id", "n_id", "cos", "rnk")
+    )

@@ -13,9 +13,17 @@ common-key total by it yields the drift-adjusted trend.
 
 Usage:
     python tools/drift_ratio.py OLD_BENCH_DETAIL.json [NEW_..json]
+    python tools/drift_ratio.py --anchor [NEW_..json]
 
 NEW defaults to the repo-root BENCH_DETAIL.json. Git refs work too:
     python tools/drift_ratio.py 9a923f8:BENCH_DETAIL.json
+
+``--anchor`` uses the committed CANARY.json (tools/canary_bench.py's
+idle-gated min-of-5 canary receipt) as OLD — an ABSOLUTE anchor, so
+cross-round comparisons divide by a fixed denominator instead of
+chaining through the previous round's possibly-dirty detail (r13
+VERDICT item 5). The output then carries the anchor's commit so the
+round log can cite it.
 """
 
 from __future__ import annotations
@@ -57,7 +65,10 @@ def load(spec: str) -> dict:
 def main() -> None:
     if not sys.argv[1:]:
         raise SystemExit(__doc__)
-    old = load(sys.argv[1])
+    if sys.argv[1] == "--anchor":
+        old = load(os.path.join(REPO, "CANARY.json"))
+    else:
+        old = load(sys.argv[1])
     new = load(
         sys.argv[2]
         if len(sys.argv) > 2
@@ -87,6 +98,11 @@ def main() -> None:
                     "old": old.get("loadavg_start"),
                     "new": new.get("loadavg_start"),
                 },
+                **(
+                    {"anchor_commit": old["anchor_commit"]}
+                    if "anchor_commit" in old
+                    else {}
+                ),
             }
         )
     )
