@@ -145,6 +145,7 @@ HEADLINE = [
     "rag_topk_retrieval_bmw",
     "rag_index_build",
     "rag_topk_from_index",
+    "rag_manifest_delta",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming

@@ -1474,6 +1474,18 @@ def rag_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INDEX_DB = "kpws_rag_idx"
 
 
+def _ensure_index_db(spark: SparkSession) -> None:
+    """Create the index database with an explicit per-pid /tmp
+    location — keeps materialized tables out of the repo tree and
+    hermetic across concurrent test/driver processes, whatever
+    warehouse the running session defaults to."""
+    import os
+    import tempfile
+
+    loc = os.path.join(tempfile.gettempdir(), f"kpws_rag_idx_{os.getpid()}")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {_INDEX_DB} LOCATION '{loc}'")
+
+
 def _ensure_impact_index(spark: SparkSession, sf_dir: str) -> str:
     """Build-once accessor: write the impact-L index as a bucketed
     table (bucketBy token, sortBy (token, pos) — sources/bucketed.py)
@@ -1485,8 +1497,6 @@ def _ensure_impact_index(spark: SparkSession, sf_dir: str) -> str:
     matches the shard-manifest story — one bucket per logical shard
     here; production sizes it with suggest_bucket_count."""
     import hashlib
-    import os
-    import tempfile
 
     from kafka_parquet_writer_spark.sources.bucketed import write_bucketed
 
@@ -1494,12 +1504,7 @@ def _ensure_impact_index(spark: SparkSession, sf_dir: str) -> str:
     tbl = f"{_INDEX_DB}.impact_l_{tag}"
     if spark.catalog.tableExists(tbl):
         return tbl
-    loc = os.path.join(
-        tempfile.gettempdir(), f"kpws_rag_idx_{os.getpid()}"
-    )
-    spark.sql(
-        f"CREATE DATABASE IF NOT EXISTS {_INDEX_DB} LOCATION '{loc}'"
-    )
+    _ensure_index_db(spark)
     write_bucketed(
         _impact_index_frame(spark, sf_dir),
         tbl,
@@ -1553,4 +1558,117 @@ def rag_topk_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return rk.filter(F.col("rnk") <= K).select(
         "query_id", "doc_id", "score", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+#: incremental manifest maintenance: documents with doc_id % MOD ==
+#: RESIDUE play the CDC delta (newly-arrived docs); the rest are the
+#: already-indexed base whose term-level state is materialized
+RAG_CDC_MOD = 5
+RAG_CDC_RESIDUE = 0
+
+
+def _term_state_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-level document-frequency state over the BASE corpus (the
+    docs that were already indexed when the delta arrives): (token,
+    df). This — not the shard manifest — is the right IVM state for
+    manifest maintenance: df is additive over disjoint doc sets, so a
+    delta merges with one token-keyed sum, whereas shard-level
+    aggregates (max_df, token bounds) are not decomposable without
+    the term level underneath."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % RAG_CDC_MOD != RAG_CDC_RESIDUE)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(TH.words_expr("text"))).alias(
+                "token"
+            ),
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+
+
+def _ensure_manifest_state(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once accessor for the materialized term-df state, bucketed
+    by token like the impact index (same database, same bucket count
+    — the token-keyed merge with a delta then co-locates against the
+    state without shuffling it)."""
+    import hashlib
+
+    from kafka_parquet_writer_spark.sources.bucketed import write_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    tbl = f"{_INDEX_DB}.manifest_state_{tag}"
+    if spark.catalog.tableExists(tbl):
+        return tbl
+    _ensure_index_db(spark)
+    write_bucketed(
+        _term_state_frame(spark, sf_dir),
+        tbl,
+        bucket_cols="token",
+        n_buckets=RAG_INDEX_SHARDS,
+        sort_cols=["token"],
+    )
+    return tbl
+
+
+@query("rag_manifest_delta", oracle=_shard_manifest_oracle())
+def rag_manifest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL shard-manifest maintenance (SURVEY §7's round-14
+    breadth candidate: manifest delta from a documents CDC feed) —
+    the IVM pattern applied to the retrieval index's metadata: the
+    base corpus's term-df state is materialized once
+    (_ensure_manifest_state, token-bucketed), a CDC delta of
+    newly-arrived documents (doc_id % {RAG_CDC_MOD} ==
+    {RAG_CDC_RESIDUE}, ~20% of the corpus) is aggregated to
+    (token, df_delta), and the two merge with ONE token-keyed
+    full-outer join + coalesced sum before the usual
+    {RAG_INDEX_SHARDS}-row shard rollup. df is additive over disjoint
+    doc sets, so incremental ≡ batch EXACTLY — which is what the
+    oracle checks: it is rag_shard_manifest's own full-corpus SQL,
+    so one green row proves the merged state reproduces the
+    from-scratch manifest bit-for-bit (term counts, postings volume,
+    df ceilings, lexicographic bounds).
+
+    Scale shape — the reason a 100 TB index is maintained and not
+    rebuilt: the returned plan scans ONLY the delta (one documents
+    scan with the doc_id % predicate pushed down, plan-gated) plus
+    the vocabulary-sized state table; the base corpus is never
+    re-read. The merge is token-keyed against a state table bucketed
+    on token, so the state side co-locates shuffle-free and only the
+    delta aggregate crosses the wire; the shard rollup is
+    {RAG_INDEX_SHARDS} rows. Per CDC batch the cost is
+    delta-tokens + vocabulary — independent of corpus size."""
+    tbl = _ensure_manifest_state(spark, sf_dir)
+    base = spark.table(tbl).select("token", F.col("df").alias("df_base"))
+    delta = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % RAG_CDC_MOD == RAG_CDC_RESIDUE)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(TH.words_expr("text"))).alias(
+                "token"
+            ),
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_delta"))
+    )
+    merged = base.join(delta, "token", "full_outer").select(
+        "token",
+        (
+            F.coalesce(F.col("df_base"), F.lit(0))
+            + F.coalesce(F.col("df_delta"), F.lit(0))
+        ).alias("df"),
+    )
+    sh = merged.withColumn(
+        "shard_id", TH.portable_tid(F.col("token")) % RAG_INDEX_SHARDS
+    )
+    return sh.groupBy(F.col("shard_id").cast("long").alias("shard_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("df").cast("long").alias("n_postings"),
+        F.max("df").cast("long").alias("max_df"),
+        F.min("token").alias("min_token"),
+        F.max("token").alias("max_token"),
     )

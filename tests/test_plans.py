@@ -739,3 +739,21 @@ def test_rag_bmw_same_shape_no_extra_block_exchange(spark, sf_dir):
     assert plan.count("documents.parquet") == 2
     assert count_exchanges(df) <= n_ms + 1
     spark.catalog.clearCache()
+
+
+def test_rag_manifest_delta_scans_delta_only(spark, sf_dir):
+    """Incremental manifest maintenance must never re-read the base
+    corpus: exactly ONE documents scan (the CDC delta, doc_id %
+    predicate evaluated at the scan) plus the materialized
+    vocabulary-sized term-df state. The full-outer merge is the one
+    join Spark cannot broadcast (full outer), and the token-bucketed
+    state is what keeps its state side exchange-free — total
+    exchanges stay <= 3 (delta aggregate, delta's merge re-shuffle,
+    shard rollup)."""
+    spark.catalog.clearCache()
+    df = E.queries()["rag_manifest_delta"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("documents.parquet") == 1
+    assert "kpws_rag_idx.manifest_state_" in plan
+    assert "CartesianProduct" not in plan
+    assert count_exchanges(df) <= 3

@@ -194,3 +194,32 @@ def test_stream_ann_route_pq_incremental_equals_batch_zero_state(spark):
     plan = LAST_ANN_PQ_TRACE["plan"]
     assert "BroadcastHashJoin" in plan
     assert "StateStore" not in plan
+
+
+# ------------------------------------------ incremental manifest (CDC)
+
+
+def test_manifest_state_builds_once_and_is_bucketed(spark):
+    from kafka_parquet_writer_spark.operators.rag_prep import (
+        RAG_INDEX_SHARDS,
+        _ensure_manifest_state,
+    )
+    from kafka_parquet_writer_spark.sources.bucketed import bucket_spec
+
+    t1 = _ensure_manifest_state(spark, SF)
+    assert spark.catalog.tableExists(t1)
+    assert _ensure_manifest_state(spark, SF) == t1
+    assert bucket_spec(spark, t1) == (["token"], RAG_INDEX_SHARDS)
+
+
+def test_manifest_delta_equals_batch_manifest(spark):
+    """Incremental (state + delta merge) must reproduce the batch
+    manifest row-for-row — the oracle proves this against DuckDB;
+    this pins it engine-internally against rag_shard_manifest."""
+    import __spark_entry__ as E
+
+    inc = E.queries()["rag_manifest_delta"](spark, SF)
+    batch = E.queries()["rag_shard_manifest"](spark, SF)
+    assert inc.exceptAll(batch).count() == 0
+    assert batch.exceptAll(inc).count() == 0
+    assert batch.count() > 0
