@@ -2527,68 +2527,39 @@ def _stream_ann_pq_oracle() -> str:
     return _ivfpq_oracle()
 
 
-#: the last stream_ann_route_pq run's plan receipts (LAST_ANN_ROUTE_TRACE
-#: shape; tests read this after invoking the key)
-LAST_ANN_PQ_TRACE: dict = {}
+#: one materialized PQ-coded corpus per (sf_dir) and session — the
+#: "cell-bucketed PQ index" of the serving story, built ONCE so the
+#: per-micro-batch streaming plan joins a plain 6-column parquet scan
+#: instead of re-optimizing the codebook literal trees every batch
+#: (first cut computed cell+codes inline on the static side and ADC
+#: in-stream: 4 micro-batches x ~2.5 s of Catalyst analysis/codegen
+#: over the 4x16 codebook literals = 14.7 s at sf0.1, 3x the raw
+#: route — measured by the r14 bench bracket; data itself is trivial)
+_ann_pq_index_cache: dict = {}
 
 
-@query("stream_ann_route_pq", oracle=_stream_ann_pq_oracle())
-def stream_ann_route_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-COMPRESSED ANN serving at request time — the compressed half
-    of the serving trio's vector leg (r13 VERDICT item 8):
-    similarity_ivf_pq's full machinery (IVF cells + 4×4-bit product
-    quantization + asymmetric-distance shortlist + exact re-rank)
-    with the query side arriving as vec_id-ranged micro-batches. The
-    static side the stream joins is the PQ-COMPRESSED corpus — per
-    vector only (cell, c0..c3): 2 bytes of code at production widths
-    instead of the raw embedding, which is the memory-residency
-    argument that lets the broadcast side hold 100× more vectors than
-    stream_ann_route's raw-vector corpus. Per micro-batch each query
-    row builds its per-subspace ADC lookup tables as pure JVM
-    expressions (the batch key's own transform/element_at trees —
-    stateless, no Python), probes its {IVFPQ_PROBE} nearest cells,
-    and scores candidates by LUT indexing alone — no candidate
-    embedding is touched in-stream. Zero streaming state (stateless
-    broadcast join + per-row expressions; receipted from the finished
-    query in LAST_ANN_PQ_TRACE, plan-gated). Batch-side, exactly as
-    the batch key: ADC shortlist of {IVFPQ_RERANK} per query, exact
-    cosine re-rank of only that shortlist against the raw vector
-    store, top-{IVFPQ_TOPK} — exact per query because each query
-    lives in one micro-batch. The oracle is similarity_ivf_pq's own
-    SQL (incremental ≡ batch), so assignment, coding, ADC, and
-    re-rank are all value-hash-verified through the stream.
-
-    Scale shape: per-batch cost = that batch's queries × probed-cell
-    sizes over 2-byte codes; the raw store is touched only by the
-    (queries × {IVFPQ_RERANK})-row broadcast re-rank join. The corpus
-    is cell-assigned + coded ONCE per run by a batch plan (at 100 TB:
-    the materialized cell-bucketed PQ index — rag_topk_from_index's
-    pattern on the vector side)."""
-    from pyspark.sql.window import Window
-
+def _pq_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once accessor for the PQ-compressed corpus: (n_id, cell,
+    c0..c3) written to a temp parquet dir. This is similarity_ivf_pq's
+    own corpus stage — one batch plan, paid once per session, exactly
+    like a production index build."""
     from kafka_parquet_writer_spark.functions import vector as V
     from kafka_parquet_writer_spark.operators.similarity import (
         EMBED_DIM,
-        IVF_CENTROIDS,
-        IVFPQ_N_QUERIES,
-        IVFPQ_PROBE,
-        IVFPQ_RERANK,
-        IVFPQ_TOPK,
         PQ_CODEBOOKS,
         _ivf_cell_structs,
     )
 
+    key = f"{sf_dir}|pqidx"
+    if key in _ann_pq_index_cache:
+        return _ann_pq_index_cache[key]
     subdim = EMBED_DIM // len(PQ_CODEBOOKS)
     norms_lit = [
         V.lit_vector([sum(x * x for x in c) for c in book])
         for book in PQ_CODEBOOKS
     ]
-
-    emb_path = table_path(sf_dir, "embeddings")
     v = F.col("embedding")
-    cl = _ivf_cell_structs(v)
 
-    # static side: the PQ-compressed corpus — (cell, per-book codes)
     def _code_structs(sub, norms):
         def fn(c, j):
             return F.struct(
@@ -2607,11 +2578,77 @@ def stream_ann_route_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             V.lit_matrix(book), _code_structs(sub, norms_lit[m])
         )
         code_cols.append(F.array_min(structs)["c"].alias(f"c{m}"))
-    corpus = spark.read.parquet(emb_path).select(
-        F.col("vec_id").alias("n_id"),
-        F.array_min(cl)["c"].alias("cell"),
-        *code_cols,
+    out = tempfile.mkdtemp(prefix="kpws_pq_index_")
+    (
+        spark.read.parquet(table_path(sf_dir, "embeddings"))
+        .select(
+            F.col("vec_id").alias("n_id"),
+            F.array_min(_ivf_cell_structs(v))["c"].alias("cell"),
+            *code_cols,
+        )
+        .write.mode("overwrite")
+        .parquet(out)
     )
+    _ann_pq_index_cache[key] = out
+    return out
+
+
+#: the last stream_ann_route_pq run's plan receipts (LAST_ANN_ROUTE_TRACE
+#: shape; tests read this after invoking the key)
+LAST_ANN_PQ_TRACE: dict = {}
+
+
+@query("stream_ann_route_pq", oracle=_stream_ann_pq_oracle())
+def stream_ann_route_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-COMPRESSED ANN serving at request time — the compressed half
+    of the serving trio's vector leg (r13 VERDICT item 8):
+    similarity_ivf_pq's full machinery (IVF cells + 4x4-bit product
+    quantization + asymmetric-distance shortlist + exact re-rank)
+    with the query side arriving as vec_id-ranged micro-batches. The
+    static side is the MATERIALIZED PQ index (_pq_index_dir): per
+    vector only (cell, c0..c3) — 2 bytes of code at production widths
+    instead of the raw embedding, the memory-residency argument that
+    lets the broadcast side hold ~100x more vectors than
+    stream_ann_route's raw-vector corpus — built once per session by
+    a batch plan and joined per micro-batch as a plain 6-column
+    parquet scan. The IN-STREAM stage is deliberately minimal: assign
+    each query its probe cells (per-row centroid expressions, the raw
+    route's own) and equi-join the index on cell — zero streaming
+    state (receipted from the finished query in LAST_ANN_PQ_TRACE,
+    plan-gated), and NO codebook literals in the streaming plan
+    (Structured Streaming re-plans per micro-batch; the first cut
+    carried the 4x16-codeword trees in-stream and paid ~2.5 s of
+    Catalyst analysis per batch — 14.7 s vs the raw route's 4.4 at
+    sf0.1, data-independent). The sunk rows carry (qv, candidate
+    codes); ADC — the per-subspace lookup tables indexed by the
+    candidate's code, the batch key's own expression trees — runs
+    batch-side over them ONCE, followed by the shortlist of
+    {IVFPQ_RERANK} and the exact-cosine re-rank of only that
+    shortlist, exact per query because each query lives in one
+    micro-batch. The oracle is similarity_ivf_pq's own SQL
+    (incremental = batch), so assignment, coding, ADC, and re-rank
+    are all value-hash-verified through the stream.
+
+    Scale shape: per-batch cost = that batch's queries x probed-cell
+    sizes over 2-byte codes; the raw store is touched only by the
+    (queries x {IVFPQ_RERANK})-row broadcast re-rank join; the
+    corpus-sized coding work happened once, at index-build time —
+    rag_topk_from_index's pattern on the vector side."""
+    from pyspark.sql.window import Window
+
+    from kafka_parquet_writer_spark.functions import vector as V
+    from kafka_parquet_writer_spark.operators.similarity import (
+        EMBED_DIM,
+        IVFPQ_N_QUERIES,
+        IVFPQ_PROBE,
+        IVFPQ_RERANK,
+        IVFPQ_TOPK,
+        PQ_CODEBOOKS,
+        _ivf_cell_structs,
+    )
+
+    emb_path = table_path(sf_dir, "embeddings")
+    corpus = spark.read.parquet(_pq_index_dir(spark, sf_dir))
 
     # stream side: vec_id-ranged query micro-batches (the staged dir
     # covers vec_id < IVF_N_QUERIES == IVFPQ_N_QUERIES)
@@ -2622,6 +2659,7 @@ def stream_ann_route_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(stage)
     )
+    v = F.col("embedding")
     probes = (
         src.filter(F.col("vec_id") < IVFPQ_N_QUERIES)
         .select(
@@ -2633,8 +2671,30 @@ def stream_ann_route_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("q_id", "qv", F.col("p.c").alias("cell"))
     )
-    # per-row ADC: query-side LUT per subspace, indexed by the
-    # candidate's code — identical expression trees to ivf_pq_topk
+    matched = (
+        probes.join(F.broadcast(corpus), "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "qv",
+            "n_id",
+            *[f"c{m}" for m in range(len(PQ_CODEBOOKS))],
+        )
+    )
+    table, info = _run_to_memory_traced(matched, "append")
+    LAST_ANN_PQ_TRACE.clear()
+    LAST_ANN_PQ_TRACE.update(info)
+
+    # batch side over the sunk candidate rows: per-row ADC (query-side
+    # LUT per subspace, indexed by the candidate's code — identical
+    # expression trees to ivf_pq_topk, analyzed ONCE here instead of
+    # per micro-batch) -> shortlist -> exact re-rank
+    subdim = EMBED_DIM // len(PQ_CODEBOOKS)
+    norms_lit = [
+        V.lit_vector([sum(x * x for x in c) for c in book])
+        for book in PQ_CODEBOOKS
+    ]
+
     def _lut_entry(qsub, norms):
         def fn(c, j):
             return F.element_at(norms, j + 1) - 2.0 * V.dot_expr(qsub, c)
@@ -2647,19 +2707,10 @@ def stream_ann_route_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         lut = F.transform(V.lit_matrix(book), _lut_entry(qsub, norms_lit[m]))
         term = F.element_at(lut, F.col(f"c{m}") + 1) + V.sq_norm_expr(qsub)
         terms = term if terms is None else terms + term
-    scored = (
-        probes.join(F.broadcast(corpus), "cell")
-        .filter(F.col("n_id") != F.col("q_id"))
-        .select("q_id", "qv", "n_id", pround(terms, 6).alias("adc6"))
-    )
-    table, info = _run_to_memory_traced(scored, "append")
-    LAST_ANN_PQ_TRACE.clear()
-    LAST_ANN_PQ_TRACE.update(info)
-
-    # batch side over the sunk ADC rows: shortlist → exact re-rank
+    adc = table.select("q_id", "qv", "n_id", pround(terms, 6).alias("adc6"))
     ws = Window.partitionBy("q_id").orderBy(F.col("adc6"), F.col("n_id"))
     short = (
-        table.withColumn("srnk", F.row_number().over(ws))
+        adc.withColumn("srnk", F.row_number().over(ws))
         .filter(F.col("srnk") <= IVFPQ_RERANK)
         .drop("srnk")
     )
