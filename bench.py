@@ -146,6 +146,7 @@ HEADLINE = [
     "rag_index_build",
     "rag_topk_from_index",
     "rag_manifest_delta",
+    "rag_index_delta",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming

@@ -1672,3 +1672,174 @@ def rag_manifest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("token").alias("min_token"),
         F.max("token").alias("max_token"),
     )
+
+
+def _tf_state_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-posting term-frequency state over the BASE corpus: (doc_id,
+    token, tf). This is the state that makes impact-list maintenance
+    incremental: impacts are tf · (SCALE div df), and a delta changes
+    df only for tokens it contains — so affected lists re-rank from
+    these tf rows (never from raw text: at 100 TB the scan+tokenize
+    is what the state exists to avoid), and unaffected lists pass
+    through from the materialized index untouched."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % RAG_CDC_MOD != RAG_CDC_RESIDUE)
+        .select("doc_id", F.explode(TH.words_expr("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def _base_index_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The impact-L index over the BASE corpus only — what a deployed
+    index holds when the delta arrives (same shape as
+    _impact_index_frame, base-filtered)."""
+    from pyspark.sql.window import Window
+
+    SC, L = RAG_IDF_SCALE, RAG_IMPACT_L
+    wtf = _tf_state_frame(spark, sf_dir).withColumn(
+        "impact",
+        F.col("tf") * F.expr(f"{SC} div count(1) over (partition by token)"),
+    )
+    il = wtf.withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("token").orderBy(
+                F.col("impact").desc(), F.col("doc_id")
+            )
+        ),
+    ).filter(F.col("pos") <= L)
+    return il.select(
+        "token",
+        "doc_id",
+        F.col("impact").cast("long").alias("impact"),
+        F.col("pos").cast("long").alias("pos"),
+    )
+
+
+def _ensure_index_state(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build-once accessor for the index-maintenance state pair: the
+    per-posting tf state AND the base impact-L index, both
+    token-bucketed in the index database (the delta merge and the
+    passthrough anti-join then co-locate against them without
+    shuffling either)."""
+    import hashlib
+
+    from kafka_parquet_writer_spark.sources.bucketed import write_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    tf_tbl = f"{_INDEX_DB}.tf_state_{tag}"
+    idx_tbl = f"{_INDEX_DB}.base_impact_l_{tag}"
+    if spark.catalog.tableExists(tf_tbl) and spark.catalog.tableExists(
+        idx_tbl
+    ):
+        return tf_tbl, idx_tbl
+    _ensure_index_db(spark)
+    write_bucketed(
+        _tf_state_frame(spark, sf_dir),
+        tf_tbl,
+        bucket_cols="token",
+        n_buckets=RAG_INDEX_SHARDS,
+        sort_cols=["token"],
+    )
+    write_bucketed(
+        _base_index_frame(spark, sf_dir),
+        idx_tbl,
+        bucket_cols="token",
+        n_buckets=RAG_INDEX_SHARDS,
+        sort_cols=["token", "pos"],
+    )
+    return tf_tbl, idx_tbl
+
+
+#: one-deep registry for rag_index_delta's cached delta-tf (the
+#: _WAND_CACHED pattern: bound the leak across sweep sessions)
+_INDEX_DELTA_CACHED: list[DataFrame] = []
+
+
+@query("rag_index_delta", oracle=_index_oracle())
+def rag_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL impact-index maintenance — rag_manifest_delta's
+    pattern applied to the posting lists themselves, completing the
+    materialized-index lifecycle (build → serve → maintain): when a
+    CDC delta of documents arrives, only the tokens the delta
+    CONTAINS change (their df moves, which rescales every impact in
+    their lists and can reshuffle top-L membership); every other
+    token's list is provably byte-identical (df unchanged, tf rows
+    unchanged) and passes through from the materialized base index
+    untouched. The key rebuilds exactly the affected lists from the
+    per-posting tf STATE (base tf rows for affected tokens, merged
+    with the delta's own tf rows — raw base text is never re-read or
+    re-tokenized), anti-joins the base index down to the unaffected
+    lists, and unions. The oracle is rag_index_build's own
+    full-corpus SQL, so one green row proves incremental ≡ batch
+    bit-for-bit — impacts, positions, truncation boundaries.
+
+    Scale shape: one documents scan (the delta, doc_id % predicate
+    pushed — plan-gated), plus the two token-bucketed state tables;
+    the affected-token semi/anti joins broadcast the delta's
+    vocabulary; re-ranking pays WindowGroupLimit top-L over affected
+    postings only. Per CDC batch the cost is delta postings +
+    affected-token postings — at 100 TB with Zipf vocabularies a
+    delta touches a vanishing fraction of lists (the fixture's
+    31-token vocabulary is the adversarial extreme: every token is
+    affected, so this fixture proves semantics while the cost
+    argument is structural)."""
+    from pyspark.sql.window import Window
+
+    SC, L = RAG_IDF_SCALE, RAG_IMPACT_L
+    tf_tbl, idx_tbl = _ensure_index_state(spark, sf_dir)
+
+    # delta tf CACHED (one-deep registry, the _wand_plan pattern):
+    # three consumers — the merge union, and the affected-vocabulary
+    # semi + anti joins — and Catalyst does not share subplans, so
+    # uncached this re-scanned + re-tokenized the delta three times
+    # (3 documents scans, caught by the plan gate's first run)
+    delta_tf = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % RAG_CDC_MOD == RAG_CDC_RESIDUE)
+        .select("doc_id", F.explode(TH.words_expr("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .cache()
+    )
+    for prev in _INDEX_DELTA_CACHED:
+        prev.unpersist()
+    _INDEX_DELTA_CACHED.clear()
+    _INDEX_DELTA_CACHED.append(delta_tf)
+    affected = delta_tf.select("token").distinct()
+
+    base_tf = spark.table(tf_tbl)
+    merged = base_tf.join(
+        F.broadcast(affected.withColumnRenamed("token", "atok")),
+        F.col("token") == F.col("atok"),
+        "left_semi",
+    ).unionByName(delta_tf)
+    wtf = merged.withColumn(
+        "impact",
+        F.col("tf") * F.expr(f"{SC} div count(1) over (partition by token)"),
+    )
+    rebuilt = (
+        wtf.withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("token").orderBy(
+                    F.col("impact").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("pos") <= L)
+        .select(
+            "token",
+            "doc_id",
+            F.col("impact").cast("long").alias("impact"),
+            F.col("pos").cast("long").alias("pos"),
+        )
+    )
+    passthrough = spark.table(idx_tbl).join(
+        F.broadcast(affected.withColumnRenamed("token", "atok")),
+        F.col("token") == F.col("atok"),
+        "left_anti",
+    )
+    return passthrough.unionByName(rebuilt)

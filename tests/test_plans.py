@@ -757,3 +757,23 @@ def test_rag_manifest_delta_scans_delta_only(spark, sf_dir):
     assert "kpws_rag_idx.manifest_state_" in plan
     assert "CartesianProduct" not in plan
     assert count_exchanges(df) <= 3
+
+
+def test_rag_index_delta_scans_delta_only(spark, sf_dir):
+    """Incremental index maintenance must never re-read the base
+    corpus: exactly ONE documents scan (the CDC delta, cached —
+    uncached, the affected-vocabulary semi/anti joins re-tokenized
+    the delta 3x, caught by this gate's first run) plus the two
+    token-bucketed state tables; the affected-list rebuild keeps the
+    WindowGroupLimit top-L partial; no sort-merge join anywhere."""
+    spark.catalog.clearCache()
+    df = E.queries()["rag_index_delta"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("documents.parquet") == 1
+    assert "kpws_rag_idx.tf_state_" in plan
+    assert "kpws_rag_idx.base_impact_l_" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    assert count_exchanges(df) <= 4
+    spark.catalog.clearCache()

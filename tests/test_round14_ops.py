@@ -223,3 +223,49 @@ def test_manifest_delta_equals_batch_manifest(spark):
     assert inc.exceptAll(batch).count() == 0
     assert batch.exceptAll(inc).count() == 0
     assert batch.count() > 0
+
+
+def test_index_delta_passthrough_and_rebuild(spark):
+    """The fixture's 31-token vocabulary makes EVERY token affected
+    (the adversarial extreme — the oracle proves semantics there but
+    never exercises the passthrough). Synthetic corpus where token
+    'stay' lives only in base docs: its list must pass through from
+    the base index BYTE-IDENTICALLY, affected lists must re-rank with
+    the delta's df shift, and the union must equal the from-scratch
+    full-corpus index."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_parquet_writer_spark.operators import rag_prep as R
+
+    rows = []
+    # base docs (doc_id % 5 != 0): 'stay' everywhere, 'move' in some
+    for d in range(1, 40):
+        if d % R.RAG_CDC_MOD == R.RAG_CDC_RESIDUE:
+            continue
+        rows.append((d, "stay stay" + (" move" if d % 3 == 0 else "")))
+    # delta docs (doc_id % 5 == 0): 'move' only — shifts move's df,
+    # never stay's
+    for d in range(0, 40, R.RAG_CDC_MOD):
+        rows.append((d, "move move move"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = tempfile.mkdtemp(prefix="kpws_idxdelta_")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    inc = R.rag_index_delta(spark, d)
+    full = R._impact_index_frame(spark, d)
+    assert inc.exceptAll(full).count() == 0
+    assert full.exceptAll(inc).count() == 0
+    # the stay list passed through from the base index verbatim
+    base_idx = spark.table(R._ensure_index_state(spark, d)[1])
+    stay_inc = {tuple(r) for r in inc.filter(F.col("token") == "stay").collect()}
+    stay_base = {
+        tuple(r) for r in base_idx.filter(F.col("token") == "stay").collect()
+    }
+    assert stay_inc == stay_base and len(stay_inc) > 0
+    # move's lists really were rebuilt: delta docs appear in them
+    move_docs = {
+        r["doc_id"] for r in inc.filter(F.col("token") == "move").collect()
+    }
+    assert any(x % R.RAG_CDC_MOD == R.RAG_CDC_RESIDUE for x in move_docs)
