@@ -1796,6 +1796,14 @@ def rag_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # semi + anti joins — and Catalyst does not share subplans, so
     # uncached this re-scanned + re-tokenized the delta three times
     # (3 documents scans, caught by the plan gate's first run)
+    # unpersist BEFORE caching: a previous call on the same sf_dir
+    # holds the IDENTICAL canonicalized plan, so unpersisting after
+    # .cache() would drop the entry the fresh call just registered
+    # (CacheManager dedups by plan — caught by the close gates' full
+    # suite, where an earlier test had populated the registry)
+    for prev in _INDEX_DELTA_CACHED:
+        prev.unpersist()
+    _INDEX_DELTA_CACHED.clear()
     delta_tf = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % RAG_CDC_MOD == RAG_CDC_RESIDUE)
@@ -1804,9 +1812,6 @@ def rag_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         .cache()
     )
-    for prev in _INDEX_DELTA_CACHED:
-        prev.unpersist()
-    _INDEX_DELTA_CACHED.clear()
     _INDEX_DELTA_CACHED.append(delta_tf)
     affected = delta_tf.select("token").distinct()
 
