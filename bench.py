@@ -147,6 +147,7 @@ HEADLINE = [
     "rag_topk_from_index",
     "rag_manifest_delta",
     "rag_index_delta",
+    "rag_wand_from_index",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming

@@ -557,6 +557,8 @@ def _wand_plan(
     sf_dir: str,
     scorer: str = "tfidf",
     qt: DataFrame | None = None,
+    imp: DataFrame | None = None,
+    il: DataFrame | None = None,
 ) -> dict:
     """The MaxScore/WAND candidate pipeline as named stages, so the
     key composes them and the bench lane can count intermediates
@@ -607,6 +609,13 @@ def _wand_plan(
     the part-names workload every fixture query key uses; the derived
     multi-matched-term workload (rag_topk_retrieval_wand_multi) passes
     its own.
+
+    ``imp``/``il`` inject MATERIALIZED postings and impact-L lists
+    (rag_wand_from_index reads them from the bucketed index tables) —
+    then no corpus scan happens here, ``scorer`` must stay the default
+    (the injected impacts already carry their weighting), and the
+    injected frames are NOT cached (they are table reads, already
+    at rest).
     """
     from pyspark.sql.window import Window
 
@@ -624,6 +633,13 @@ def _wand_plan(
     _WAND_CACHED.clear()
     qt = qt.cache()
     _WAND_CACHED.append(qt)
+    if imp is not None:
+        if scorer != "tfidf":
+            raise ValueError(
+                "injected imp already carries its weighting — scorer "
+                "must stay the default"
+            )
+        return _wand_plan_tail(qt, imp, il, K, L)
     terms = qt.select("term").distinct()
     docs = load_table(spark, sf_dir, "documents")
     if scorer == "tfidf":
@@ -690,6 +706,22 @@ def _wand_plan(
         .cache()
     )
     _WAND_CACHED.append(imp)
+    return _wand_plan_tail(qt, imp, None, K, L)
+
+
+def _wand_plan_tail(
+    qt: DataFrame,
+    imp: DataFrame,
+    il: DataFrame | None,
+    K: int,
+    L: int,
+) -> dict:
+    """The scorer- and source-agnostic half of _wand_plan: UB stats,
+    θ seed, single/multi split, MaxScore essential terms, candidates —
+    everything downstream of the exact matched postings, shared by
+    the corpus-scanning keys and the materialized-index variant
+    (which injects ``imp``/``il`` as bucketed-table reads)."""
+    from pyspark.sql.window import Window
 
     # per-term upper bound: the max impact over the term's full list
     # (vocabulary-sized — broadcastable; MaxScore's term statistic)
@@ -703,14 +735,15 @@ def _wand_plan(
     # truncated score is ≤ the true score (impacts are non-negative),
     # so the k-th best truncated score is ≤ the true k-th best —
     # pruning against it can never drop a true top-k document.
-    il = imp.withColumn(
-        "pos",
-        F.row_number().over(
-            Window.partitionBy("token").orderBy(
-                F.col("impact").desc(), F.col("doc_id")
-            )
-        ),
-    ).filter(F.col("pos") <= L)
+    if il is None:
+        il = imp.withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("token").orderBy(
+                    F.col("impact").desc(), F.col("doc_id")
+                )
+            ),
+        ).filter(F.col("pos") <= L)
     sc0 = (
         il.join(F.broadcast(qt), F.col("token") == F.col("term"))
         .groupBy("query_id", "doc_id")
@@ -1848,3 +1881,77 @@ def rag_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return passthrough.unionByName(rebuilt)
+
+
+def _ensure_postings_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once accessor for the FULL materialized postings table:
+    (token, doc_id, impact) over the whole vocabulary, token-bucketed.
+    This is the exact-scoring side a materialized WAND serving stack
+    needs beside the impact-L table (θ seeds come from the top-L
+    lists; candidate generation and exact scoring need every matched
+    posting). The tf-idf weights are baked in at build time — the
+    same integer impacts rag_index_build materializes, untruncated."""
+    import hashlib
+
+    from pyspark.sql.window import Window
+
+    from kafka_parquet_writer_spark.sources.bucketed import write_bucketed
+
+    SC = RAG_IDF_SCALE
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    tbl = f"{_INDEX_DB}.postings_{tag}"
+    if spark.catalog.tableExists(tbl):
+        return tbl
+    _ensure_index_db(spark)
+    tf = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(TH.words_expr("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    post = tf.withColumn(
+        "impact",
+        (
+            F.col("tf")
+            * F.expr(f"{SC} div count(1) over (partition by token)")
+        ).cast("long"),
+    ).select("token", "doc_id", "impact")
+    write_bucketed(
+        post,
+        tbl,
+        bucket_cols="token",
+        n_buckets=RAG_INDEX_SHARDS,
+        sort_cols=["token"],
+    )
+    return tbl
+
+
+@query("rag_wand_from_index", oracle=_topk_exhaustive_oracle())
+def rag_wand_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT top-{RAG_TOPK} under MaxScore/WAND served ENTIRELY FROM
+    MATERIALIZED TABLES — the serving stack composed end to end: the
+    θ seed reads the impact-L index (rag_topk_from_index's table),
+    candidate generation and exact scoring read the full postings
+    table (_ensure_postings_index), per-term UB/df statistics
+    aggregate over that same bucketed table (token-keyed, so the
+    partial agg co-locates without an exchange), and the raw corpus
+    appears NOWHERE in the query-time plan (plan-gated, the
+    rag_topk_from_index contract extended to the dynamic-pruning
+    path). _wand_plan's candidate machinery is shared verbatim via
+    imp/il injection — same essential-term selection, same
+    single-matched-term fast path, same safety argument — and the
+    oracle is the UNTRUNCATED exhaustive SQL (the WAND keys'
+    standard: one green row proves scores and pruning safety), valid
+    because the full-vocabulary postings joined to the query terms
+    are exactly the match-filtered computation.
+
+    Scale shape — the production serving bound with the build cost
+    amortized away: θ seed ∝ queries × terms × L from the top-L
+    table; UB stats are a shuffle-free bucketed aggregate; candidate
+    and scoring joins are candidate-sized over bucket-pruned postings;
+    corpus-sized work happened once, at index-build time."""
+    post_tbl = _ensure_postings_index(spark, sf_dir)
+    il_tbl = _ensure_impact_index(spark, sf_dir)
+    imp = spark.table(post_tbl).select("doc_id", "token", "impact")
+    il = spark.table(il_tbl).select("doc_id", "token", "impact", "pos")
+    return _wand_topk(_wand_plan(spark, sf_dir, imp=imp, il=il))

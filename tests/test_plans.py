@@ -777,3 +777,19 @@ def test_rag_index_delta_scans_delta_only(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert count_exchanges(df) <= 4
     spark.catalog.clearCache()
+
+
+def test_rag_wand_from_index_never_scans_corpus(spark, sf_dir):
+    """The dynamic-pruning path under the materialized-index contract:
+    θ seed from the impact-L table, candidates + exact scoring from
+    the full postings table, UB stats as a bucketed aggregate — zero
+    documents scans in the query-time plan."""
+    spark.catalog.clearCache()
+    df = E.queries()["rag_wand_from_index"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("documents.parquet") == 0
+    assert "kpws_rag_idx.postings_" in plan
+    assert "kpws_rag_idx.impact_l_" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    spark.catalog.clearCache()

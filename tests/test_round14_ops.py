@@ -269,3 +269,15 @@ def test_index_delta_passthrough_and_rebuild(spark):
         r["doc_id"] for r in inc.filter(F.col("token") == "move").collect()
     }
     assert any(x % R.RAG_CDC_MOD == R.RAG_CDC_RESIDUE for x in move_docs)
+
+
+def test_wand_from_index_matches_corpus_wand(spark):
+    """Materialized-table WAND must reproduce the corpus-scanning WAND
+    key row-for-row (both carry the same untruncated oracle; this
+    pins mutual consistency engine-internally)."""
+    import __spark_entry__ as E
+
+    a = E.queries()["rag_wand_from_index"](spark, SF)
+    b = E.queries()["rag_topk_retrieval_wand"](spark, SF)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.count() > 0
