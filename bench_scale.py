@@ -2174,6 +2174,110 @@ def wand_prune_lane() -> None:
 
 
 
+def index_serve_lane() -> None:
+    """Opt-in lane (`python bench_scale.py idxserve`): receipt for the
+    materialized-index serving claim (rag_wand_from_index /
+    rag_topk_from_index docstrings) — query-time cost must be
+    corpus-INDEPENDENT once the build is amortized, where the
+    corpus-scanning WAND key re-pays the scan+tokenize every run. Per
+    ×k on the wandprune lane's decorrelated skewed corpus: the
+    one-time index build wall (postings + impact-L tables), then
+    min-of-2 serve walls for the materialized key vs the
+    corpus-scanning key on the same 500-query workload. Merged into
+    BENCH_SCALE.json as "index_serve_receipt"."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kafka_parquet_writer_spark import get_spark
+    from kafka_parquet_writer_spark.operators import rag_prep as RP
+
+    spark = get_spark("index_serve_lane")
+
+    def skewed_dir(k: int) -> str:
+        n, r_vocab, n_q = 20_000 * k, 200 * k, 500
+        out = tempfile.mkdtemp(prefix=f"kpws_idxserve_x{k}_")
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("zz "),
+                F.when(
+                    F.col("id") < int(0.75 * n),
+                    F.concat(
+                        F.lit("rare"),
+                        (F.col("id") % r_vocab).cast("string"),
+                        F.lit(" rare"),
+                        (F.col("id") % r_vocab).cast("string"),
+                        F.lit(" rare"),
+                        (F.col("id") % r_vocab).cast("string"),
+                    ),
+                ).otherwise(F.lit("tail")),
+                F.lit(" filler"),
+                (F.col("id") % 7).cast("string"),
+            ).alias("text"),
+        )
+        docs.write.mode("overwrite").parquet(
+            os.path.join(out, "documents.parquet")
+        )
+        qs = spark.range(1, n_q + 1).select(
+            F.col("id").alias("p_partkey"),
+            F.concat(
+                F.lit("zz rare"),
+                (F.col("id") % r_vocab).cast("string"),
+                F.lit(" rare"),
+                ((F.col("id") + 1) % r_vocab).cast("string"),
+            ).alias("p_name"),
+        )
+        qs.write.mode("overwrite").parquet(
+            os.path.join(out, "part.parquet")
+        )
+        return out
+
+    out: dict = {"points": [], "queries": 500}
+    for k in (1, 2, 4, 8):
+        d = skewed_dir(k)
+        spark.catalog.clearCache()
+        t0 = time.time()
+        RP._ensure_postings_index(spark, d)
+        RP._ensure_impact_index(spark, d)
+        build = time.time() - t0
+        serve, scan = None, None
+        for _pass in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            RP.rag_wand_from_index(spark, d).count()
+            dt = time.time() - t0
+            serve = dt if serve is None else min(serve, dt)
+            spark.catalog.clearCache()
+            t0 = time.time()
+            RP.rag_topk_retrieval_wand(spark, d).count()
+            dt = time.time() - t0
+            scan = dt if scan is None else min(scan, dt)
+        rec = {
+            "k": k,
+            "index_build_sec": round(build, 3),
+            "serve_from_index_sec": round(serve, 3),
+            "serve_corpus_scan_sec": round(scan, 3),
+        }
+        out["points"].append(rec)
+        print(json.dumps(rec), file=sys.stderr)
+        spark.catalog.clearCache()
+        shutil.rmtree(d, ignore_errors=True)
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json"
+    )
+    try:
+        with open(path) as f:
+            blob = json.load(f)
+    except (OSError, ValueError):
+        blob = {}
+    blob["index_serve_receipt"] = out
+    with open(path, "w") as f:
+        f.write(json.dumps(blob) + "\n")
+    print(json.dumps({"index_serve_receipt": out}))
+
+
 def bpe_drift_rocksdb_lane() -> None:
     """Opt-in lane (`python bench_scale.py bpedriftrocks`): one
     decorrelated blow-up point through the RocksDB state-store
@@ -2263,5 +2367,7 @@ if __name__ == "__main__":
         wand_prune_lane()
     elif len(sys.argv) > 1 and sys.argv[1] == "bpedriftrocks":
         bpe_drift_rocksdb_lane()
+    elif len(sys.argv) > 1 and sys.argv[1] == "idxserve":
+        index_serve_lane()
     else:
         main()
