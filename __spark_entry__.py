@@ -192,16 +192,18 @@ _FORCE_RECHECK = {  # key -> round whose green is void
     # foreachBatch rewrite — expired via its CORRECTNESS_r13 green and
     # is pruned per the policy.)
     #
-    # r14: three keys whose helper closures changed after their r13
-    # greens and which the 50-key window (4 new keys + the 24-key r9
-    # cohort + next-stalest) cannot reach naturally:
-    # _wand_plan grew the one-deep cache registry + injectable qt
-    # (r13 ADVICE cache leak), re-proving both r13 WAND keys;
-    # _read_support_accumulator moved from os.listdir to the Hadoop
-    # FileSystem API (r13 ADVICE), re-proving the drift key.
-    "rag_topk_retrieval_wand": 13,
-    "rag_topk_retrieval_wand_bm25": 13,
-    "stream_bpe_vocab_drift": 13,
+    # (r14's three entries — rag_topk_retrieval_wand@13,
+    # rag_topk_retrieval_wand_bm25@13, stream_bpe_vocab_drift@13, the
+    # _wand_plan cache-registry + Hadoop-FS accumulator rewrites — all
+    # expired via their CORRECTNESS_r14 greens and are pruned per the
+    # policy.)
+    #
+    # r15: _wand_plan's cache registry re-keyed per (sf_dir, workload)
+    # (r14 ADVICE: cross-plan eviction) — helper closure of every WAND
+    # key; the two NOT already tier-1-fresh or in the natural window
+    # are re-forced:
+    "rag_topk_retrieval_wand": 14,
+    "rag_topk_retrieval_wand_bm25": 14,
 }
 
 
