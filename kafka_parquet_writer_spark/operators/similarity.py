@@ -1080,3 +1080,213 @@ def similarity_ann_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= IMI_Q_TOPK)
         .select("q_id", "n_id", "cos")
     )
+
+
+# --- materialized ANN (IVF-PQ) index lifecycle ------------------------------
+#
+# r14 VERDICT item 2: the text index has build -> serve -> maintain; the
+# vector side was build -> serve only, and its "index" was an unbucketed
+# mkdtemp parquet dir. This section closes the asymmetry: the PQ-coded
+# corpus becomes a CELL-BUCKETED catalog table (sources/bucketed.py),
+# value-oracled at build, with an incremental-maintenance key proving
+# delta ≡ batch. Assignment and coding are PER-ROW expressions (nearest
+# centroid + per-subspace argmin — no corpus-global statistic anywhere),
+# so the delta path is embarrassingly incremental: code the new vectors,
+# append. That is the structural contrast with the text side, where df
+# (and for BM25, avgdl) couple documents together and force the
+# affected-token / band-exit machinery of rag_index_delta and
+# rag_bm25_index_delta.
+
+#: ANN CDC split: vectors with vec_id % MOD == RESIDUE play the
+#: newly-arrived delta; the rest are the already-indexed base
+ANN_CDC_MOD = 5
+ANN_CDC_RESIDUE = 0
+
+#: bucket count for the cell-bucketed index table — one bucket per IVF
+#: cell at fixture scale (IVF_CELLS = 8); production re-derives it with
+#: suggest_bucket_count against measured at-rest bytes per cell
+ANN_INDEX_BUCKETS = IVF_CELLS
+
+
+def _pq_coded_select(df: DataFrame) -> DataFrame:
+    """embeddings rows -> (n_id, cell, c0..c{PQ_M-1}): IVF cell
+    assignment (nearest seeded centroid) + per-subspace PQ codes
+    (argmin of ‖c‖² − 2·v·c per codebook). Pure per-row expressions —
+    no shuffle, no UDF, no corpus-global term — shared by the build
+    key, the delta key, and the streaming route's index accessor."""
+    v = F.col("embedding")
+    subdim = EMBED_DIM // PQ_M
+    code_cols = []
+    for m, book in enumerate(PQ_CODEBOOKS):
+        sub = F.slice(v, m * subdim + 1, subdim)
+        structs = F.array(
+            *[
+                F.struct(
+                    (
+                        F.lit(float(sum(x * x for x in c)))
+                        - 2.0 * V.dot_expr(sub, V.lit_vector(c))
+                    ).alias("s"),
+                    F.lit(k).alias("c"),
+                )
+                for k, c in enumerate(book)
+            ]
+        )
+        code_cols.append(
+            F.array_min(structs)["c"].cast("long").alias(f"c{m}")
+        )
+    return df.select(
+        F.col("vec_id").alias("n_id"),
+        F.array_min(_ivf_cell_structs(v))["c"].cast("long").alias("cell"),
+        *code_cols,
+    )
+
+
+def _ann_index_oracle(where: str = "") -> str:
+    """DuckDB form of the PQ-coded corpus — _ivfpq_oracle's corpus CTE
+    as a standalone statement (cell via the same ‖c‖² − 2·v·c argmin,
+    codes via per-subspace list_sort argmin)."""
+    cell_structs = ", ".join(
+        f"struct_pack(s := CAST({sum(x*x for x in c)!r} AS DOUBLE)"
+        f" - 2.0 * list_dot_product(v, {V.sql_lit_vector(c)}), c := {j})"
+        for j, c in enumerate(IVF_CENTROIDS)
+    )
+    codes = []
+    for m, book in enumerate(PQ_CODEBOOKS):
+        sub = _pq_sub_sql("v", m)
+        structs = ", ".join(
+            f"struct_pack(s := CAST({sum(x * x for x in c)!r} AS DOUBLE)"
+            f" - 2.0 * list_dot_product({sub}, {V.sql_lit_vector(c)}),"
+            f" c := {k})"
+            for k, c in enumerate(book)
+        )
+        codes.append(
+            f"CAST((list_sort([{structs}])[1]).c AS BIGINT) AS c{m}"
+        )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings {where}
+    )
+    SELECT vec_id AS n_id,
+           CAST((list_sort([{cell_structs}])[1]).c AS BIGINT) AS cell,
+           {", ".join(codes)}
+    FROM e
+    """
+
+
+@query("ann_index_build", oracle=_ann_index_oracle())
+def ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized ANN-index BUILD — the vector-side analogue of
+    rag_index_build, value-oracled: every corpus vector's IVF cell
+    and 4×4-bit PQ codes, the table stream_ann_route_pq serves from
+    (persisted cell-bucketed by _ensure_ann_index; this key returns
+    the frame so DuckDB verifies assignment and coding end to end).
+    At production widths the row is ~2 bytes of code + ids — the
+    memory-residency argument for broadcasting ~100× more corpus than
+    raw vectors allow.
+
+    Scale shape: ONE embeddings scan and zero exchanges — assignment
+    and coding are per-row expression trees (codebooks are plan
+    literals; production swaps in trained books, same plan). The
+    cell-bucketed write pays its one shuffle at persist time so the
+    serving join bucket-prunes forever after; build cost is the
+    theoretical floor: read, code, write."""
+    return _pq_coded_select(load_table(spark, sf_dir, "embeddings"))
+
+
+def _ensure_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once accessor for the CELL-BUCKETED PQ index table —
+    replaces r14's unbucketed mkdtemp parquet (the gap its own
+    docstring promised away: "materialized cell-bucketed index").
+    Bucketing by cell makes the serving join's probe side co-locate
+    per cell and lets a cell-pruned read touch one bucket file per
+    probed cell at 100 TB. Content-fingerprint tagged (_index_tag on
+    the embeddings source), so regenerated fixtures rebuild instead
+    of serving stale codes; registered in the shared index database
+    whose location is atexit-cleaned."""
+    from kafka_parquet_writer_spark.operators.rag_prep import (
+        _INDEX_DB,
+        _ensure_index_db,
+        _index_tag,
+    )
+    from kafka_parquet_writer_spark.sources.bucketed import write_bucketed
+
+    tag = _index_tag(sf_dir, table="embeddings")
+    tbl = f"{_INDEX_DB}.ann_pq_{tag}"
+    if spark.catalog.tableExists(tbl):
+        return tbl
+    _ensure_index_db(spark)
+    write_bucketed(
+        _pq_coded_select(load_table(spark, sf_dir, "embeddings")),
+        tbl,
+        bucket_cols="cell",
+        n_buckets=ANN_INDEX_BUCKETS,
+        sort_cols=["cell", "n_id"],
+    )
+    return tbl
+
+
+def _ensure_ann_base_index(spark: SparkSession, sf_dir: str) -> str:
+    """The deployed-index state when the delta arrives: the PQ index
+    over the BASE vectors only (vec_id % ANN_CDC_MOD != RESIDUE),
+    cell-bucketed like the full index."""
+    from kafka_parquet_writer_spark.operators.rag_prep import (
+        _INDEX_DB,
+        _ensure_index_db,
+        _index_tag,
+    )
+    from kafka_parquet_writer_spark.sources.bucketed import write_bucketed
+
+    tag = _index_tag(sf_dir, table="embeddings")
+    tbl = f"{_INDEX_DB}.ann_pq_base_{tag}"
+    if spark.catalog.tableExists(tbl):
+        return tbl
+    _ensure_index_db(spark)
+    base = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % ANN_CDC_MOD != ANN_CDC_RESIDUE
+    )
+    write_bucketed(
+        _pq_coded_select(base),
+        tbl,
+        bucket_cols="cell",
+        n_buckets=ANN_INDEX_BUCKETS,
+        sort_cols=["cell", "n_id"],
+    )
+    return tbl
+
+
+@query("ann_index_delta", oracle=_ann_index_oracle())
+def ann_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ANN-index maintenance — delta ≡ batch for newly
+    arrived vectors, completing the vector index's build → serve →
+    maintain lifecycle (r14 VERDICT item 2). Cell assignment and PQ
+    coding are PER-ROW functions of the vector and the (fixed)
+    codebooks — no df, no avgdl, no corpus-global statistic — so the
+    delta path is embarrassingly incremental: code ONLY the new
+    vectors and append to the materialized base index. No anti-join,
+    no affected-set computation, no re-ranking; the base table is
+    read, never recomputed (and in production the append is a
+    bucket-aligned file add, not even a table rewrite). The oracle is
+    ann_index_build's full-corpus SQL: one green row proves base ∪
+    coded-delta ≡ from-scratch build, bit-for-bit.
+
+    The contrast WITH the text side is the design point: tf-idf
+    maintenance pays an affected-token rebuild (df couples documents
+    sharing a token — rag_index_delta), BM25 maintenance additionally
+    risks a global re-rank (avgdl couples every document —
+    rag_bm25_index_delta); PQ maintenance pays delta-rows × codebook
+    comparisons, period. Retraining the codebooks on drifted data is
+    a REBUILD decision (a new index generation), not maintenance —
+    production monitors quantization error (embedding_pq's err6
+    surface) to schedule it.
+
+    Scale shape: one embeddings scan (the delta, vec_id % predicate
+    at the scan — plan-gated) + one bucket-aligned read of the base
+    table; zero joins, zero window passes; the union is exchange-free."""
+    base = spark.table(_ensure_ann_base_index(spark, sf_dir))
+    delta = _pq_coded_select(
+        load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % ANN_CDC_MOD == ANN_CDC_RESIDUE
+        )
+    )
+    return base.unionByName(delta)
