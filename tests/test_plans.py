@@ -793,3 +793,99 @@ def test_rag_wand_from_index_never_scans_corpus(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     spark.catalog.clearCache()
+
+
+def test_rag_bm25_from_index_never_scans_corpus(spark, sf_dir):
+    """BM25 served from materialized state (r14 VERDICT item 3): tf
+    saturation, length normalization, and avgdl are baked into the
+    stored impacts at build time, so the query-time plan reads ONLY
+    the BM25 postings + impact-L tables plus the query workload — the
+    raw corpus (and its dl/avgdl inputs) appears nowhere."""
+    spark.catalog.clearCache()
+    df = E.queries()["rag_bm25_from_index"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("documents.parquet") == 0
+    assert "kpws_rag_idx.bm25_postings_" in plan
+    assert "kpws_rag_idx.bm25_impact_l_" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    spark.catalog.clearCache()
+
+
+def test_rag_bmw_from_index_single_workload_scan(spark, sf_dir):
+    """Block-max WAND from the materialized index: blockmax is a
+    BUILD-TIME column of the blocked postings table, so the query
+    plan adds zero window passes over postings — the only documents
+    scan is the derived-workload generator (query side, sampled,
+    doc_id % predicate pushed), never the corpus side."""
+    spark.catalog.clearCache()
+    df = E.queries()["rag_bmw_from_index"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("documents.parquet") == 1
+    assert "kpws_rag_idx.postings_blk" in plan
+    assert "kpws_rag_idx.postings_" in plan
+    assert "kpws_rag_idx.impact_l_" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert has_pushed_filters(df, "doc_id")
+    spark.catalog.clearCache()
+
+
+def test_rag_bm25_index_delta_scans_delta_only(spark, sf_dir):
+    """BM25 index maintenance never re-reads base text whichever
+    branch the avgdl decision takes: ONE documents scan (the delta)
+    plus the (tf, dl) state table; the re-rank keeps WindowGroupLimit
+    partial; no sort-merge join."""
+    spark.catalog.clearCache()
+    df = E.queries()["rag_bm25_index_delta"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("documents.parquet") == 1
+    assert "kpws_rag_idx.bm25_tfdl_state_" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    spark.catalog.clearCache()
+
+
+def test_ann_index_build_per_row_no_exchange(spark, sf_dir):
+    """The ANN index build is the theoretical floor: one embeddings
+    scan, per-row assignment + coding expression trees, zero
+    exchanges, no join, no window."""
+    df = E.queries()["ann_index_build"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("embeddings.parquet") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert count_exchanges(df) == 0
+
+
+def test_ann_index_delta_append_only(spark, sf_dir):
+    """Vector-index maintenance is append-only (coding is per-row —
+    no corpus-global statistic): one embeddings scan (the delta),
+    the cell-bucketed base table, a Union — zero joins, zero window
+    passes, zero exchanges."""
+    df = E.queries()["ann_index_delta"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("embeddings.parquet") == 1
+    assert "kpws_rag_idx.ann_pq_base_" in plan
+    assert "Union" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert count_exchanges(df) == 0
+
+
+def test_stream_ann_route_pq_serves_from_bucketed_table(spark, sf_dir):
+    """The streaming PQ route's static side is the cell-bucketed
+    catalog table (r14's mkdtemp parquet dir is gone): the sunk
+    candidate plan joins kpws_rag_idx.ann_pq_* — receipted from the
+    finished query's plan since the streaming plan is not inspectable
+    pre-run."""
+    from kafka_parquet_writer_spark.operators.streaming_queries import (
+        LAST_ANN_PQ_TRACE,
+    )
+
+    E.queries()["stream_ann_route_pq"](spark, sf_dir).collect()
+    plan = LAST_ANN_PQ_TRACE["plan"]
+    assert "ann_pq_" in plan
+    assert "BroadcastHashJoin" in plan
