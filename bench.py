@@ -148,6 +148,12 @@ HEADLINE = [
     "rag_manifest_delta",
     "rag_index_delta",
     "rag_wand_from_index",
+    # round 15
+    "rag_bm25_from_index",
+    "rag_bmw_from_index",
+    "rag_bm25_index_delta",
+    "ann_index_build",
+    "ann_index_delta",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming
@@ -178,6 +184,8 @@ STREAMING_HEADLINE = [
     "stream_ann_route",
     # round 14
     "stream_ann_route_pq",
+    # round 15
+    "stream_index_delta",
 ]
 
 
@@ -444,12 +452,40 @@ def main() -> None:
     # regex-recoverable), so round-over-round per-query diffs read
     # BENCH_DETAIL.json instead — committed as BENCH_DETAIL_r{N}.json
     # each round.
-    with open(
-        os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-        ),
-        "w",
-    ) as f:
+    #
+    # Dirty-overwrite guard (r13+r14 VERDICT hygiene: two rounds
+    # running, the driver's contended run clobbered the committed
+    # idle-bracketed detail): if the file on disk came from a
+    # MEANINGFULLY cleaner box (loadavg_start lower by >1.0) and this
+    # run started contended (> LOAD_WARN), divert to
+    # BENCH_DETAIL.dirty.json so the idle receipt survives.
+    # SPARK_GRAFT_BENCH_OVERWRITE=1 forces the overwrite.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    if (
+        os.path.exists(detail_path)
+        and os.environ.get("SPARK_GRAFT_BENCH_OVERWRITE") != "1"
+        and result["loadavg_start"] > LOAD_WARN
+    ):
+        try:
+            with open(detail_path) as f:
+                prev_load = json.load(f).get("loadavg_start")
+        except (ValueError, OSError):
+            prev_load = None
+        if (
+            prev_load is not None
+            and result["loadavg_start"] > prev_load + 1.0
+        ):
+            print(
+                f"NOTE: existing BENCH_DETAIL.json is from a cleaner box "
+                f"(loadavg {prev_load} vs {result['loadavg_start']}); "
+                f"writing BENCH_DETAIL.dirty.json instead "
+                f"(SPARK_GRAFT_BENCH_OVERWRITE=1 to force)",
+                file=sys.stderr,
+            )
+            detail_path = detail_path.replace(".json", ".dirty.json")
+    with open(detail_path, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
         f.write("\n")
     top_n = 40

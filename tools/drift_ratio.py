@@ -82,30 +82,31 @@ def main() -> None:
     if not ratios:
         raise SystemExit("no canary keys common to both details")
     drift = math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios))
-    common = sorted(set(oq) & set(nq))
-    tot_old = sum(oq[k] for k in common)
-    tot_new = sum(nq[k] for k in common)
-    raw = tot_new / tot_old
-    print(
-        json.dumps(
-            {
-                "canary_drift": round(drift, 4),
-                "canary_ratios": {k: round(v, 3) for k, v in ratios.items()},
-                "common_keys": len(common),
-                "raw_common_ratio": round(raw, 4),
-                "drift_adjusted_ratio": round(raw / drift, 4),
-                "loadavg_start": {
-                    "old": old.get("loadavg_start"),
-                    "new": new.get("loadavg_start"),
-                },
-                **(
-                    {"anchor_commit": old["anchor_commit"]}
-                    if "anchor_commit" in old
-                    else {}
-                ),
-            }
-        )
-    )
+    out = {
+        "canary_drift": round(drift, 4),
+        "canary_ratios": {k: round(v, 3) for k, v in ratios.items()},
+        "loadavg_start": {
+            "old": old.get("loadavg_start"),
+            "new": new.get("loadavg_start"),
+        },
+    }
+    # The common-key trend is meaningful only against a FULL old detail.
+    # Under --anchor, old is CANARY.json whose queries are exactly the
+    # canary set, so "common" would collapse to the canaries and
+    # drift_adjusted_ratio would be ~1.0 by construction (r14 ADVICE) —
+    # report only canary_drift + anchor_commit there; divide a real old
+    # detail's common total by canary_drift separately.
+    if "anchor_commit" in old:
+        out["anchor_commit"] = old["anchor_commit"]
+    else:
+        common = sorted(set(oq) & set(nq))
+        tot_old = sum(oq[k] for k in common)
+        tot_new = sum(nq[k] for k in common)
+        raw = tot_new / tot_old
+        out["common_keys"] = len(common)
+        out["raw_common_ratio"] = round(raw, 4)
+        out["drift_adjusted_ratio"] = round(raw / drift, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
