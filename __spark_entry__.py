@@ -198,12 +198,22 @@ _FORCE_RECHECK = {  # key -> round whose green is void
     # expired via their CORRECTNESS_r14 greens and are pruned per the
     # policy.)
     #
-    # r15: _wand_plan's cache registry re-keyed per (sf_dir, workload)
-    # (r14 ADVICE: cross-plan eviction) — helper closure of every WAND
-    # key; the two NOT already tier-1-fresh or in the natural window
-    # are re-forced:
+    # r15: helper closures rewritten on r14 evidence — _wand_plan's
+    # cache registry re-keyed per plan identity + il-without-imp guard
+    # (r14 ADVICE), _index_tag content fingerprinting in every ensure
+    # accessor, _bmw_cand split into _blocked_postings/_bmw_filter,
+    # and stream_ann_route_pq's index accessor moved to the bucketed
+    # catalog table. All nine are tier-1-forced (window: 6 new + 9
+    # forced + the full 32-key r10 cohort + 3 = 50).
     "rag_topk_retrieval_wand": 14,
     "rag_topk_retrieval_wand_bm25": 14,
+    "rag_topk_retrieval_wand_multi": 14,
+    "rag_topk_retrieval_bmw": 14,
+    "rag_topk_from_index": 14,
+    "rag_manifest_delta": 14,
+    "rag_index_delta": 14,
+    "rag_wand_from_index": 14,
+    "stream_ann_route_pq": 14,
 }
 
 
