@@ -152,6 +152,7 @@ HEADLINE = [
     "rag_bm25_from_index",
     "rag_bmw_from_index",
     "rag_bm25_index_delta",
+    "rag_postings_delta",
     "ann_index_build",
     "ann_index_delta",
 ]

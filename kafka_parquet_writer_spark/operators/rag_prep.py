@@ -2485,3 +2485,130 @@ def rag_bm25_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_impact_l(
         _bm25_impacts_from_state(state.unionByName(delta), avgdl_new)
     )
+
+
+def _postings_oracle() -> str:
+    """The UNTRUNCATED full-vocabulary postings with baked tf-idf
+    impacts — what _ensure_postings_index materializes (rag_index
+    _build's lists without the top-L cut): the exact-scoring side of
+    the materialized WAND serving stack."""
+    SC = RAG_IDF_SCALE
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({TH.sql_words('text')}) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ), dfv AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df
+      FROM tf GROUP BY token
+    )
+    SELECT tf.token, tf.doc_id,
+           CAST(tf.tf * ({SC} // dfv.df) AS BIGINT) AS impact
+    FROM tf JOIN dfv USING (token)
+    """
+
+
+def _ensure_base_postings(spark: SparkSession, sf_dir: str) -> str:
+    """The deployed full-postings table when the delta arrives: base
+    corpus only, derived FROM the materialized tf state (one window
+    over at-rest rows — base text is not re-read even at build time),
+    token-bucketed beside the other state tables."""
+    from kafka_parquet_writer_spark.sources.bucketed import write_bucketed
+
+    SC = RAG_IDF_SCALE
+    tag = _index_tag(sf_dir)
+    tbl = f"{_INDEX_DB}.base_postings_{tag}"
+    if spark.catalog.tableExists(tbl):
+        return tbl
+    _ensure_index_db(spark)
+    tf_tbl, _ = _ensure_index_state(spark, sf_dir)
+    post = (
+        spark.table(tf_tbl)
+        .withColumn(
+            "impact",
+            (
+                F.col("tf")
+                * F.expr(f"{SC} div count(1) over (partition by token)")
+            ).cast("long"),
+        )
+        .select("token", "doc_id", "impact")
+    )
+    write_bucketed(
+        post,
+        tbl,
+        bucket_cols="token",
+        n_buckets=RAG_INDEX_SHARDS,
+        sort_cols=["token"],
+    )
+    return tbl
+
+
+#: per-sf_dir one-deep registry for rag_postings_delta's cached delta
+_POSTINGS_DELTA_CACHED: dict[str, list[DataFrame]] = {}
+
+
+@query("rag_postings_delta", oracle=_postings_oracle())
+def rag_postings_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL maintenance for the FULL postings table — the last
+    serving table without a delta path (SURVEY §7's r15 breadth
+    candidate: rag_index_delta maintains the top-L lists;
+    rag_wand_from_index's candidate generation and exact scoring read
+    the UNTRUNCATED postings, which until now only a full rebuild
+    refreshed). Same IVM algebra as the top-L case, minus the rank: a
+    delta moves df only for tokens it contains, so affected tokens'
+    postings re-derive their impacts from the merged tf STATE (base
+    tf rows for affected tokens ∪ the delta's own — one window, no
+    WindowGroupLimit because nothing truncates), and every other
+    posting passes through from the materialized base table
+    byte-identical. Oracle = the untruncated full-vocabulary postings
+    SQL: incremental ≡ batch over every row of the serving table.
+
+    Together with rag_index_delta (top-L), rag_manifest_delta (term
+    df state), rag_bm25_index_delta (BM25 + avgdl), ann_index_delta
+    (vector codes), and stream_index_delta (the streaming driver),
+    every materialized table any serving key reads now has an
+    incremental maintenance story.
+
+    Scale shape: one documents scan (the delta, pushed predicate,
+    cached one-deep per sf_dir) + the two token-bucketed state
+    tables; the anti/semi joins broadcast the delta's vocabulary;
+    cost per batch is delta postings + affected-token postings —
+    and no ranking pass at all, so this is strictly cheaper than
+    the top-L delta it complements."""
+    SC = RAG_IDF_SCALE
+    tf_tbl, _ = _ensure_index_state(spark, sf_dir)
+    post_tbl = _ensure_base_postings(spark, sf_dir)
+
+    for prev in _POSTINGS_DELTA_CACHED.pop(sf_dir, []):
+        prev.unpersist()
+    delta_tf = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % RAG_CDC_MOD == RAG_CDC_RESIDUE)
+        .select("doc_id", F.explode(TH.words_expr("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .cache()
+    )
+    _POSTINGS_DELTA_CACHED[sf_dir] = [delta_tf]
+    affected = delta_tf.select("token").distinct()
+
+    merged = spark.table(tf_tbl).join(
+        F.broadcast(affected.withColumnRenamed("token", "atok")),
+        F.col("token") == F.col("atok"),
+        "left_semi",
+    ).unionByName(delta_tf)
+    rebuilt = merged.withColumn(
+        "impact",
+        (
+            F.col("tf")
+            * F.expr(f"{SC} div count(1) over (partition by token)")
+        ).cast("long"),
+    ).select("token", "doc_id", "impact")
+    passthrough = spark.table(post_tbl).join(
+        F.broadcast(affected.withColumnRenamed("token", "atok")),
+        F.col("token") == F.col("atok"),
+        "left_anti",
+    )
+    return passthrough.unionByName(rebuilt)

@@ -889,3 +889,19 @@ def test_stream_ann_route_pq_serves_from_bucketed_table(spark, sf_dir):
     plan = LAST_ANN_PQ_TRACE["plan"]
     assert "ann_pq_" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_rag_postings_delta_scans_delta_only(spark, sf_dir):
+    """Full-postings maintenance reads the delta and the state tables
+    only — one documents scan, both bucketed tables, no rank pass
+    (nothing truncates), no sort-merge join."""
+    spark.catalog.clearCache()
+    df = E.queries()["rag_postings_delta"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("documents.parquet") == 1
+    assert "kpws_rag_idx.tf_state_" in plan
+    assert "kpws_rag_idx.base_postings_" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" not in plan
+    spark.catalog.clearCache()
