@@ -153,6 +153,7 @@ HEADLINE = [
     "rag_bmw_from_index",
     "rag_bm25_index_delta",
     "rag_postings_delta",
+    "rag_blocked_delta",
     "ann_index_build",
     "ann_index_delta",
 ]
@@ -187,6 +188,7 @@ STREAMING_HEADLINE = [
     "stream_ann_route_pq",
     # round 15
     "stream_index_delta",
+    "stream_ann_index_delta",
 ]
 
 

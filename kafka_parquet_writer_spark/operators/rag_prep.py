@@ -2612,3 +2612,142 @@ def rag_postings_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return passthrough.unionByName(rebuilt)
+
+
+def _blocked_postings_oracle() -> str:
+    """The full blocked postings table — _postings_oracle's rows plus
+    (pos, blk, bmax) at block width {RAG_BMW_BLOCK}: what
+    _ensure_block_postings_index materializes for BMW serving."""
+    SC, B = RAG_IDF_SCALE, RAG_BMW_BLOCK
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({TH.sql_words('text')}) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ), dfv AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df
+      FROM tf GROUP BY token
+    ), post AS (
+      SELECT tf.token, tf.doc_id,
+             CAST(tf.tf * ({SC} // dfv.df) AS BIGINT) AS impact
+      FROM tf JOIN dfv USING (token)
+    ), ranked AS (
+      SELECT token, doc_id, impact,
+             CAST(row_number() OVER (PARTITION BY token
+                                     ORDER BY impact DESC, doc_id)
+                  AS BIGINT) AS pos
+      FROM post
+    ), blocked AS (
+      SELECT token, doc_id, impact, pos,
+             CAST((pos - 1) // {B} AS BIGINT) AS blk
+      FROM ranked
+    )
+    SELECT token, doc_id, impact, pos, blk,
+           CAST(max(impact) OVER (PARTITION BY token, blk) AS BIGINT)
+             AS bmax
+    FROM blocked
+    """
+
+
+def _ensure_base_blocked(spark: SparkSession, sf_dir: str) -> str:
+    """The deployed blocked postings table when the delta arrives:
+    base corpus only, blocked at {RAG_BMW_BLOCK}, derived from the
+    base postings table at rest."""
+    from kafka_parquet_writer_spark.sources.bucketed import write_bucketed
+
+    tag = _index_tag(sf_dir)
+    tbl = f"{_INDEX_DB}.base_blocked_{tag}"
+    if spark.catalog.tableExists(tbl):
+        return tbl
+    _ensure_index_db(spark)
+    post = spark.table(_ensure_base_postings(spark, sf_dir))
+    blocked = _blocked_postings(post, RAG_BMW_BLOCK).select(
+        "token",
+        "doc_id",
+        "impact",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("blk").cast("long").alias("blk"),
+        F.col("bmax").cast("long").alias("bmax"),
+    )
+    write_bucketed(
+        blocked,
+        tbl,
+        bucket_cols="token",
+        n_buckets=RAG_INDEX_SHARDS,
+        sort_cols=["token", "blk"],
+    )
+    return tbl
+
+
+#: per-sf_dir one-deep registry for rag_blocked_delta's cached delta
+_BLOCKED_DELTA_CACHED: dict[str, list[DataFrame]] = {}
+
+
+@query("rag_blocked_delta", oracle=_blocked_postings_oracle())
+def rag_blocked_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL maintenance for the BLOCKED postings table — the
+    one derived serving table rag_postings_delta left rebuild-only
+    (blockmax is per (token, blk): when a token's df or membership
+    moves, its list RE-RANKS, so positions shift, block boundaries
+    move, and every (blk, bmax) of that list is suspect — but ONLY of
+    that list). Affected tokens re-block from merged tf state (the
+    postings-delta impacts through the same two token-partitioned
+    window passes the build uses — rank, then per-(token, blk) max);
+    unaffected lists pass through with (pos, blk, bmax) intact,
+    byte-identical because their posting sets, impacts, and hence
+    ranks and block maxima are untouched by a delta that contains
+    none of their postings. Oracle = the full-corpus blocked postings
+    SQL: incremental ≡ batch over every column including the derived
+    block geometry.
+
+    Scale shape: one documents scan (the delta) + the tf-state and
+    base-blocked tables; re-blocking pays two window passes over ONE
+    token partitioning (no extra exchange — the build's own shape)
+    restricted to affected postings. Block width is the table's
+    build-time constant; changing it is a new index artifact, not a
+    delta."""
+    SC = RAG_IDF_SCALE
+    tf_tbl, _ = _ensure_index_state(spark, sf_dir)
+    blk_tbl = _ensure_base_blocked(spark, sf_dir)
+
+    for prev in _BLOCKED_DELTA_CACHED.pop(sf_dir, []):
+        prev.unpersist()
+    delta_tf = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % RAG_CDC_MOD == RAG_CDC_RESIDUE)
+        .select("doc_id", F.explode(TH.words_expr("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .cache()
+    )
+    _BLOCKED_DELTA_CACHED[sf_dir] = [delta_tf]
+    affected = delta_tf.select("token").distinct()
+
+    merged = spark.table(tf_tbl).join(
+        F.broadcast(affected.withColumnRenamed("token", "atok")),
+        F.col("token") == F.col("atok"),
+        "left_semi",
+    ).unionByName(delta_tf)
+    imp = merged.withColumn(
+        "impact",
+        (
+            F.col("tf")
+            * F.expr(f"{SC} div count(1) over (partition by token)")
+        ).cast("long"),
+    ).select("token", "doc_id", "impact")
+    rebuilt = _blocked_postings(imp, RAG_BMW_BLOCK).select(
+        "token",
+        "doc_id",
+        "impact",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("blk").cast("long").alias("blk"),
+        F.col("bmax").cast("long").alias("bmax"),
+    )
+    passthrough = spark.table(blk_tbl).join(
+        F.broadcast(affected.withColumnRenamed("token", "atok")),
+        F.col("token") == F.col("atok"),
+        "left_anti",
+    )
+    return passthrough.unionByName(rebuilt)

@@ -1290,3 +1290,53 @@ def ann_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return base.unionByName(delta)
+
+
+def _pq_code_mapper():
+    """Arrow-vectorized twin of _pq_coded_select for mapInPandas: one
+    numpy matmul per codebook per batch instead of ~1.5k literal
+    expression nodes. Exists for the STREAMING maintainer
+    (stream_ann_index_delta), where foreachBatch re-analyzes its plan
+    every micro-batch and the literal trees cost ~3.5 s of Catalyst
+    per batch — data-independent, so at fixture batch sizes it
+    dominated (measured 15 s for a 4-batch run whose execution is
+    ~2 s). The batch build key keeps the expression form (zero-python,
+    zero-exchange, analyzed once); both are oracled against the SAME
+    DuckDB SQL, which is the numeric-equivalence proof: argmin over
+    ‖c‖² − 2·v·c agrees between numpy's pairwise-summed dots and the
+    sequential folds on these fixtures (ulp-level sum-order
+    differences would need an exact inter-centroid tie to flip an
+    argmin; the seeded continuous data has none — the IMI keys have
+    relied on the same property since r6).
+
+    Returns (mapInPandas fn, schema string)."""
+    cents = np.asarray(IVF_CENTROIDS, dtype=np.float64)
+    cnorm = (cents * cents).sum(axis=1)
+    books = [np.asarray(b, dtype=np.float64) for b in PQ_CODEBOOKS]
+    bnorms = [(b * b).sum(axis=1) for b in books]
+    subdim = EMBED_DIM // PQ_M
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            out = {
+                "n_id": pdf["vec_id"].to_numpy(),
+                "cell": np.argmin(
+                    cnorm[None, :] - 2.0 * (V @ cents.T), axis=1
+                ).astype(np.int64),
+            }
+            for m, (b, bn) in enumerate(zip(books, bnorms)):
+                sub = V[:, m * subdim : (m + 1) * subdim]
+                out[f"c{m}"] = np.argmin(
+                    bn[None, :] - 2.0 * (sub @ b.T), axis=1
+                ).astype(np.int64)
+            yield pd.DataFrame(out)
+
+    schema = "n_id long, cell long, " + ", ".join(
+        f"c{m} long" for m in range(PQ_M)
+    )
+    return fn, schema

@@ -2841,3 +2841,127 @@ def stream_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     return spark.read.parquet(holder["idx"])
+
+
+def _embeddings_batched_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the FULL embeddings table into ANN_STREAM_BATCHES
+    vec_id-ranged parquet files with strictly increasing mtimes — the
+    corpus-side staging twin of _embedding_queries_batched_dir (which
+    stages only the query subset): micro-batches of newly-arrived
+    vectors for the streaming index maintainer."""
+    import glob
+    import os
+    import shutil
+
+    key = f"{sf_dir}|annall|{ANN_STREAM_BATCHES}"
+    if key in _ann_stage_cache:
+        return _ann_stage_cache[key]
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    span = (hi - lo + ANN_STREAM_BATCHES) // ANN_STREAM_BATCHES
+    stage = tempfile.mkdtemp(prefix="kpws_annall_src_")
+    base_t = 1_600_000_000
+    for i in range(ANN_STREAM_BATCHES):
+        part_dir = os.path.join(stage, f"_tmp{i}")
+        emb.filter(
+            (F.col("vec_id") >= lo + i * span)
+            & (F.col("vec_id") < lo + (i + 1) * span)
+        ).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        [pfile] = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dst = os.path.join(stage, f"{i:03d}.parquet")
+        shutil.move(pfile, dst)
+        shutil.rmtree(part_dir)
+        os.utime(dst, (base_t + i * 10, base_t + i * 10))
+    _ann_stage_cache[key] = stage
+    return stage
+
+
+#: the last stream_ann_index_delta run's receipts (zero streaming
+#: state + batches consumed); tests read this after the key runs
+LAST_STREAM_ANN_IDX_TRACE: dict = {}
+
+
+def _stream_ann_idx_oracle() -> str:
+    from kafka_parquet_writer_spark.operators.similarity import (
+        _ann_index_oracle,
+    )
+
+    return _ann_index_oracle()
+
+
+@query("stream_ann_index_delta", oracle=_stream_ann_idx_oracle())
+def stream_ann_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VECTOR-index maintenance through a REAL stream — the
+    stream_index_delta pattern on the embarrassingly-incremental side:
+    embeddings arrive as vec_id-ranged micro-batches and foreachBatch
+    codes EACH BATCH with the Arrow-vectorized IVF+PQ coder
+    (similarity's _pq_code_mapper — one numpy matmul per codebook per
+    Arrow batch) and appends the coded rows to the at-rest index as
+    new files. That is
+    the WHOLE maintainer: no merge window, no affected-set anti-join,
+    no state read at all — assignment and coding depend only on the
+    row and the fixed codebooks, so batch outputs are disjoint and
+    the artifact after batch N is simply the concatenation (in
+    production: bucket-aligned file adds to the cell-bucketed table).
+    Contrast stream_index_delta, whose every batch must re-rank the
+    batch-affected token lists against cumulative state because df
+    couples documents; here the per-batch cost is batch rows ×
+    codebook comparisons and NOTHING is ever re-read or re-ranked.
+
+    The final artifact is checked against ann_index_build's
+    full-corpus SQL: stream-incremental ≡ one-shot batch, proving the
+    coding through the stream path. Zero Spark streaming state
+    (LAST_STREAM_ANN_IDX_TRACE: empty stateOperators, gated) — a
+    crashed maintainer resumes from the checkpoint and the already-
+    appended files.
+
+    Plan-cost note (measured this round): foreachBatch re-analyzes
+    its batch plan per micro-batch, so the build key's ~1.5k-node
+    codebook literal trees cost ~3.5 s of Catalyst PER BATCH here —
+    data-independent, 15 s for a 4-batch run whose execution is ~2 s.
+    The maintainer therefore codes through _pq_code_mapper's
+    mapInPandas (a ~10-node plan analyzed instantly, numpy matmuls
+    inside — the r14 serving lesson applied to the build side), and
+    the DuckDB oracle over the final artifact is the proof that the
+    vectorized path reproduces the expression path's codes exactly."""
+    import os
+
+    from kafka_parquet_writer_spark.operators.similarity import (
+        _pq_code_mapper,
+    )
+
+    code_fn, code_schema = _pq_code_mapper()
+    src = _embeddings_batched_dir(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(src, "000.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state_base = tempfile.mkdtemp(prefix="kpws_annidx_")
+    holder: dict = {"dirs": []}
+
+    def apply_batch(bdf: DataFrame, bid: int) -> None:
+        out = os.path.join(state_base, f"idx_b{bid}")
+        bdf.mapInPandas(code_fn, code_schema).write.mode(
+            "overwrite"
+        ).parquet(out)
+        holder["dirs"].append(out)
+
+    ckpt = tempfile.mkdtemp(prefix="kpws_annidx_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.lastProgress or {}
+    LAST_STREAM_ANN_IDX_TRACE.clear()
+    LAST_STREAM_ANN_IDX_TRACE.update(
+        {
+            "state_operators": progress.get("stateOperators", []),
+            "n_batches": len(holder["dirs"]),
+        }
+    )
+    return spark.read.parquet(*holder["dirs"])

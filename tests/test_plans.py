@@ -905,3 +905,18 @@ def test_rag_postings_delta_scans_delta_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" not in plan
     spark.catalog.clearCache()
+
+
+def test_rag_blocked_delta_scans_delta_only(spark, sf_dir):
+    """Blocked-postings maintenance reads the delta and the state
+    tables only; re-blocking rides one token partitioning (rank +
+    per-(token, blk) max) restricted to affected postings."""
+    spark.catalog.clearCache()
+    df = E.queries()["rag_blocked_delta"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("documents.parquet") == 1
+    assert "kpws_rag_idx.tf_state_" in plan
+    assert "kpws_rag_idx.base_blocked_" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    spark.catalog.clearCache()

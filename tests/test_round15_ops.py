@@ -184,3 +184,49 @@ def test_wand_plan_rejects_il_without_imp(spark):
     il = spark.table(_ensure_impact_index(spark, SF))
     with pytest.raises(ValueError, match="il injection"):
         _wand_plan(spark, SF, il=il)
+
+
+# ------------------------------------------- blocked-postings delta
+
+
+def test_blocked_delta_equals_build_table(spark):
+    """Incremental re-blocking ≡ the from-scratch blocked table —
+    including the derived block geometry (pos, blk, bmax)."""
+    import __spark_entry__ as E
+
+    from kafka_parquet_writer_spark.operators.rag_prep import (
+        _ensure_block_postings_index,
+    )
+
+    inc = E.queries()["rag_blocked_delta"](spark, SF)
+    full = spark.table(_ensure_block_postings_index(spark, SF)).select(
+        "token", "doc_id", "impact", "pos", "blk", "bmax"
+    )
+    inc = inc.select("token", "doc_id", "impact", "pos", "blk", "bmax")
+    assert inc.exceptAll(full).count() == 0
+    assert full.exceptAll(inc).count() == 0
+
+
+# --------------------------------------- streaming vector-index delta
+
+
+def test_stream_ann_index_delta_zero_state_append_only(spark):
+    """The streaming vector-index maintainer: zero Spark streaming
+    state, every staged micro-batch consumed, final artifact equals
+    the batch build key (codes from the Arrow-vectorized path must
+    reproduce the expression path exactly)."""
+    import __spark_entry__ as E
+    from kafka_parquet_writer_spark.operators.streaming_queries import (
+        ANN_STREAM_BATCHES,
+        LAST_STREAM_ANN_IDX_TRACE,
+    )
+
+    out = E.queries()["stream_ann_index_delta"](spark, SF)
+    rows = {tuple(r) for r in out.collect()}
+    assert LAST_STREAM_ANN_IDX_TRACE["state_operators"] == []
+    assert LAST_STREAM_ANN_IDX_TRACE["n_batches"] == ANN_STREAM_BATCHES
+    batch = {
+        tuple(r)
+        for r in E.queries()["ann_index_build"](spark, SF).collect()
+    }
+    assert rows == batch and len(batch) > 0
