@@ -2270,7 +2270,14 @@ def index_serve_lane() -> None:
         RP._ensure_postings_index(spark, d)
         RP._ensure_impact_index(spark, d)
         build = time.time() - t0
-        serve, scan = None, None
+        # r15: the BM25 pair beside the tf-idf pair — the serving
+        # claim must hold for the production-default scorer too (its
+        # build additionally folds dl/avgdl; its serve plan reads
+        # neither)
+        t0 = time.time()
+        RP._ensure_bm25_index(spark, d)
+        bm25_build = time.time() - t0
+        serve = scan = bserve = bscan = None
         for _pass in range(2):
             spark.catalog.clearCache()
             t0 = time.time()
@@ -2282,11 +2289,24 @@ def index_serve_lane() -> None:
             RP.rag_topk_retrieval_wand(spark, d).count()
             dt = time.time() - t0
             scan = dt if scan is None else min(scan, dt)
+            spark.catalog.clearCache()
+            t0 = time.time()
+            RP.rag_bm25_from_index(spark, d).count()
+            dt = time.time() - t0
+            bserve = dt if bserve is None else min(bserve, dt)
+            spark.catalog.clearCache()
+            t0 = time.time()
+            RP.rag_topk_retrieval_wand_bm25(spark, d).count()
+            dt = time.time() - t0
+            bscan = dt if bscan is None else min(bscan, dt)
         rec = {
             "k": k,
             "index_build_sec": round(build, 3),
             "serve_from_index_sec": round(serve, 3),
             "serve_corpus_scan_sec": round(scan, 3),
+            "bm25_build_sec": round(bm25_build, 3),
+            "bm25_serve_from_index_sec": round(bserve, 3),
+            "bm25_serve_corpus_scan_sec": round(bscan, 3),
         }
         out["points"].append(rec)
         print(json.dumps(rec), file=sys.stderr)
