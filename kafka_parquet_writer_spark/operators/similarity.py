@@ -872,10 +872,16 @@ def similarity_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the expensive stage is the shortlist (any of the
     similarity_* retrieval paths; here the exact top-{MMR_CAND} — one
     scan + TakeOrderedAndProject). The greedy rerank touches only the
-    {MMR_CAND}-row shortlist: each round is a {MMR_CAND}×rank pair
-    block — O(K²·dim) total work, broadcast-sized regardless of corpus
-    scale, expressed as DataFrame ops so the same code reranks a
-    million shortlists when grouped per query."""
+    {MMR_CAND}-row shortlist: a sequential O(K·CAND·dim) integer
+    recurrence with no distributed structure, so it runs as ONE
+    vectorized Python stage over the shortlist batch (guide §4: the
+    boundary crosses {MMR_CAND} rows once). The r5 form expressed the
+    recurrence as K unrolled DataFrame rounds, each fenced by a
+    localCheckpoint — 6 eager driver actions per invocation (~4.4 s
+    of the key's 4.5 s on the r15 before-split, exec 0.05 s); this
+    form is a single lazy plan: scan → dot(q) → TakeOrdered({MMR_CAND})
+    → one MapInPandas batch. Grouping per q_id turns the same stage
+    into a million-shortlist rerank with zero plan changes."""
     from kafka_parquet_writer_spark.operators.dedup import _unit_vectors
 
     qv = _unit_vectors(spark, sf_dir).select(
@@ -884,76 +890,72 @@ def similarity_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "u", lambda x: F.floor(x * MMR_SCALE + F.lit(0.5)).cast("long")
         ).alias("q"),
     )
-    first = qv.orderBy("vec_id").limit(1).collect()[0]
-    qid, qq = first["vec_id"], list(first["q"])
-    qlit = F.expr("array(" + ",".join(str(int(x)) for x in qq) + "L)")
+    # the query vector (min vec_id) rides along as a broadcast 1-row
+    # join instead of a driver collect: no eager action at build time
+    qry = (
+        qv.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("qid"), F.col("q").alias("qq"))
+    )
     dot_q = F.aggregate(
-        F.zip_with("q", qlit, lambda a, b: a * b),
+        F.zip_with("q", "qq", lambda a, b: a * b),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     cand = (
-        qv.filter(F.col("vec_id") > qid)
+        qv.crossJoin(F.broadcast(qry))
+        .filter(F.col("vec_id") > F.col("qid"))
         .withColumn("simq", dot_q)
+        .select("vec_id", "q", "simq")
         .orderBy(F.col("simq").desc(), "vec_id")
         .limit(MMR_CAND)
-        # materialize the 20-row shortlist ONCE: every greedy round
-        # references cand (and the growing slate references it again
-        # through the union), so an unmaterialized lineage re-runs the
-        # corpus scan+top-k ~2^K times — measured 13 s vs ~1 s at sf0.1
-        .localCheckpoint()
     )
-    sel = (
-        cand.orderBy(F.col("simq").desc(), "vec_id")
-        .limit(1)
-        .select(
-            F.lit(1).alias("rnk"),
-            "vec_id",
-            "q",
-            "simq",
-            (F.lit(MMR_REL).cast("long") * F.col("simq")).alias("mmr"),
+    rel, div, k = MMR_REL, MMR_DIV, MMR_K
+
+    def greedy(batches):
+        import pandas as pd
+
+        # the GlobalLimit shortlist arrives as one ≤MMR_CAND-row
+        # partition; accumulate defensively across batches anyway
+        rows = []
+        for pdf in batches:
+            for vec_id, q, simq in zip(pdf["vec_id"], pdf["q"], pdf["simq"]):
+                rows.append((int(vec_id), [int(x) for x in q], int(simq)))
+        if not rows:
+            return
+        # exact int64 greedy walk, ties by vec_id — the identical
+        # trajectory the unrolled oracle rounds take (Python ints ARE
+        # int64 here: |dot| ≤ dim·1e12 < 2^46)
+        rows.sort(key=lambda t: (-t[2], t[0]))
+        sel = [(1, rows[0][0], rows[0][2], rel * rows[0][2])]
+        sel_q = [rows[0][1]]
+        remaining = rows[1:]
+        for r in range(2, k + 1):
+            if not remaining:
+                break
+            best = None
+            for vec_id, q, simq in remaining:
+                maxsim = max(
+                    sum(a * b for a, b in zip(q, pq)) for pq in sel_q
+                )
+                mmr = rel * simq - div * maxsim
+                if best is None or (-mmr, vec_id) < (-best[3], best[0]):
+                    best = (vec_id, q, simq, mmr)
+            sel.append((r, best[0], best[2], best[3]))
+            sel_q.append(best[1])
+            remaining = [t for t in remaining if t[0] != best[0]]
+        yield pd.DataFrame(
+            {
+                "rnk": [s[0] for s in sel],
+                "vec_id": [s[1] for s in sel],
+                "simq": [s[2] for s in sel],
+                "mmr": [s[3] for s in sel],
+            }
         )
-    )
-    pair_dot = F.aggregate(
-        F.zip_with("q", "pq", lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    for r in range(2, MMR_K + 1):
-        prev = sel.select("vec_id").withColumnRenamed("vec_id", "pv")
-        rem = cand.join(
-            prev, cand.vec_id == F.col("pv"), "left_anti"
-        )
-        pairs = rem.crossJoin(
-            F.broadcast(
-                sel.select(F.col("q").alias("pq"))
-            )
-        ).withColumn("ds", pair_dot)
-        pick = (
-            pairs.groupBy("vec_id", "q", "simq")
-            .agg(F.max("ds").alias("maxsim"))
-            .select(
-                F.lit(r).alias("rnk"),
-                "vec_id",
-                "q",
-                "simq",
-                (
-                    F.lit(MMR_REL).cast("long") * F.col("simq")
-                    - F.lit(MMR_DIV).cast("long") * F.col("maxsim")
-                ).alias("mmr"),
-            )
-            .orderBy(F.col("mmr").desc(), "vec_id")
-            .limit(1)
-        )
-        # flatten the slate lineage: sel_r references sel_{r-1} twice
-        # (anti-join + pair broadcast), so an unmaterialized union
-        # doubles the subtree per round (2^K stages by round K)
-        sel = sel.unionByName(pick).localCheckpoint()
-    return sel.select(
-        F.col("rnk").cast("int").alias("rnk"),
-        "vec_id",
-        F.col("simq").cast("long").alias("simq"),
-        F.col("mmr").cast("long").alias("mmr"),
+
+    vt = dict(qv.dtypes)["vec_id"]
+    return cand.mapInPandas(
+        greedy, f"rnk int, vec_id {vt}, simq long, mmr long"
     )
 
 
@@ -1186,12 +1188,26 @@ def ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw vectors allow.
 
     Scale shape: ONE embeddings scan and zero exchanges — assignment
-    and coding are per-row expression trees (codebooks are plan
-    literals; production swaps in trained books, same plan). The
-    cell-bucketed write pays its one shuffle at persist time so the
-    serving join bucket-prunes forever after; build cost is the
+    and coding are per-row functions of the vector and the (fixed)
+    codebooks. Served by the Arrow/numpy mapper (one matmul per
+    codebook per batch): the r15-build expression-tree form was
+    zero-Python but paid ~2.5 s PER INVOCATION of py4j Column
+    construction + Catalyst analysis over its ~1.5k literal nodes —
+    data-INDEPENDENT driver cost (the same lesson stream_ann_route_pq
+    measured in r14, and _pq_code_mapper's own docstring records:
+    15 s of a 17 s streaming run was plan re-analysis). Numeric
+    equivalence mapper ≡ expressions ≡ DuckDB is pinned by
+    tests/test_round15_ops.py::test_stream_ann_index_delta_zero_state
+    _append_only, which compares the mapper's rows against this key's.
+    The cell-bucketed write pays its one shuffle at persist time so
+    the serving join bucket-prunes forever after; build cost is the
     theoretical floor: read, code, write."""
-    return _pq_coded_select(load_table(spark, sf_dir, "embeddings"))
+    fn, schema = _pq_code_mapper()
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .mapInPandas(fn, schema)
+    )
 
 
 def _ensure_ann_index(spark: SparkSession, sf_dir: str) -> str:
@@ -1216,8 +1232,11 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str) -> str:
     if spark.catalog.tableExists(tbl):
         return tbl
     _ensure_index_db(spark)
+    fn, schema = _pq_code_mapper()
     write_bucketed(
-        _pq_coded_select(load_table(spark, sf_dir, "embeddings")),
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .mapInPandas(fn, schema),
         tbl,
         bucket_cols="cell",
         n_buckets=ANN_INDEX_BUCKETS,
@@ -1242,11 +1261,12 @@ def _ensure_ann_base_index(spark: SparkSession, sf_dir: str) -> str:
     if spark.catalog.tableExists(tbl):
         return tbl
     _ensure_index_db(spark)
+    fn, schema = _pq_code_mapper()
     base = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % ANN_CDC_MOD != ANN_CDC_RESIDUE
     )
     write_bucketed(
-        _pq_coded_select(base),
+        base.select("vec_id", "embedding").mapInPandas(fn, schema),
         tbl,
         bucket_cols="cell",
         n_buckets=ANN_INDEX_BUCKETS,
@@ -1282,12 +1302,17 @@ def ann_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one embeddings scan (the delta, vec_id % predicate
     at the scan — plan-gated) + one bucket-aligned read of the base
-    table; zero joins, zero window passes; the union is exchange-free."""
+    table; zero joins, zero window passes; the union is exchange-free.
+    Coding runs through the Arrow/numpy mapper for the same reason as
+    ann_index_build: the expression-tree form re-paid ~2.5 s of py4j +
+    Catalyst literal-tree cost per invocation."""
+    fn, schema = _pq_code_mapper()
     base = spark.table(_ensure_ann_base_index(spark, sf_dir))
-    delta = _pq_coded_select(
-        load_table(spark, sf_dir, "embeddings").filter(
-            F.col("vec_id") % ANN_CDC_MOD == ANN_CDC_RESIDUE
-        )
+    delta = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % ANN_CDC_MOD == ANN_CDC_RESIDUE)
+        .select("vec_id", "embedding")
+        .mapInPandas(fn, schema)
     )
     return base.unionByName(delta)
 

@@ -470,39 +470,23 @@ def test_cross_channel_intersect_semi_joins_only(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_mmr_rerank_rounds_materialize_and_shortlist_is_topk(spark, sf_dir):
-    """The greedy rounds checkpoint the shortlist and slate (their
-    recurrence would otherwise re-evaluate the corpus scan 2^K times —
-    measured 13.2 s → 2.4 s), so the FINAL plan must be the flattened
-    checkpointed scan; the shortlist stage itself must plan as
-    TakeOrderedAndProject over one scan, never a cartesian."""
-    from pyspark.sql import functions as F
-
-    from kafka_parquet_writer_spark.operators.dedup import _unit_vectors
-    from kafka_parquet_writer_spark.operators.similarity import (
-        MMR_CAND,
-        MMR_SCALE,
-    )
-
+def test_mmr_rerank_single_lazy_plan(spark, sf_dir):
+    """r15 shape: ONE lazy plan — the query vector rides a broadcast
+    1-row join (no driver collect), the shortlist is
+    TakeOrderedAndProject over the scans, and the greedy recurrence is
+    a single MapInPandas batch over the shortlist. The r5 form's 6
+    eager actions (collect + 5 localCheckpoints, ~3 s of the key's
+    3.1 s warm) must stay gone: no ExistingRDD scan, no cartesian of
+    corpus×corpus (the only join is against the broadcast 1-row query
+    side)."""
     plan = formatted_plan(E.queries()["similarity_rerank_mmr"](spark, sf_dir))
-    assert "Join" not in plan
-    assert "ExistingRDD" in plan  # flattened slate, one tiny scan
-
-    qv = _unit_vectors(spark, sf_dir).select(
-        "vec_id",
-        F.transform(
-            "u", lambda x: F.floor(x * MMR_SCALE + F.lit(0.5)).cast("long")
-        ).alias("q"),
-    )
-    shortlist = (
-        qv.filter(F.col("vec_id") > 0)
-        .withColumn("simq", F.size("q").cast("long"))  # stand-in metric
-        .orderBy(F.col("simq").desc(), "vec_id")
-        .limit(MMR_CAND)
-    )
-    splan = formatted_plan(shortlist)
-    assert "TakeOrderedAndProject" in splan
-    assert "CartesianProduct" not in splan
+    assert "TakeOrderedAndProject" in plan
+    assert "MapInPandas" in plan
+    assert "ExistingRDD" not in plan  # no checkpointed slate
+    assert "CartesianProduct" not in plan
+    # the sole join is the broadcast of the 1-row query vector
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_trained_key_broadcasts_stats_join(spark, sf_dir):
