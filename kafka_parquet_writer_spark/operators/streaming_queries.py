@@ -2673,15 +2673,21 @@ def stream_ann_route_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, probe_cells = _ivf_cell_udfs(IVFPQ_PROBE)
     probes = src.filter(F.col("vec_id") < IVFPQ_N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("qv"),
         F.explode(probe_cells(F.col("embedding"))).alias("cell"),
     )
+    # sunk rows carry (q_id, n_id, codes) ONLY — not qv. The memory
+    # sink collects every candidate row to the driver, and duplicating
+    # the query embedding onto each of its ~probe × cell-size
+    # candidates was ~half of every addBatch (measured r15: ~450 ms of
+    # ~930 ms per batch; guide §2.3/§8 — move keys through the
+    # pipeline, re-attach payloads once). qv is re-attached batch-side
+    # below from the same embeddings parquet the stream read, keyed by
+    # q_id = vec_id — bit-identical values by construction.
     matched = (
         probes.join(F.broadcast(corpus), "cell")
         .filter(F.col("n_id") != F.col("q_id"))
         .select(
             "q_id",
-            "qv",
             "n_id",
             *[f"c{m}" for m in range(len(PQ_CODEBOOKS))],
         )
@@ -2689,6 +2695,12 @@ def stream_ann_route_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, info = _run_to_memory_traced(matched, "append")
     LAST_ANN_PQ_TRACE.clear()
     LAST_ANN_PQ_TRACE.update(info)
+    qemb = (
+        spark.read.parquet(emb_path)
+        .filter(F.col("vec_id") < IVFPQ_N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    )
+    table = table.join(F.broadcast(qemb), "q_id")
 
     # batch side over the sunk candidate rows: per-row ADC (query-side
     # LUT per subspace, indexed by the candidate's code — identical
