@@ -99,50 +99,71 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit runtime bloom filter: the keys of a selective dim
     predicate (urgent orders) are folded into a {BLOOM_BITS}-bit
     bitmap ({BLOOM_K} seeded affine hashes, bit_or aggregate over
-    32-bit words); the fact scan then probes the bitmap with
-    broadcast joins and per-row bit tests. The query reports the exact
-    candidate count next to the true semi-join count, with a
+    32-bit words), collected (~8 KB) and shipped into the fact scan as
+    an array literal probed by per-row bit tests. The query reports the
+    exact candidate count next to the true semi-join count, with a
     deterministic `no_false_negatives` proof — the oracle builds the
     identical filter, so even the false-positive margin is
     value-hash-verified.
 
     Scale shape: the build side is one aggregate to ≤{BLOOM_BITS //
-    BLOOM_WORD} words (map-side combine collapses it per partition);
-    the probe side is {BLOOM_K} BROADCAST hash joins + bit math — the
-    fact table is never shuffled, which is the entire point of a
-    runtime filter ahead of a big join at 100 TB.
+    BLOOM_WORD} words (map-side combine collapses it per partition)
+    plus one ~8 KB driver collect — the round-trip every runtime
+    filter pays; the probe side is pure bit math inside the fact scan
+    — the fact table is never shuffled OR joined against the bitmap,
+    which is the entire point of a runtime filter ahead of a big join
+    at 100 TB.
     """
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    dim = (
-        o.filter(F.expr(BLOOM_DIM_PRED))
-        .select(F.col("o_orderkey").alias("k"))
-        .distinct()
+    dimk = o.filter(F.expr(BLOOM_DIM_PRED)).select(
+        F.col("o_orderkey").alias("k")
     )
+    dim = dimk.distinct()
 
-    # build: per-key (word, mask) rows → bit_or per word
-    build = None
+    # build: per-key (word, mask) rows for all K hashes off ONE pass
+    # (explode, not a K-way union re-scanning dim per hash), bit_or per
+    # word, then COLLECT the ≤{BLOOM_BITS // BLOOM_WORD}-word bitmap and
+    # ship it into the probe as one array literal. This is how a
+    # runtime filter actually works (Spark's own bloom-join collects
+    # the bitmap to the driver and rebroadcasts it): the probe side
+    # becomes a pure per-row expression over the fact scan — no joins,
+    # no bitmap re-aggregation per hash. Before: the bitmap subtree
+    # re-executed per probe hash (3×3 dim scans) + 3 broadcast joins —
+    # 22 parquet scans total; after: 3 scans (bitmap job, truth dim,
+    # fact). The collect is ~8 KB of sketch, not data (the sanctioned
+    # driver round-trip every runtime filter pays).
+    wm = []
     for a, b in BLOOM_COEFFS:
         pos = TH.affine_hash(F.col("k"), a, b) % BLOOM_BITS
         word, mask = _word_mask(pos)
-        part = dim.select(word.alias("word"), mask.alias("mask"))
-        build = part if build is None else build.unionAll(part)
-    bloom = build.groupBy("word").agg(F.bit_or("mask").alias("bits"))
+        wm.append(F.struct(word.alias("word"), mask.alias("mask")))
+    bloom_rows = (
+        # the UN-distinct key stream: bit_or is idempotent, so the
+        # bitmap doesn't need the distinct's exchange — partial bit_or
+        # collapses each scan partition to ≤{BLOOM_BITS // BLOOM_WORD}
+        # words map-side and only those cross the wire
+        dimk.select(F.explode(F.array(*wm)).alias("h"))
+        .groupBy(F.col("h.word").alias("word"))
+        .agg(F.bit_or(F.col("h.mask")).alias("bits"))
+        .collect()
+    )
+    words = [0] * (BLOOM_BITS // BLOOM_WORD)
+    for r in bloom_rows:
+        words[int(r["word"])] = int(r["bits"])
+    # one parsed SQL literal, not F.lit(list): py4j builds a 1024-leaf
+    # Literal tree at ~0.8 s per invocation; the parser does it in ~2 ms
+    blit = F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
 
     flags = li.select("l_orderkey").join(
         F.broadcast(dim), li.l_orderkey == F.col("k"), "left"
     )
     passed = None
-    for i, (a, b) in enumerate(BLOOM_COEFFS):
+    for a, b in BLOOM_COEFFS:
         pos = TH.affine_hash(F.col("l_orderkey"), a, b) % BLOOM_BITS
         word, mask = _word_mask(pos)
-        bi = bloom.select(
-            F.col("word").alias(f"w{i}"), F.col("bits").alias(f"bits{i}")
-        )
-        flags = flags.join(F.broadcast(bi), word == F.col(f"w{i}"), "left")
-        ok = F.coalesce(
-            (F.col(f"bits{i}").bitwiseAND(mask) != 0), F.lit(False)
-        )
+        bits = F.element_at(blit, word.cast("int") + 1)
+        ok = F.coalesce((bits.bitwiseAND(mask) != 0), F.lit(False))
         passed = ok if passed is None else passed & ok
     return flags.agg(
         F.count(F.lit(1)).alias("n_fact"),

@@ -871,7 +871,11 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    # n_lines per doc == len(idx_seq) by construction — read it off the
+    # doc row instead of segmenting + exploding + counting a second
+    # time (the before plan ran the whole line emission twice and
+    # shuffled the exploded rows just to count them per doc)
+    totals = docs.select("doc_id", n_lines.alias("n_lines"))
     return (
         kept.join(totals, "doc_id")
         .groupBy("doc_id", "n_lines")

@@ -344,7 +344,15 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         TH.portable_hash64(
             F.array_join(F.slice(F.col("ws"), F.col("st"), SPAN_L), " ")
         ).alias("gh"),
-    )
+    ).cache()
+    # ^ the gram emission (tokenize + explode + md5 hash per position)
+    # is the dominant per-row work and has TWO consumers (the df
+    # aggregate and the hit probe); uncached it executes twice per run
+    # (2 documents scans in the before plan). Cached it runs once; the
+    # cache holds only (doc_id, n_tok, st, en, gh) — ws never
+    # materializes. At 100 TB this is MEMORY_AND_DISK working state ~the
+    # size of one shuffle of the gram table — the same bytes the
+    # alternative (a count-over-gh window) would shuffle.
     dup = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("c")).filter(
         F.col("c") > 1
     )
@@ -482,14 +490,21 @@ def dedup_span_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
         TH.portable_hash64(
             F.array_join(F.slice(F.col("ws"), F.col("st"), SPAN_L), " ")
         ).alias("gh"),
-    )
+    ).cache()
+    # ^ same fix as dedup_span_exact, worth double here: uncached, the
+    # gram emission ran FOUR times per run (df-aggregate + hit probe,
+    # then both AGAIN for the b-side of the pair self-join — 4
+    # documents scans in the before plan). Cached it runs once.
     dup = (
         grams.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter((F.col("c") > 1) & (F.col("c") <= SPAN_PAIR_MAX_DF))
         .select("gh")
     )
-    hits = grams.join(dup, "gh")
+    hits = grams.join(dup, "gh").cache()
+    # ^ hits (duplicated low-df grams only, a small fraction of grams)
+    # feeds both sides of the pair self-join; caching it keeps even the
+    # cache-scan + broadcast-probe from running twice.
     a = hits.select(
         F.col("doc_id").alias("d1"), F.col("st").alias("s1"), "gh"
     )

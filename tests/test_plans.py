@@ -344,13 +344,19 @@ def test_markov_gini_twap_single_shuffle_family(spark, sf_dir):
 
 
 def test_bloom_prefilter_never_shuffles_fact(spark, sf_dir):
-    """The entire point of a runtime filter: the fact side reaches the
-    probe via broadcast joins only — a SortMergeJoin/shuffle on
-    lineitem would moot the bitmap."""
+    """The entire point of a runtime filter: the fact side is never
+    shuffled — the truth dim reaches it by broadcast and the bitmap by
+    a collected array literal probed with per-row bit math (r15: the
+    three bitmap probe joins collapsed into expressions, and the
+    bitmap subtree no longer re-executes per hash — 22 scans → ≤3)."""
     plan = formatted_plan(E.queries()["join_bloom_prefilter"](spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastHashJoin") >= 4  # dim + 3 bloom probes
+    # exactly one join total — the truth dim LeftOuter (each node shows
+    # twice in formatted output: tree line + detail line)
+    assert plan.count("BroadcastHashJoin LeftOuter") == 1
+    assert plan.count("BroadcastHashJoin Inner") == 0
+    assert plan.count("Scan parquet") <= 4  # lineitem + dim, ×2 mentions
 
 
 def test_tpcds_shapes_single_expand_broadcast_dim(spark, sf_dir):
