@@ -22,6 +22,8 @@ is exposed as library functions with the same shape.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -1771,8 +1773,56 @@ def dedup_embedding_ann_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: rounds the most recent connected_components call took (testing hook)
 _LAST_CC_ROUNDS = 0
 
+#: finish the contraction on the driver once the surviving edge set is
+#: this small (edges ≤ 64k ⇒ ~1 MB collected) — the two-phase pattern
+#: GraphFrames ships: distributed star rounds cost ~5 tiny shuffles + a
+#: checkpoint + a fingerprint job EACH, pure scheduling latency once the
+#: graph has contracted, while a driver union-find over the same edges
+#: is microseconds. At 100 TB the early rounds still run distributed;
+#: only the contracted tail crosses to the driver. 0 disables.
+CC_DRIVER_EDGES = int(os.environ.get("KPWS_CC_DRIVER_EDGES", "65536"))
 
-def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+
+def _cc_driver_finish(e: DataFrame) -> DataFrame:
+    """Union-find (union-by-min-root, path compression) over a
+    collected edge iterate — exactly the distributed loop's min-label
+    semantics: every union re-roots the larger root under the smaller,
+    so a tree's root is the minimum of every element ever united into
+    it, i.e. find(x) == min(component(x))."""
+    from pyspark.sql.types import StructField, StructType
+
+    rows = e.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    nodes = {x for row in rows for x in (row[0], row[1])}
+    dt = e.schema[0].dataType
+    schema = StructType(
+        [StructField("doc", dt), StructField("comp", dt)]
+    )
+    return e.sparkSession.createDataFrame(
+        [(x, find(x)) for x in sorted(nodes)], schema
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 50,
+    driver_finish_edges: int | None = None,
+) -> DataFrame:
     """(d1, d2) undirected edges → (doc, comp) with comp = min doc id
     reachable — the cluster representative.
 
@@ -1793,15 +1843,49 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
 
     At the fixpoint every component is a star centered on its minimum
     id, so labels read directly off the edge list.
+
+    TWO-PHASE (r15): once the surviving edge set is at most
+    ``driver_finish_edges`` (default ``CC_DRIVER_EDGES``, env
+    ``KPWS_CC_DRIVER_EDGES``), the remaining rounds collapse into one
+    driver-side union-find over the collected iterate — the GraphFrames
+    pattern. Identical min-label output (union-by-min-root makes every
+    tree root the component minimum); what it removes is the ~5 tiny
+    shuffles + checkpoint + fingerprint jobs per round that dominate
+    once the graph has contracted to scheduling-latency size. Pass
+    ``driver_finish_edges=0`` to force the pure distributed loop.
     """
     global _LAST_CC_ROUNDS
+    thresh = (
+        CC_DRIVER_EDGES if driver_finish_edges is None else driver_finish_edges
+    )
     e = (
         edges.selectExpr("d1 AS u", "d2 AS v")
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
-    prev_fp = None
+
+    def fingerprint(df):
+        return tuple(
+            df.agg(
+                F.count(F.lit(1)),
+                # decimal accumulator: a long sum of 2^63-range hashes
+                # overflows under ANSI mode
+                F.coalesce(
+                    F.sum(F.xxhash64("u", "v").cast("decimal(30,0)")),
+                    F.lit(0).cast("decimal(30,0)"),
+                ),
+            ).collect()[0]
+        )
+
+    prev_fp = fingerprint(e)
+    if int(prev_fp[0]) <= thresh:
+        # two-phase finish: the surviving edge set is driver-sized —
+        # collapse it with union-find instead of paying ~5 tiny
+        # shuffles + a checkpoint + a fingerprint job per remaining
+        # round (pure scheduling latency on a contracted graph)
+        _LAST_CC_ROUNDS = 0
+        return _cc_driver_finish(e)
     for rounds in range(1, max_iter + 1):
         # -- large-star ---------------------------------------------------
         sym = e.unionByName(e.selectExpr("v AS u", "u AS v"))
@@ -1834,20 +1918,15 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             .localCheckpoint()
         )
         # fixpoint test: consecutive edge sets identical ⇒ stars formed
-        fp = tuple(
-            e.agg(
-                F.count(F.lit(1)),
-                # decimal accumulator: a long sum of 2^63-range hashes
-                # overflows under ANSI mode
-                F.coalesce(
-                    F.sum(F.xxhash64("u", "v").cast("decimal(30,0)")),
-                    F.lit(0).cast("decimal(30,0)"),
-                ),
-            ).collect()[0]
-        )
+        fp = fingerprint(e)
         if fp == prev_fp:
             break
         prev_fp = fp
+        if int(fp[0]) <= thresh:
+            # graph contracted under the driver threshold mid-run:
+            # finish the remaining rounds with union-find
+            _LAST_CC_ROUNDS = rounds
+            return _cc_driver_finish(e)
     _LAST_CC_ROUNDS = rounds
     # stars: (member, center) edges with center < member; centers label
     # themselves

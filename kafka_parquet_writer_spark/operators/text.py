@@ -503,17 +503,26 @@ def docs_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = uni.agg(F.count(F.lit(1)).alias("nv"))
     pairs = docs.select(
         "doc_id", F.explode(pair_structs).alias("bg")
-    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    ).select(
+        "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    # (no cache on pairs: A/B measured the columnar encode of the wide
+    # string stream costing more than the second tokenize it saves —
+    # plans/r15/AB_ppl_lm_join.json)
     bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     p6 = F.floor(
         1e6 * (F.col("cb") + 1) / (F.col("cu") + F.col("nv")) + F.lit(0.5)
     ).cast("long")
-    scored = (
-        pairs.join(bi, ["w1", "w2"])
-        .join(uni.withColumnRenamed("word", "w1"), "w1")
+    # p6 is a function of the bigram TYPE — fold the unigram
+    # denominator and vocab smoothing into the aggregated bigram table
+    # (one per-type join) instead of shuffling the occurrence stream a
+    # second time by w1 (same restructure as text_ppl_buckets)
+    lm = (
+        bi.join(uni.withColumnRenamed("word", "w1"), "w1")
         .crossJoin(F.broadcast(vocab))
-        .select("doc_id", p6.alias("p6"))
+        .select("w1", "w2", p6.alias("p6"))
     )
+    scored = pairs.join(lm, ["w1", "w2"]).select("doc_id", "p6")
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         pround(
@@ -904,16 +913,31 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = uni.agg(F.count(F.lit(1)).alias("nv"))
     pairs = docs.select(
         "doc_id", F.explode(pair_structs).alias("bg")
-    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    ).select(
+        "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    # (no cache on pairs: A/B measured the columnar encode of the wide
+    # string stream costing more than the second tokenize it saves —
+    # plans/r15/AB_ppl_lm_join.json)
     bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     p6 = F.floor(
         1e6 * (F.col("cb") + 1) / (F.col("cu") + F.col("nv")) + F.lit(0.5)
     ).cast("long")
-    scored = (
-        pairs.join(bi, ["w1", "w2"])
-        .join(uni.withColumnRenamed("word", "w1"), "w1")
+    # fold the unigram denominator and vocab smoothing into the
+    # AGGREGATED bigram table — p6 is a function of (cb, cu(w1), nv),
+    # i.e. of the bigram TYPE: scoring it once per distinct bigram and
+    # assigning to occurrences is identical to scoring per occurrence,
+    # and it removes a full shuffle of the occurrence stream by w1
+    # (before: pairs⋈bi then THAT⋈uni; after: pairs joins one
+    # per-bigram lm table on one key)
+    lm = (
+        bi.join(uni.withColumnRenamed("word", "w1"), "w1")
         .crossJoin(F.broadcast(vocab))
-        .select("doc_id", p6.alias("p6"))
+        .select("w1", "w2", p6.alias("p6"))
+    )
+    scored = (
+        pairs.join(lm, ["w1", "w2"])
+        .select("doc_id", "p6")
         .groupBy("doc_id")
         .agg(F.expr("CAST(sum(p6) DIV count(*) AS LONG)").alias("score6"))
         .cache()

@@ -119,10 +119,49 @@ def test_connected_components_long_path_converges_in_log_rounds(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "d1 long, d2 long"
     )
-    labels = {r["doc"]: r["comp"] for r in D.connected_components(edges).collect()}
+    # driver_finish_edges=0 forces the pure distributed loop — this
+    # test pins the star-contraction convergence rate, not the
+    # driver-finish shortcut
+    labels = {
+        r["doc"]: r["comp"]
+        for r in D.connected_components(
+            edges, driver_finish_edges=0
+        ).collect()
+    }
     assert len(labels) == n + 1
     assert set(labels.values()) == {0}
     assert D._LAST_CC_ROUNDS <= 12
+
+
+def test_connected_components_driver_finish_matches_distributed(spark):
+    """The r15 two-phase finish: the union-find driver path must emit
+    exactly the distributed loop's labels on a seeded random graph
+    (chains, merges, isolated pairs all present at n=300, m=220)."""
+    import random
+
+    from kafka_parquet_writer_spark.operators import dedup as D
+
+    rng = random.Random(4321)
+    n, m = 300, 220
+    pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(pairs, "d1 long, d2 long")
+
+    dist = {
+        r["doc"]: r["comp"]
+        for r in D.connected_components(
+            edges, driver_finish_edges=0
+        ).collect()
+    }
+    assert D._LAST_CC_ROUNDS >= 1
+    drv = {
+        r["doc"]: r["comp"]
+        for r in D.connected_components(
+            edges, driver_finish_edges=10**6
+        ).collect()
+    }
+    assert D._LAST_CC_ROUNDS == 0
+    assert drv == dist
 
 
 def test_connected_components_random_graph_matches_union_find(spark):
