@@ -149,7 +149,12 @@ def pack_bins(toks: DataFrame) -> DataFrame:
     """The distributed-prefix-sum packing over any (doc_id, t) frame —
     shared by pack_sequences and the end-to-end training-corpus
     pipeline (which packs only the curation survivors)."""
-    toks = toks.withColumn("shard", F.floor(F.col("doc_id") / PACK_BLOCK))
+    toks = toks.withColumn("shard", F.floor(F.col("doc_id") / PACK_BLOCK)).cache()
+    # ^ two consumers (shard totals + the local-cumsum join). The
+    # cached row is three int64s — for pack_sequences the cache saves a
+    # second tokenize pass; for pipeline_train_corpus it saves
+    # re-running the ENTIRE mixture-sample + decontaminate chain that
+    # feeds it (the whole upstream pipeline executed once per consumer)
     shard_tot = toks.groupBy("shard").agg(F.sum("t").alias("st"))
     w_shard = W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
     offsets = shard_tot.select(

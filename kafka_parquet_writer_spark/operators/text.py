@@ -629,12 +629,19 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = base.select(
         "doc_id", "source", F.posexplode("w").alias("pos", "tok")
     )
-    src_docs = base.groupBy("source").agg(
-        F.countDistinct("doc_id").alias("nd")
-    )
+    # doc_id is unique per row — count, not countDistinct
+    src_docs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("nd"))
+    # per-source document frequency over the per-doc DISTINCT token
+    # stream (array_distinct in the array domain before the explode —
+    # the _tid_sets trick): a plain count replaces the two-phase
+    # countDistinct over the full occurrence stream, and the explode
+    # emits each (doc, token) once instead of once per occurrence
     boiler = (
-        toks.groupBy("source", "tok")
-        .agg(F.countDistinct("doc_id").alias("d"))
+        base.select(
+            "source", F.explode(F.array_distinct("w")).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("d"))
         .join(src_docs, "source")
         .filter(F.col("d") * 100 >= BOILER_DF_PCT * F.col("nd"))
         .select("source", "tok")
