@@ -912,19 +912,32 @@ def _wand_topk(p: dict) -> DataFrame:
         .select("query_id", "doc_id", F.col("impact").alias("score"))
     )
 
-    # candidate path (multi-term queries): candidate docs pull their
-    # matched postings (keyed doc_id), then keep only the query's own
-    # terms (broadcast qt_multi) — cost ∝ candidates × terms per doc,
-    # never queries × df
+    # candidate path (multi-term queries): bind each posting to the
+    # queries that ask for its token FIRST (broadcast qt_multi — the
+    # match-sized frame, Σ_(q,t) df(t) rows), then keep candidate
+    # pairs with a semi join. Joining cand to imp on doc_id alone and
+    # filtering terms afterwards — the previous shape — fanned every
+    # candidate document out to its ENTIRE posting list before the
+    # term filter could run (measured at sf0.1: 14.9M intermediate
+    # rows vs 1.1M match rows for the derived multi workload; at
+    # production doc lengths the blow-up is ~|doc vocabulary| / |query
+    # terms| per candidate). Guide §2.3: shuffle match-sized bytes,
+    # not candidates × doc length.
     qt_multi = p["qt_multi"]
-    full = (
-        cand.join(imp, "doc_id")
-        .join(
+    matched = (
+        imp.join(
             F.broadcast(qt_multi.withColumnRenamed("query_id", "q2")),
-            (F.col("query_id") == F.col("q2"))
-            & (F.col("token") == F.col("term")),
+            F.col("token") == F.col("term"),
         )
-        .select("query_id", "doc_id", "impact")
+        .select(F.col("q2").alias("query_id"), "doc_id", "impact")
+    )
+    # cand is broadcast deliberately: it is the DYNAMICALLY PRUNED
+    # pair set — the frame the whole MaxScore/BMW machinery exists to
+    # keep small (queries × surviving candidates, the same
+    # batch-bounded workload assumption qt_multi's broadcast already
+    # makes) — while matched scales with Σ df over query terms.
+    full = matched.join(
+        F.broadcast(cand), ["query_id", "doc_id"], "left_semi"
     )
     sc = full.groupBy("query_id", "doc_id").agg(
         F.sum("impact").cast("long").alias("score")
