@@ -2390,6 +2390,7 @@ def _ensure_bm25_state(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     state = spark.table(st_tbl)
     dl_docs = state.groupBy("doc_id").agg(F.max("dl").alias("dl"))
     tot, n = dl_docs.agg(F.sum("dl"), F.count(F.lit(1))).first()
+    _BM25_STATE_SCALARS[st_tbl] = (int(tot), int(n))
     avgdl_base = int(tot) // int(n)
     write_bucketed(
         _rank_impact_l(_bm25_impacts_from_state(state, avgdl_base)),
@@ -2404,6 +2405,14 @@ def _ensure_bm25_state(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 #: per-sf_dir one-deep registry for rag_bm25_index_delta's cached
 #: delta state (the _INDEX_DELTA_CACHED pattern)
 _BM25_DELTA_CACHED: dict[str, list[DataFrame]] = {}
+
+#: (Σ dl, n_docs) of the BASE corpus, keyed by state table — index
+#: METADATA a deployed BM25 maintainer stores beside the state (it is
+#: what avgdl is computed from), memoized under the same
+#: path-immutability assumption every _ensure_* accessor makes; the
+#: delta key must not pay a full state-table aggregate per arriving
+#: delta just to recover a scalar the build already knew
+_BM25_STATE_SCALARS: dict[str, tuple[int, int]] = {}
 
 
 @query("rag_bm25_index_delta", oracle=_bm25_index_oracle())
@@ -2468,11 +2477,18 @@ def rag_bm25_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _BM25_DELTA_CACHED[sf_dir] = [delta]
 
-    # the avgdl pair from state + delta (scalar aggregates over
-    # per-doc dl — dl is functionally dependent on doc_id)
-    base_dl = state.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+    # the avgdl pair: base (Σ dl, n) is memoized state metadata (see
+    # _BM25_STATE_SCALARS — computed from the state table once per
+    # session, at build time when this session built it); only the
+    # DELTA's scalar aggregate runs per invocation, one job over the
+    # cached delta (guide §5: the driver's eager work per maintenance
+    # round must be delta-sized, not state-sized)
+    if st_tbl not in _BM25_STATE_SCALARS:
+        base_dl = state.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+        bt, bn = base_dl.agg(F.sum("dl"), F.count(F.lit(1))).first()
+        _BM25_STATE_SCALARS[st_tbl] = (int(bt), int(bn))
+    bt, bn = _BM25_STATE_SCALARS[st_tbl]
     delta_dl = delta.groupBy("doc_id").agg(F.max("dl").alias("dl"))
-    bt, bn = base_dl.agg(F.sum("dl"), F.count(F.lit(1))).first()
     dt, dn = delta_dl.agg(F.sum("dl"), F.count(F.lit(1))).first()
     avgdl_base = int(bt) // int(bn)
     avgdl_new = (int(bt) + int(dt)) // (int(bn) + int(dn))
