@@ -214,6 +214,33 @@ _FORCE_RECHECK = {  # key -> round whose green is void
     "rag_index_delta": 14,
     "rag_wand_from_index": 14,
     "stream_ann_route_pq": 14,
+    # r15 OPTIMIZATION round: operator internals rewritten for
+    # performance with results proven oracle-identical in-session
+    # (OPTIMIZATION_r15.md per-operator log) — span/line dedup gram
+    # caches, boilerplate df rewrite, ppl/LM per-type join, CC
+    # two-phase driver finish (clusters/ER/pipelines), bloom-bitmap
+    # literal probe, pack projection cache, _wand_topk matched-first
+    # scoring, PageRank invariant checkpoint, router/ANN streaming
+    # static-side materialization. Forced so the driver's own hash
+    # gate re-proves each at its next window slot (generated by
+    # tools/evidence_audit.py).
+    "dedup_clusters": 14,
+    "docs_ngram_lm": 11,
+    "text_boilerplate_strip": 12,
+    "text_ppl_buckets": 11,
+    "dedup_span_variable": 11,
+    "stream_query_router": 13,
+    "stream_ann_route": 13,
+    "pipeline_clean_corpus": 11,
+    "pack_sequences": 12,
+    "er_cluster_entities": 13,
+    "text_line_dedup": 12,
+    "pipeline_train_corpus": 11,
+    "graph_pagerank": 12,
+    "join_bloom_prefilter": 14,
+    "dedup_span_exact": 10,
+    "cross_channel_intersect": 10,
+    "similarity_rerank_mmr": 10,
 }
 
 
