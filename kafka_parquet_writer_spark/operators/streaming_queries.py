@@ -2837,9 +2837,13 @@ def stream_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta_tf.write.mode("overwrite").parquet(tf_dir)
         holder["tf_dirs"].append(tf_dir)
         # everything below reads the batch's tf rows AT REST — the
-        # batch is tokenized once, on the write above
+        # batch is tokenized once, on the write above. The affected
+        # vocabulary is cached for the batch: it feeds TWO broadcast
+        # builds (the semi join into the re-rank and the anti join on
+        # the passthrough), each of which would otherwise re-read the
+        # state files and re-run the distinct.
         delta_rest = s.read.parquet(tf_dir)
-        affected = delta_rest.select("token").distinct()
+        affected = delta_rest.select("token").distinct().cache()
         cum_tf = s.read.parquet(*holder["tf_dirs"])
         merged = cum_tf.join(
             F.broadcast(affected.withColumnRenamed("token", "atok")),
@@ -2880,6 +2884,9 @@ def stream_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = os.path.join(state_base, f"idx_b{bid}")
         new_idx.write.mode("overwrite").parquet(out)
         holder["idx"] = out
+        # the index write above consumed both broadcasts; the batch's
+        # affected-vocabulary cache is done (bounded: one per batch)
+        affected.unpersist()
 
     ckpt = tempfile.mkdtemp(prefix="kpws_stridx_ckpt_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
