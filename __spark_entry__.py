@@ -241,6 +241,13 @@ _FORCE_RECHECK = {  # key -> round whose green is void
     "dedup_span_exact": 10,
     "cross_channel_intersect": 10,
     "similarity_rerank_mmr": 10,
+    # r15 opt continuation: langid_frame/quality_frame grew keep=()
+    # pass-through params so pipeline_clean_corpus fuses both stages
+    # into one corpus scan (results oracle-identical in-session; the
+    # fused key is already forced above).
+    "text_langid": 10,
+    "text_quality": 10,
+    "stream_quality_filter": 12,
 }
 
 

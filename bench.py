@@ -459,17 +459,19 @@ def main() -> None:
     # Dirty-overwrite guard (r13+r14 VERDICT hygiene: two rounds
     # running, the driver's contended run clobbered the committed
     # idle-bracketed detail): if the file on disk came from a
-    # MEANINGFULLY cleaner box (loadavg_start lower by >1.0) and this
-    # run started contended (> LOAD_WARN), divert to
-    # BENCH_DETAIL.dirty.json so the idle receipt survives.
-    # SPARK_GRAFT_BENCH_OVERWRITE=1 forces the overwrite.
+    # MEANINGFULLY cleaner box (loadavg_start lower by >1.0), divert
+    # to BENCH_DETAIL.dirty.json so the idle receipt survives. The
+    # comparison is against the COMMITTED file's loadavg
+    # unconditionally (r15 opt leftover: the old `> LOAD_WARN` arm let
+    # a 2-4 loadavg run clobber a 0.0-loadavg receipt — restored from
+    # git twice that round). SPARK_GRAFT_BENCH_OVERWRITE=1 forces the
+    # overwrite.
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     if (
         os.path.exists(detail_path)
         and os.environ.get("SPARK_GRAFT_BENCH_OVERWRITE") != "1"
-        and result["loadavg_start"] > LOAD_WARN
     ):
         try:
             with open(detail_path) as f:

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_parquet_writer_spark.catalog import load_table
 from kafka_parquet_writer_spark.operators.dedup import (
     _clusters_oracle,
     dedup_clusters,
@@ -33,8 +34,8 @@ from kafka_parquet_writer_spark.operators.dedup import (
 from kafka_parquet_writer_spark.operators.text import (
     _langid_oracle,
     _quality_oracle,
-    text_langid,
-    text_quality,
+    langid_frame,
+    quality_frame,
 )
 from kafka_parquet_writer_spark.registry import query
 
@@ -69,17 +70,30 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     an executor OOM at scale (r10 VERDICT). AQE's runtime size check
     picks broadcast exactly when the measured list fits under
     spark.sql.autoBroadcastJoinThreshold — the right call at BOTH this
-    fixture's sizes and a 100 TB crawl's."""
-    lang = text_langid(spark, sf_dir).select("doc_id", "pred_lang")
-    qual = text_quality(spark, sf_dir).select("doc_id", "quality", "n_tokens")
+    fixture's sizes and a 100 TB crawl's.
+
+    The langid and quality stages are row-wise functions of the SAME
+    document row, so they compose through one corpus scan (langid_frame
+    threads text/n_chars past the scoring into quality_frame) instead
+    of the lang ⋈ qual join of two full projections — an inner join of
+    two keyed projections of the same table on its unique key IS the
+    combined projection, and the join's exchange plus the second
+    scan+tokenize of the corpus were pure overhead (guide §2.4 —
+    r15 opt: the planner broadcast-built the ENTIRE quality projection
+    for that join, a corpus-shaped broadcast that is itself the OOM
+    shape the drop-list note above avoids)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lq = langid_frame(docs, keep=("text", "n_chars")).select(
+        "doc_id", "text", "n_chars", "pred_lang"
+    )
+    scored = quality_frame(lq, keep=("pred_lang",))
     dropped = (
         dedup_clusters(spark, sf_dir)
         .filter(F.col("doc") != F.col("comp"))
         .select(F.col("doc").alias("doc_id"))
     )
     return (
-        lang.join(qual, "doc_id")
-        .filter(
+        scored.filter(
             (F.col("pred_lang") == KEEP_LANG) & (F.col("quality") >= QUALITY_MIN)
         )
         .join(dropped, "doc_id", "left_anti")

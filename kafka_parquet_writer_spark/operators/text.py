@@ -84,10 +84,20 @@ def _langid_oracle() -> str:
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID: per-language hit count over the distinct
     token set, argmax with fixed preference order (en > es > de > fr)."""
-    docs = load_table(spark, sf_dir, "documents")
+    return langid_frame(load_table(spark, sf_dir, "documents"))
+
+
+def langid_frame(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """The text_langid transformation over any (doc_id, text) frame.
+    ``keep`` names input columns carried through unchanged — the fused
+    single-scan composition in pipeline_clean_corpus threads text/
+    n_chars past the language scoring so the quality stage reads the
+    SAME scan instead of re-scanning the corpus (row-wise functions of
+    the same doc row compose without a join on the unique doc_id)."""
     toks = F.array_distinct(TH.words_expr("text"))
     scored = docs.select(
         "doc_id",
+        *keep,
         *[
             F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).alias(
                 f"s_{lang}"
@@ -106,7 +116,9 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(s["fr"] > 0, "fr")
         .otherwise("und")
     )
-    return scored.select("doc_id", "s_en", "s_es", "s_de", "s_fr", pred.alias("pred_lang"))
+    return scored.select(
+        "doc_id", *keep, "s_en", "s_es", "s_de", "s_fr", pred.alias("pred_lang")
+    )
 
 
 def _quality_oracle() -> str:
@@ -150,20 +162,23 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_frame(load_table(spark, sf_dir, "documents"))
 
 
-def quality_frame(docs: DataFrame) -> DataFrame:
+def quality_frame(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """The text_quality transformation over any (doc_id, text, n_chars)
     frame — batch or streaming (stateless, so it applies unchanged to a
     readStream source; `stream_quality_filter` runs it per micro-batch
-    as the at-ingest curation gate)."""
+    as the at-ingest curation gate). ``keep`` names input columns
+    carried through unchanged (see langid_frame)."""
     w = TH.words_expr("text")
     base = docs.select(
         "doc_id",
+        *keep,
         "n_chars",
         F.length("text").alias("n_chars_calc"),
         w.alias("w"),
     )
     m = base.select(
         "doc_id",
+        *keep,
         "n_chars",
         "n_chars_calc",
         F.size("w").alias("n_tokens"),
@@ -178,6 +193,7 @@ def quality_frame(docs: DataFrame) -> DataFrame:
     stop_ratio = F.col("n_stop").cast("double") / nt
     return m.select(
         "doc_id",
+        *keep,
         "n_chars",
         "n_chars_calc",
         "n_tokens",

@@ -476,6 +476,22 @@ def test_cross_channel_intersect_semi_joins_only(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_clean_corpus_single_corpus_scan(spark, sf_dir):
+    """r15 opt shape: langid and quality are row-wise functions of the
+    SAME document row, fused through one corpus scan (langid_frame
+    keep= threads text/n_chars into quality_frame) — the old
+    lang ⋈ qual inner join of two full corpus projections re-scanned
+    and re-tokenized the corpus and broadcast-built the ENTIRE quality
+    projection. Gate: exactly one documents.parquet scan, and the only
+    join left is the drop-list anti (AQE-sized, no hint — the r10
+    contract pinned by test_clean_corpus_drop_list_carries_no_broadcast_hint)."""
+    plan = formatted_plan(E.queries()["pipeline_clean_corpus"](spark, sf_dir))
+    assert plan.count("documents.parquet") == 1
+    assert "Join Inner" not in plan and " Inner," not in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_mmr_rerank_single_lazy_plan(spark, sf_dir):
     """r15 shape: ONE lazy plan — the query vector rides a broadcast
     1-row join (no driver collect), the shortlist is
