@@ -248,6 +248,13 @@ _FORCE_RECHECK = {  # key -> round whose green is void
     "text_langid": 10,
     "text_quality": 10,
     "stream_quality_filter": 12,
+    # r15 opt continuation: the constant IVF/PQ Column trees are
+    # memoized per SparkContext (_memo_const_cols — expression reuse
+    # only, results oracle-identical in-session); the other memo
+    # consumers are already forced above at r14.
+    "similarity_ivf": 10,
+    "embedding_pq": 11,
+    "similarity_ivf_pq": 12,
 }
 
 

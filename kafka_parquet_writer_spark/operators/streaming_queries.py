@@ -2705,12 +2705,13 @@ def stream_ann_route_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch side over the sunk candidate rows: per-row ADC (query-side
     # LUT per subspace, indexed by the candidate's code — identical
     # expression trees to ivf_pq_topk, analyzed ONCE here instead of
-    # per micro-batch) -> shortlist -> exact re-rank
+    # per micro-batch; the py4j tree construction itself is memoized
+    # per SparkContext like the batch keys')
+    from kafka_parquet_writer_spark.operators.similarity import (
+        _memo_const_cols,
+    )
+
     subdim = EMBED_DIM // len(PQ_CODEBOOKS)
-    norms_lit = [
-        V.lit_vector([sum(x * x for x in c) for c in book])
-        for book in PQ_CODEBOOKS
-    ]
 
     def _lut_entry(qsub, norms):
         def fn(c, j):
@@ -2718,15 +2719,21 @@ def stream_ann_route_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return fn
 
-    terms = None
-    for m, book in enumerate(PQ_CODEBOOKS):
-        qsub = F.slice(F.col("qv"), m * subdim + 1, subdim)
-        lut = F.transform(V.lit_matrix(book), _lut_entry(qsub, norms_lit[m]))
-        # codes are stored long in the index table; element_at wants INT
-        term = F.element_at(
-            lut, (F.col(f"c{m}") + 1).cast("int")
-        ) + V.sq_norm_expr(qsub)
-        terms = term if terms is None else terms + term
+    def _build_adc_terms():
+        acc = None
+        for m, book in enumerate(PQ_CODEBOOKS):
+            norms = V.lit_vector([sum(x * x for x in c) for c in book])
+            qsub = F.slice(F.col("qv"), m * subdim + 1, subdim)
+            lut = F.transform(V.lit_matrix(book), _lut_entry(qsub, norms))
+            # codes are stored long in the index table; element_at
+            # wants INT
+            term = F.element_at(
+                lut, (F.col(f"c{m}") + 1).cast("int")
+            ) + V.sq_norm_expr(qsub)
+            acc = term if acc is None else acc + term
+        return acc
+
+    terms = _memo_const_cols("stream_pq_adc", PQ_CODEBOOKS, _build_adc_terms)
     adc = table.select("q_id", "qv", "n_id", pround(terms, 6).alias("adc6"))
     ws = Window.partitionBy("q_id").orderBy(F.col("adc6"), F.col("n_id"))
     short = (
