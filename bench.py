@@ -156,6 +156,11 @@ HEADLINE = [
     "rag_blocked_delta",
     "ann_index_build",
     "ann_index_delta",
+    # round 16 — so the r15-receipted graph-lane wins (pagerank loop
+    # pin, two-phase connected components) show up in the driver's own
+    # numbers instead of only in plans/r15 receipts (r15 VERDICT item 3)
+    "graph_pagerank",
+    "dedup_clusters",
 ]
 
 #: streaming lane: executed end-to-end through Structured Streaming

@@ -712,6 +712,13 @@ ANN_TRAINED_ROUNDS = 0
 TRAINED_KEY_M = 128
 TRAINED_KEY_ROUNDS = 4
 
+#: per-sf_dir one-deep registry for dedup_embedding_ann_trained's
+#: cached (vec_id, u) frame — shared by the Lloyd rounds AND the
+#: final stats assignment; the next invocation for the same fixture
+#: unpersists its predecessor (the _INDEX_DELTA_CACHED pattern), so a
+#: long session holds at most one copy per fixture
+_TRAINED_CACHED: dict[str, list[DataFrame]] = {}
+
 
 def train_centroid_bank(
     emb: DataFrame,
@@ -720,6 +727,7 @@ def train_centroid_bank(
     dims: tuple[int, int] | None = None,
     norm: float = 1.0,
     stats: dict | None = None,
+    pre_cached: bool = False,
 ) -> list[list[float]]:
     """Refine `bank` with `rounds` exact spherical-k-means Lloyd passes
     over `emb` (any frame with a unit-vector column ``u``): assign each
@@ -761,6 +769,13 @@ def train_centroid_bank(
     norm (1 for flat spherical banks, 1/√2 for IMI half-banks so the
     concatenated product centroid stays unit). Rows round to 6
     decimals, matching the seeded-bank convention.
+
+    `pre_cached=True` declares that `emb` is ALREADY a cached
+    (vec_id, u) frame whose lifetime the caller manages — the trainer
+    then neither caches nor unpersists, so the caller can reuse the
+    same cached rows for its own post-training assignment pass
+    instead of re-deriving them from storage (the r16
+    dedup_embedding_ann_trained change).
     """
     import numpy as np
 
@@ -769,7 +784,9 @@ def train_centroid_bank(
     lo, hi = (0, cs.shape[1]) if dims is None else dims
     if hi - lo != width:
         raise ValueError(f"bank width {width} != dims slice {hi - lo}")
-    u_only = emb.select("vec_id", "u").cache()
+    u_only = emb.select("vec_id", "u")
+    if not pre_cached:
+        u_only = u_only.cache()
     # ≤ partitions·m partial rows leave the map side per round; when that
     # bound is small (each row ~1 KB ⇒ ≤64 MB here) fold on the driver
     # and skip the shuffle+applyInPandas stage — at trainer scale-out
@@ -901,7 +918,8 @@ def train_centroid_bank(
                 stats.setdefault("splits_per_round", []).append(splits)
             cs = new
     finally:
-        u_only.unpersist()
+        if not pre_cached:
+            u_only.unpersist()
     if stats is not None:
         # Distance of every RAW coordinate from its nearest 6-decimal
         # rounding boundary, in 1e-6 units (boundaries sit at fractional
@@ -1729,23 +1747,65 @@ def dedup_embedding_ann_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: training is the mergeable-sketch pattern (≤m partial
     rows leave each Arrow batch, one ≤m-row collect per round — at
     100 TB you train on a sample and freeze the bank); assignment is
-    one gemm per batch; the per-cell stats are a single hash
-    aggregation; the bank join is a 128-row broadcast.
+    one gemm per batch over the SAME cached (vec_id, u) rows the
+    trainer's rounds read (r16: one source scan + normalize for the
+    whole key, where the final pass previously re-derived the unit
+    vectors from storage), and the per-cell stats are collapsed
+    INSIDE each Arrow batch (≤m partial rows cross the Python
+    boundary — the previous shape shipped every vector's unit array
+    back out of Python just to count and sum ids); the bank join is
+    a 128-row broadcast.
     """
     import math as _math
+
+    import numpy as _np
 
     emb = _unit_vectors(spark, sf_dir)
     seed = _dedup_centroids(max(TRAINED_KEY_M, ANN_DEDUP_BANK))[
         :TRAINED_KEY_M
     ]
-    bank = train_centroid_bank(emb, seed, TRAINED_KEY_ROUNDS)
-    probes = emb.mapInPandas(
-        _make_assigner(bank, probe=1),
-        "vec_id long, u array<double>, cell int",
+    for prev in _TRAINED_CACHED.pop(sf_dir, []):
+        prev.unpersist()
+    u_only = emb.select("vec_id", "u").cache()
+    _TRAINED_CACHED[sf_dir] = [u_only]
+    bank = train_centroid_bank(
+        u_only, seed, TRAINED_KEY_ROUNDS, pre_cached=True
     )
-    stats = probes.groupBy("cell").agg(
-        F.count(F.lit(1)).alias("n_vecs"),
-        F.sum("vec_id").alias("sum_vec"),
+    cmat = _np.asarray(bank, dtype=_np.float64)
+
+    def stats_partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        mm = cmat.shape[0]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            u = np.vstack(pdf["u"].to_numpy())
+            # first-occurrence argmax == the stable lowest-index
+            # tie-break _make_assigner's stable argsort implements
+            cells = np.argmax(u @ cmat.T, axis=1)
+            cnt = np.bincount(cells, minlength=mm)
+            sv = np.zeros(mm, dtype=np.int64)
+            np.add.at(sv, cells, ids)
+            nz = np.nonzero(cnt)[0]
+            yield pd.DataFrame(
+                {
+                    "cell": nz.astype(np.int64),
+                    "n": cnt[nz].astype(np.int64),
+                    "sv": sv[nz],
+                }
+            )
+
+    stats = (
+        u_only.mapInPandas(stats_partials, "cell long, n long, sv long")
+        .groupBy("cell")
+        .agg(
+            F.sum("n").cast("long").alias("n_vecs"),
+            F.sum("sv").cast("long").alias("sum_vec"),
+        )
+        .withColumn("cell", F.col("cell").cast("int"))
     )
     bdf = spark.createDataFrame(
         [

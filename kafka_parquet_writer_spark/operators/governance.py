@@ -784,77 +784,85 @@ def agg_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical sketch and the estimates value-hash-match exactly;
     exact set sizes and two-sided accuracy gates ride along.
 
-    Scale shape: the heavy step is the distinct (set, hash) shuffle
-    with map-side combine; the k-minima selection is a per-set sort
-    of DISTINCT members only. At 100 TB the selection becomes the
-    standard θ-prefilter + per-partition truncation monoid (keep the
-    K smallest per partition, merge by union-and-truncate — the same
-    monoid the sketch itself is), so no set ever sorts its full
-    membership; sketch blobs then merge across days/partitions like
-    the HLL key's. Pair joins touch only K-row sketches (broadcast).
+    Scale shape (r16: the θ-prefilter/truncation-monoid form this
+    docstring always promised): sketches are built as PER-HOUR ARRAY
+    BLOBS in ONE aggregation — collect_set's partial aggregation
+    merges per-partition distinct sets map-side (the union half of
+    the monoid) and the K-minima truncation runs once per set on the
+    merged array, so the k-minima selection never sorts more than the
+    set's distinct membership and no per-(hour,hash) row stream ever
+    feeds a ranking window. The exact sizes ride the SAME aggregate
+    (count over the distinct audience), and all downstream set
+    algebra — θ, pair θ = min, |S ∩ [0,θ)| counts, intersection —
+    is per-row array arithmetic on a 24-row frame: zero joins touch
+    anything larger than the hour list. The exact-intersection gate
+    lane replaces its audience self-join with one lag window per
+    user (a user contributes to i(h) iff its next distinct hour is
+    h+1). At 100 TB the blob aggregate shards by (hour, salt) first
+    (union-and-truncate is associative), exactly like the HLL key's
+    sketch merge; pair joins still touch only K-row blobs.
     """
     from pyspark.sql.window import Window as W
 
-    m = THETA_M
+    m, K = THETA_M, THETA_K
     ev = load_table(spark, sf_dir, "events")
     aud = ev.select(
         F.hour("ts").cast("int").alias("h"), "user_id"
     ).distinct()
-    hashed = aud.select(
+    hv = TH.portable_hash64(F.col("user_id").cast("string")) % m
+    # ONE aggregation yields both the exact set size (distinct users)
+    # and the sketch blob: the K smallest DISTINCT hash values
+    # (collect_set dedups hash collisions exactly like the oracle's
+    # DISTINCT (h, hv))
+    sk = aud.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.slice(F.array_sort(F.collect_set(hv)), 1, K).alias("arr"),
+    )
+    # θ = the K-th smallest distinct hash, or P in exact mode (set
+    # smaller than K) — element K of the sorted blob IS max(hv) of
+    # the oracle's rank-≤K rows
+    theta = (
+        F.when(F.size("arr") < K, F.lit(m))
+        .otherwise(F.element_at("arr", K))
+        .cast("long")
+    )
+    ska = sk.select("h", "n", "arr", theta.alias("theta"))
+    nxt_h = ska.select(
+        (F.col("h") - 1).alias("h"),
+        F.col("n").alias("snb"),
+        F.col("arr").alias("arr_b"),
+        F.col("theta").alias("theta_b"),
+    )
+    pr = ska.join(nxt_h, "h").select(
         "h",
-        (
-            TH.portable_hash64(F.col("user_id").cast("string")) % m
-        ).alias("hv"),
-    ).distinct()
-    rn = F.row_number().over(W.partitionBy("h").orderBy("hv"))
-    sk = (
-        hashed.withColumn("rn", rn).filter(F.col("rn") <= THETA_K)
+        F.col("n").alias("sna"),
+        "snb",
+        "arr",
+        "arr_b",
+        F.least("theta", "theta_b").alias("t"),
     )
-    th = sk.groupBy("h").agg(
-        F.when(F.max("rn") < THETA_K, F.lit(m))
-        .otherwise(F.max("hv"))
-        .alias("theta")
-    )
-    ta, tb = th.alias("ta"), th.alias("tb")
-    pairs = (
-        ta.join(tb, F.col("tb.h") == F.col("ta.h") + 1)
-        .select(
-            F.col("ta.h").alias("h"),
-            F.least("ta.theta", "tb.theta").alias("t"),
-        )
-    )
-    sa = sk.select("h", "hv")
-    sb = sk.select((F.col("h") - 1).alias("h"), F.col("hv").alias("hv"))
-    ca = (
-        sa.join(F.broadcast(pairs), "h")
-        .filter(F.col("hv") < F.col("t"))
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("na"))
-    )
-    cb = (
-        sb.join(F.broadcast(pairs), "h")
-        .filter(F.col("hv") < F.col("t"))
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("nb"))
-    )
-    a2 = sk.select(F.col("h").alias("ih"), F.col("hv").alias("ihv"))
-    b2 = sk.select(
-        (F.col("h") - 1).alias("ih"), F.col("hv").alias("ihv")
-    )
-    ci = (
-        a2.join(b2, ["ih", "ihv"])
-        .join(F.broadcast(pairs), F.col("ih") == F.col("h"))
-        .filter(F.col("ihv") < F.col("t"))
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("ni"))
-    )
+
+    def below_t(arr):
+        return F.size(F.filter(arr, lambda x: x < F.col("t")))
+
     est = (
-        pairs.join(ca, "h")
-        .join(cb, "h")
-        .join(ci, "h", "left")
-        .withColumn("ni", F.coalesce("ni", F.lit(0)))
+        pr.select(
+            "h",
+            "sna",
+            "snb",
+            "t",
+            below_t(F.col("arr")).alias("na"),
+            below_t(F.col("arr_b")).alias("nb"),
+            below_t(F.array_intersect("arr", "arr_b")).alias("ni"),
+        )
+        # the oracle's est CTE INNER-joins the ca/cb count lanes, so an
+        # hour whose A- or B-side sketch has no member below θ has no
+        # row there (group never forms); ni rides a LEFT join → 0
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
         .select(
             "h",
+            "sna",
+            "snb",
             # int64 `div` throughout: count·P ≤ 2^41, and double
             # division + cast could land one below the exact quotient
             F.expr(f"(na + nb - ni) * CAST({m} AS BIGINT) div t")
@@ -868,31 +876,34 @@ def agg_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_diff"),
         )
     )
-    sizes = aud.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
-    ay = aud.select(
-        (F.col("h") - 1).alias("h"), F.col("user_id").alias("uy")
-    )
-    iex = (
-        aud.filter(F.col("h") < 23)
-        .join(ay, (aud.h == ay.h) & (aud.user_id == F.col("uy")), "left")
-        .drop(ay.h)
+    # exact intersection sizes: a user counts toward i(h) iff its next
+    # distinct active hour is h+1 — one lag window per user replaces
+    # the audience self-join on user_id (same shuffle key, half the
+    # shuffled volume, no join fan-out)
+    wu = W.partitionBy("user_id").orderBy("h")
+    ic = (
+        aud.withColumn("nxt", F.lead("h").over(wu))
+        .filter((F.col("h") < 23) & (F.col("nxt") == F.col("h") + 1))
         .groupBy("h")
-        .agg(F.count("uy").alias("i"))
+        .agg(F.count(F.lit(1)).alias("i"))
     )
-    sza = sizes.select("h", F.col("n").alias("sna"))
-    szb = sizes.select((F.col("h") - 1).alias("h"), F.col("n").alias("snb"))
+    # hours with zero intersection still carry an exact row (the
+    # oracle's LEFT JOIN + count(y.user_id) = 0)
     exact = (
-        iex.join(F.broadcast(sza), "h")
-        .join(F.broadcast(szb), "h")
+        est.join(F.broadcast(ic), "h", "left")
+        .withColumn("i", F.coalesce("i", F.lit(0)))
         .select(
             "h",
+            "est_union",
+            "est_inter",
+            "est_diff",
             (F.col("sna") + F.col("snb") - F.col("i"))
             .cast("long")
             .alias("n_union"),
             F.col("i").cast("long").alias("n_inter"),
         )
     )
-    return exact.join(est, "h").select(
+    return exact.select(
         "h",
         "est_union",
         "est_inter",

@@ -2788,28 +2788,41 @@ def stream_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a rewrite — batches carry disjoint doc sets); (2) the
     batch's own token set is the affected vocabulary: re-rank
     affected lists from the cumulative tf STATE (df moved only for
-    tokens the batch contains); (3) every other list passes through
-    from the previous index artifact via anti-join, untouched —
+    tokens the batch contains) and APPEND them as a new index
+    GENERATION — delta-sized files, gen-stamped; (3) every other
+    list passes through AT REST: an unaffected token's current list
+    is simply its latest earlier generation, untouched on disk —
     byte-identical by the same df/tf-unchanged argument as
-    rag_index_delta, applied inductively batch over batch.
+    rag_index_delta, applied inductively batch over batch. (r16,
+    guide §5/§6: the previous shape realized the passthrough by
+    anti-joining and REWRITING the full index per batch — a
+    vocabulary × L read+write whose cost grows with the index, not
+    the delta. The generational append writes only the affected
+    lists; a token's serving list is resolved at read time as its
+    max-generation rows — the LSM pattern every production index
+    maintainer uses.)
 
-    The final artifact after the last batch is returned and checked
-    against rag_index_build's FULL-CORPUS SQL: one green row proves
+    The final artifact after the last batch (all generations, each
+    token served from its latest) is returned and checked against
+    rag_index_build's FULL-CORPUS SQL: one green row proves
     stream-incremental ≡ one-shot batch, bit-for-bit, through every
     intermediate index generation. Zero Spark streaming state
     (receipted in LAST_STREAM_INDEX_TRACE: empty stateOperators —
     ALL maintenance state lives at rest in versioned parquet, the
     restart-safe production shape; a crashed maintainer resumes from
-    the checkpoint and the last committed artifact).
+    the checkpoint and the already-appended generations).
 
     Scale shape: per-batch cost = batch postings + affected-token
-    postings from bucket-pruned state + a vocabulary × L index
-    rewrite (in production the index is token-bucketed like
-    _ensure_impact_index and only affected buckets rewrite; state
-    appends are bucket-aligned file adds). The corpus is tokenized
-    exactly once, one batch at a time — no stage ever re-reads base
-    text, the property that lets a 100 TB index be maintained by a
-    stream instead of rebuilt by a nightly job."""
+    postings from cumulative tf state + an AFFECTED-sized generation
+    append — nothing per batch scales with the index anymore (in
+    production both the tf state and the generations are
+    token-bucketed like _ensure_impact_index, so the per-batch semi
+    join and the serve-time resolve prune to affected buckets; a
+    background compactor folds old generations exactly like any LSM).
+    The corpus is tokenized exactly once, one batch at a time — no
+    stage ever re-reads base text, the property that lets a 100 TB
+    index be maintained by a stream instead of rebuilt by a nightly
+    job."""
     import os
 
     from pyspark.sql.window import Window as W
@@ -2829,7 +2842,7 @@ def stream_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     state_base = tempfile.mkdtemp(prefix="kpws_stridx_")
-    holder: dict = {"idx": None, "tf_dirs": []}
+    holder: dict = {"gens": [], "tf_dirs": []}
 
     def apply_batch(bdf: DataFrame, bid: int) -> None:
         s = bdf.sparkSession
@@ -2845,12 +2858,12 @@ def stream_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         holder["tf_dirs"].append(tf_dir)
         # everything below reads the batch's tf rows AT REST — the
         # batch is tokenized once, on the write above. The affected
-        # vocabulary is cached for the batch: it feeds TWO broadcast
-        # builds (the semi join into the re-rank and the anti join on
-        # the passthrough), each of which would otherwise re-read the
-        # state files and re-run the distinct.
+        # vocabulary (the batch's own token set) feeds exactly ONE
+        # broadcast build: the semi join bounding the re-rank. No
+        # anti-join, no previous-index read — unaffected lists stay
+        # where they already are.
         delta_rest = s.read.parquet(tf_dir)
-        affected = delta_rest.select("token").distinct().cache()
+        affected = delta_rest.select("token").distinct()
         cum_tf = s.read.parquet(*holder["tf_dirs"])
         merged = cum_tf.join(
             F.broadcast(affected.withColumnRenamed("token", "atok")),
@@ -2879,21 +2892,13 @@ def stream_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("pos").cast("long").alias("pos"),
             )
         )
-        if holder["idx"] is not None:
-            passthrough = s.read.parquet(holder["idx"]).join(
-                F.broadcast(affected.withColumnRenamed("token", "atok")),
-                F.col("token") == F.col("atok"),
-                "left_anti",
-            )
-            new_idx = passthrough.unionByName(rebuilt)
-        else:
-            new_idx = rebuilt
-        out = os.path.join(state_base, f"idx_b{bid}")
-        new_idx.write.mode("overwrite").parquet(out)
-        holder["idx"] = out
-        # the index write above consumed both broadcasts; the batch's
-        # affected-vocabulary cache is done (bounded: one per batch)
-        affected.unpersist()
+        # generation append: affected lists only, gen-stamped so the
+        # serve-time resolve can pick each token's latest rewrite
+        gen_dir = os.path.join(state_base, f"idx_g{bid}")
+        rebuilt.withColumn("gen", F.lit(bid)).write.mode(
+            "overwrite"
+        ).parquet(gen_dir)
+        holder["gens"].append(gen_dir)
 
     ckpt = tempfile.mkdtemp(prefix="kpws_stridx_ckpt_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -2916,9 +2921,20 @@ def stream_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         {
             "state_operators": progress.get("stateOperators", []),
             "n_batches": len(holder["tf_dirs"]),
+            "n_generations": len(holder["gens"]),
         }
     )
-    return spark.read.parquet(holder["idx"])
+    # serve-time resolve: a token's current list is its latest
+    # generation (every generation a token appears in carries the
+    # token's FULL re-ranked list, so max-gen rows are the whole list)
+    gens = spark.read.parquet(*holder["gens"])
+    return (
+        gens.withColumn(
+            "mg", F.max("gen").over(W.partitionBy("token"))
+        )
+        .filter(F.col("gen") == F.col("mg"))
+        .select("token", "doc_id", "impact", "pos")
+    )
 
 
 def _embeddings_batched_dir(spark: SparkSession, sf_dir: str) -> str:
